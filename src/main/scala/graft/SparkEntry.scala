@@ -1,13 +1,162 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q3TopRevenue(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2/§2b/§2c. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_filter_project" -> (Relational.q2FilterProject _),
+    "q3_top_revenue" -> (Relational.q3TopRevenue _),
+    "q4_region_revenue" -> (Relational.q4RegionRevenue _),
+    "q5_window_topn" -> (Relational.q5WindowTopN _),
+    "q6_sort_limit" -> (Relational.q6SortLimit _),
+    "q7_anti_join" -> (Relational.q7AntiJoin _),
+    "q8_distinct_agg" -> (Relational.q8DistinctAgg _),
+    "q9_events_hourly" -> (Relational.q9EventsHourly _),
+    "q10_events_sessions" -> (Relational.q10EventsSessions _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "text_stats" -> (TextAnalysis.textStats _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_langid" -> (TextAnalysis.textLangId _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "ann_topk" -> (Similarity.annTopK _),
+  )
+
+  /** DuckDB-dialect oracle SQL per query (same column names + ordering). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice),2) AS total_revenue,
+        | count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q5_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q6_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q9_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q10_events_sessions" ->
+      """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END),4) AS purchase_value,
+        | CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / nullif(length(text), 0), 4) AS punct_ratio,
+        | round(len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / nullif(length(text), 0), 4) AS upper_ratio,
+        | round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |           t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stopword_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits
+        | FROM documents)
+        |SELECT doc_id,
+        | round(least(n_tokens / 100.0, 1.0) * 0.3
+        |   + coalesce(alpha_ratio, 0.0) * 0.4
+        |   + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk, length(text) AS n,
+        |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, lang, cjk, n,
+        |  len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) AS en,
+        |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','mit','für','auf','ein','eine','zu','den','im','nicht'], t))) AS de,
+        |  len(list_filter(toks, t -> list_contains(['le','la','les','de','et','est','un','une','du','des','en','que','qui','dans','pour'], t))) AS fr,
+        |  len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','del','en','que','por','con','para'], t))) AS es
+        | FROM t)
+        |SELECT doc_id, lang,
+        | CASE WHEN cjk * 2 > n THEN 'zh'
+        |      WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+        |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de >= fr AND de >= es THEN 'de'
+        |      WHEN fr >= es THEN 'fr'
+        |      ELSE 'es' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  round(list_dot_product(e.emb, p.q_emb)
+        |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS sim
+        | FROM e, p WHERE e.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+  )
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational query core: grouped aggregation, joins (broadcast where the
+ * build side is a dimension), window functions, sort/limit, anti join,
+ * distinct aggregation, event-time windowing.
+ *
+ * Scale notes: dimension tables (region/nation/customer-filtered) are
+ * explicitly broadcast so the fact-side scan never shuffles for the join;
+ * aggregates are declarative so Catalyst plans partial (map-side) aggregation
+ * before the exchange. Every aggregate output is rounded so the DuckDB
+ * oracle's float summation order cannot flip the hash compare.
+ */
+object Relational {
+
+  /** Grouped multi-aggregate with a pushed-down date filter (TPC-H Q1 shape). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Predicate + projection pushdown to the parquet scan (TPC-H Q6 shape, row-level). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** 3-way join + aggregate + deterministic top-N (TPC-H Q3 shape).
+   *  The filtered customer dim is broadcast; orders⋈lineitem shuffles on the
+   *  order key only once. */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join over broadcast dims: revenue per region. */
+  def q4RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Window-function per-group top-N: top 3 orders per customer by price. */
+  def q5WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Global sort + limit (takeOrdered path — no full sort materialization). */
+  def q6SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Anti join: customers with no orders on/after 1998-01-01. The filter on
+   *  the right side is pushed below the anti join into the parquet scan. */
+  def q7AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    Tables.customer(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Distinct aggregation per group. */
+  def q8DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Event-time tumbling-window aggregate (hourly) — the batch shape of the
+   *  streaming windowed aggregation in [[graft.streaming.Watermarks]]. */
+  def q9EventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Per-user event profile: conditional aggregation. */
+  def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("purchase_value"),
+        date_trunc("second", max(col("ts"))).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+}

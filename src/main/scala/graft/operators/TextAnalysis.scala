@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for LLM training-data pipelines: token counting, character
+ * statistics, quality scoring, language ID, document fingerprinting.
+ *
+ * Everything is pure `Column` expressions (whole-stage-codegen'd; no UDFs),
+ * so at 100 TB the work stays inside the scan stage with zero shuffles.
+ */
+object TextAnalysis {
+
+  /** Stopword lists used for quality scoring and language ID. Broadcast as
+   *  literal arrays into codegen — no join, no lookup table. */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "that", "it", "as", "at")
+  val stopwordsDe: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein", "eine", "zu", "den", "im", "nicht")
+  val stopwordsFr: Seq[String] =
+    Seq("le", "la", "les", "de", "et", "est", "un", "une", "du", "des", "en", "que", "qui", "dans", "pour")
+  val stopwordsEs: Seq[String] =
+    Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "en", "que", "por", "con", "para")
+
+  private def litArray(words: Seq[String]): Column = array(words.map(lit): _*)
+
+  /** Whitespace tokens of lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Token count; 0 for blank text (split of "" yields [""], guard it). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val list = litArray(words)
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(filter(tokens(text), t => array_contains(list, t))))
+  }
+
+  /** Ratio helpers — NULL-safe division by text length / token count. */
+  private def ratio(num: Column, den: Column, scale: Int): Column =
+    round(num.cast("double") / nullif(den.cast("double"), lit(0.0)), scale)
+
+  def punctRatio(text: Column): Column =
+    ratio(regexp_count(text, lit("[.,!?;:]")), length(text), 4)
+
+  def upperRatio(text: Column): Column =
+    ratio(regexp_count(text, lit("[A-Z]")), length(text), 4)
+
+  def alphaRatio(text: Column): Column =
+    ratio(regexp_count(text, lit("[A-Za-z]")), length(text), 4)
+
+  def stopwordRatio(text: Column): Column =
+    ratio(stopwordHits(text, stopwordsEn), tokenCount(text), 4)
+
+  /**
+   * Composite quality score in [0,1]: favors documents that are long enough,
+   * mostly alphabetic, and contain natural-language function words.
+   */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val alphaTerm = coalesce(alphaRatio(text), lit(0.0))
+    val stopTerm = least(coalesce(stopwordRatio(text), lit(0.0)) * 4.0, lit(1.0))
+    round(lengthTerm * 0.3 + alphaTerm * 0.4 + stopTerm * 0.3, 4)
+  }
+
+  /**
+   * Heuristic language ID: CJK-character density ⇒ zh, else argmax of
+   * per-language stopword hits (ties resolved en > de > fr > es).
+   */
+  def langId(text: Column): Column = {
+    val cjk = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+    val en = stopwordHits(text, stopwordsEn)
+    val de = stopwordHits(text, stopwordsDe)
+    val fr = stopwordHits(text, stopwordsFr)
+    val es = stopwordHits(text, stopwordsEs)
+    when(cjk * 2 > length(text), lit("zh"))
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Whitespace-normalized content fingerprint (md5). Stable across engines;
+   *  the rolling-hash variant for shingling lives in [[Dedup.shingleHashes]]. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  // ---- query entries (oracle-checked) ----
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      punctRatio(col("text")).as("punct_ratio"),
+      upperRatio(col("text")).as("upper_ratio"),
+      alphaRatio(col("text")).as("alpha_ratio"),
+      stopwordHits(col("text"), stopwordsEn).cast("long").as("stopword_hits"))
+      .orderBy(col("doc_id"))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("lang"),
+      langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary groups by (returnflag, linestatus) with positive sums") {
+    val rows = Relational.q1PricingSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("sum_qty")) > 0)
+      assert(r.getLong(r.fieldIndex("count_order")) > 0)
+    }
+  }
+
+  test("q2 filter respects every predicate") {
+    val df = Relational.q2FilterProject(spark, sfDir)
+    assert(df.columns.toSeq === Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"))
+    val viol = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .count()
+    assert(df.count() === viol)
+  }
+
+  test("q3 top revenue returns at most 10 rows sorted by revenue desc") {
+    val rows = Relational.q3TopRevenue(spark, sfDir).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(rows.head.fieldIndex("revenue")))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q3 plan broadcasts the customer dim and contains no cartesian product") {
+    val plan = Relational.q3TopRevenue(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q2 pushes predicates into the parquet scan") {
+    val plan = Relational.q2FilterProject(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("l_shipdate") || plan.contains("l_discount"))
+  }
+
+  test("q5 window top-N keeps at most 3 rows per customer, rn in 1..3") {
+    val rows = Relational.q5WindowTopN(spark, sfDir).collect()
+    val perCust = rows.groupBy(_.getLong(0))
+    assert(perCust.values.forall(_.length <= 3))
+    assert(rows.forall { r => val rn = r.getLong(r.fieldIndex("rn")); rn >= 1 && rn <= 3 })
+  }
+
+  test("q6 global sort+limit equals takeOrdered semantics") {
+    val rows = Relational.q6SortLimit(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q7 anti join returns only customers without recent orders") {
+    val result = Relational.q7AntiJoin(spark, sfDir)
+    val recentCust = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val got = result.collect().map(_.getLong(0)).toSet
+    assert(got.intersect(recentCust).isEmpty)
+    assert(got.size + recentCust.size === Tables.customer(spark, sfDir).count())
+  }
+
+  test("q9 hourly buckets align to hour boundaries") {
+    val rows = Relational.q9EventsHourly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ts = r.getTimestamp(0).toInstant
+      assert(ts.getEpochSecond % 3600 === 0)
+    }
+  }
+
+  test("q10 per-user stats count every event exactly once") {
+    val rows = Relational.q10EventsSessions(spark, sfDir).collect()
+    val total = rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum
+    assert(total === Tables.events(spark, sfDir).count())
+  }
+}
