@@ -23,6 +23,7 @@ object SparkEntry {
     "q9_events_hourly" -> (Relational.q9EventsHourly _),
     "q10_events_sessions" -> (Relational.q10EventsSessions _),
     "dedup_exact" -> (Dedup.dedupExact _),
+    "deser_documents" -> (Deser.deserDocuments _),
     "text_stats" -> (TextAnalysis.textStats _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangId _),
@@ -97,6 +98,8 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "deser_documents" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         | CASE WHEN length(trim(text)) = 0 THEN 0

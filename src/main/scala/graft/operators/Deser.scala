@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.serde.{DirtyDataStrategy, RowDeserializer}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * DataFrame surface of the delimited-text deserialization layer: turns a
+ * column of message bodies into typed columns via [[RowDeserializer]],
+ * running inside the scan stage (flatMap over partitions — parsing adds no
+ * shuffle; at 100 TB the cost is one pass over the bytes).
+ */
+object Deser {
+
+  /** Parse a string `bodyCol` into `schema`-typed rows, one DataFrame row per
+    * parsed line (dirty lines handled per the deserializer's strategies). */
+  def parseBodies(
+      df: DataFrame,
+      bodyCol: String,
+      schema: StructType,
+      fieldDelimiter: String = "",
+      lineDelimiter: String = "\n",
+      lengthCheck: String = "NONE"): DataFrame = {
+    val deser = RowDeserializer.withLengthCheck(
+      schema, lengthCheck, fieldDelimiter = fieldDelimiter, lineDelimiter = lineDelimiter)
+    df.select(col(bodyCol)).as(Encoders.STRING)
+      .flatMap(body => if (body == null) Nil else deser.deserialize(body.getBytes))(
+        Encoders.row(schema))
+      .toDF()
+  }
+
+  /**
+   * Oracle-checked round-trip: documents → SOH-delimited body text →
+   * [[RowDeserializer]] → typed columns. The oracle is simply the original
+   * columns, so any parse drift (dropped rows, misaligned fields, bad
+   * coercion) flips the compare.
+   */
+  def deserDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val bodies = Tables.documents(spark, dir)
+      .select(concat_ws("", col("doc_id"), col("lang"), col("n_chars")).as("body"))
+    parseBodies(bodies, "body", schema, fieldDelimiter = "")
+      .orderBy(col("doc_id"))
+  }
+}

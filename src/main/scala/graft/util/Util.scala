@@ -1,0 +1,52 @@
+package graft.util
+
+/** Typed property getters over a string map
+  * (reference: legacy/common/util/RocketMQUtils.java:30-70). */
+object Props {
+  def getInt(props: Map[String, String], key: String, default: Int): Int =
+    props.get(key).map(_.trim.toInt).getOrElse(default)
+
+  def getLong(props: Map[String, String], key: String, default: Long): Long =
+    props.get(key).map(_.trim.toLong).getOrElse(default)
+
+  def getBoolean(props: Map[String, String], key: String, default: Boolean): Boolean =
+    props.get(key).map(_.trim.toBoolean).getOrElse(default)
+
+  def getString(props: Map[String, String], key: String, default: String): String =
+    props.getOrElse(key, default)
+}
+
+/** Bounded-exponential-backoff retry
+  * (reference: legacy/common/util/RetryUtil.java:30-58: 200ms initial,
+  * 5s cap, 5 attempts after the first failure). */
+object Retry {
+  val InitialBackoffMs = 200L
+  val MaxBackoffMs = 5000L
+  val MaxAttempts = 5
+
+  /** Runs `body`, retrying up to [[MaxAttempts]] times with doubling backoff.
+    * `sleep` is injectable so tests don't wait. */
+  def call[T](errorMsg: String, sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    var backoff = InitialBackoffMs
+    var retries = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Exception =>
+          if (retries >= MaxAttempts) throw new RuntimeException(e)
+          retries += 1
+      }
+      sleep(backoff)
+      backoff = math.min(backoff * 2, MaxBackoffMs)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Volatile running flag shared between a driver loop and its poll threads
+  * (reference: legacy/common/util/RunningChecker.java). */
+class RunningChecker extends Serializable {
+  @volatile private var running = false
+  def isRunning: Boolean = running
+  def setRunning(r: Boolean): Unit = running = r
+}
