@@ -24,6 +24,7 @@ object SparkEntry {
     "q10_events_sessions" -> (Relational.q10EventsSessions _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "deser_documents" -> (Deser.deserDocuments _),
+    "mq_roundtrip_events" -> (MqRoundtrip.mqRoundtripEvents _),
     "text_stats" -> (TextAnalysis.textStats _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangId _),
@@ -100,6 +101,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "deser_documents" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+    "mq_roundtrip_events" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         | CASE WHEN length(trim(text)) = 0 THEN 0

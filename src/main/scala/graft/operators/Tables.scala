@@ -14,7 +14,8 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer DIV: ns→µs on int64 (a double division here loses 1µs ulps)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -1,0 +1,82 @@
+package graft.sink
+
+import graft.source.{Message, TopicLog}
+import graft.util.Retry
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.col
+
+/** Flush discipline for the writer (reference: legacy/RocketMQSink.java:60-150:
+  * batch mode buffers and flushes on size/checkpoint; async fires per message
+  * with retries). */
+sealed trait FlushMode
+object FlushMode {
+  /** Buffer `batchSize` messages per queue, then append in one IO. */
+  final case class Batch(batchSize: Int = 32) extends FlushMode
+  /** Append each message as it arrives (per-record IO, lowest latency). */
+  case object Async extends FlushMode
+}
+
+/**
+ * Writes a DataFrame into file-backed topic logs.
+ *
+ * Queue routing: the frame is repartitioned to `numQueues` partitions and
+ * each task owns exactly one queue file — single-writer-per-queue, which is
+ * the broker's own invariant and what makes appends safe under any
+ * parallelism. At 100 TB this is one shuffle to align producers to queues,
+ * then pure sequential appends.
+ *
+ * Topic routing goes through a [[TopicSelector]] (constant or field-driven),
+ * retries through [[graft.util.Retry]] with the reference's backoff.
+ */
+object MessageQueueSink {
+
+  def write(
+      df: DataFrame,
+      rootDir: String,
+      selector: TopicSelector[Map[String, Any]],
+      converter: RowMessageConverter,
+      numQueues: Int = 8,
+      flushMode: FlushMode = FlushMode.Batch(32)): Unit = {
+    val schema = df.schema
+    val fieldNames = schema.fieldNames
+    df.repartition(numQueues).foreachPartition { (rows: Iterator[Row]) =>
+      val queueId = org.apache.spark.TaskContext.getPartitionId()
+      // queue -> (topic, buffered messages)
+      val buffers = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Message]]
+      val batchSize = flushMode match {
+        case FlushMode.Batch(n) => n
+        case FlushMode.Async => 1
+      }
+      def flush(topic: String): Unit = {
+        val buf = buffers(topic)
+        if (buf.nonEmpty) {
+          Retry.call(s"append to $topic/queue-$queueId") {
+            TopicLog.append(rootDir, topic, queueId, buf.iterator)
+          }
+          buf.clear()
+        }
+      }
+      rows.foreach { row =>
+        val asMap = fieldNames.zip(row.toSeq).toMap
+        val topic = selector.getTopic(asMap)
+        val tag = selector.getTag(asMap)
+        val m0 = converter.convert(row)
+        val m = if (m0.tag.isEmpty && tag.nonEmpty) m0.copy(tag = tag) else m0
+        val buf = buffers.getOrElseUpdate(topic, scala.collection.mutable.ArrayBuffer.empty)
+        buf += m
+        if (buf.length >= batchSize) flush(topic)
+      }
+      buffers.keys.foreach(flush)
+    }
+  }
+
+  /** Streaming sink: `df.writeStream.foreachBatch(MessageQueueSink.foreachBatch(...))`. */
+  def foreachBatch(
+      rootDir: String,
+      selector: TopicSelector[Map[String, Any]],
+      converter: RowMessageConverter,
+      numQueues: Int = 8,
+      flushMode: FlushMode = FlushMode.Batch(32)): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], _: Long) =>
+      write(batch.toDF(), rootDir, selector, converter, numQueues, flushMode)
+}

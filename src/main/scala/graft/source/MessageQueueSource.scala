@@ -1,0 +1,242 @@
+package graft.source
+
+import java.util
+
+import graft.config.{GraftOptions, StartMode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSourceV2 provider for the file-backed message queue:
+ * `spark.read.format("graft-mq")` (batch) and
+ * `spark.readStream.format("graft-mq")` (micro-batch), one input partition
+ * per queue — the Spark-first analog of the reference's split-based source
+ * (reference: source/RocketMQSource.java:1-181). Options: topic,
+ * consumerGroup, rootDir (+ tag filter, offsetResetTo/startMessageOffset/
+ * startTimeMs/endTimeMs start-stop controls — see [[graft.config.GraftOptions]]).
+ *
+ * At scale each queue is an independent append-only log, so parallelism =
+ * queue count, there is no shuffle in a scan, and offset ranges make every
+ * micro-batch deterministic and replayable.
+ */
+class MessageQueueProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mq"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MessageQueueTable.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = GraftOptions.parse(
+      scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
+    new MessageQueueTable(opts)
+  }
+}
+
+object MessageQueueTable {
+  /** Physical message columns + the reference's readable metadata columns
+    * (reference: source/table/RocketMQScanTableSource.java:135). */
+  val Schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("queue_id", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("born_ts", TimestampType, nullable = false),
+    StructField("msg_key", StringType),
+    StructField("tag", StringType),
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("body", StringType)))
+}
+
+class MessageQueueTable(opts: GraftOptions) extends Table with SupportsRead {
+  override def name(): String = s"graft-mq:${opts.topic}"
+  override def schema(): StructType = MessageQueueTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MessageQueueScan(opts)
+}
+
+class MessageQueueScan(opts: GraftOptions) extends Scan {
+  override def readSchema(): StructType = MessageQueueTable.Schema
+  override def description(): String = s"graft-mq topic=${opts.topic}"
+
+  override def toBatch: Batch = new MessageQueueBatch(opts)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MessageQueueMicroBatchStream(opts)
+}
+
+/** Batch scan: per-queue offset ranges resolved once at planning.
+  * Batch default start is earliest (a bounded scan of "latest" is empty);
+  * explicit offset/timestamp start modes are honored, endTimeMs bounds the
+  * stop offset (reference boundedness: source/RocketMQSource.java:70-90). */
+class MessageQueueBatch(opts: GraftOptions) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] =
+    MessageQueueSource.resolveSplits(opts, batchDefaultEarliest = true).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QueueReaderFactory(opts.rootDir, opts.tag)
+}
+
+class QueueReaderFactory(rootDir: String, tag: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new QueuePartitionReader(rootDir, tag, partition.asInstanceOf[QueueSplit])
+}
+
+/**
+ * Reads one queue's offset range into rows; tag filtering happens here so
+ * non-matching messages never leave the scan (reference reader poll loop:
+ * source/reader/RocketMQPartitionSplitReader.java:90-180).
+ */
+class QueuePartitionReader(rootDir: String, tagFilter: String, split: QueueSplit)
+    extends PartitionReader[InternalRow] {
+
+  private val acceptedTags: Set[String] =
+    if (tagFilter == null || tagFilter == "*" || tagFilter.isEmpty) null
+    else tagFilter.split("\\|\\|").map(_.trim).toSet
+
+  private val iter = TopicLog.readRange(
+    rootDir, split.topic, split.queueId, split.startingOffset, split.stoppingOffset)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (iter.hasNext) {
+      val (offset, m) = iter.next()
+      if (acceptedTags == null || acceptedTags.contains(m.tag)) {
+        current = toRow(offset, m)
+        return true
+      }
+    }
+    false
+  }
+
+  private def toRow(offset: Long, m: Message): InternalRow = {
+    val keys = new Array[Any](m.properties.size)
+    val vals = new Array[Any](m.properties.size)
+    var i = 0
+    m.properties.foreach { case (k, v) =>
+      keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+    }
+    InternalRow(
+      UTF8String.fromString(split.topic),
+      split.queueId,
+      offset,
+      m.bornTs * 1000L, // millis → micros
+      UTF8String.fromString(m.key),
+      UTF8String.fromString(m.tag),
+      ArrayBasedMapData(keys, vals),
+      UTF8String.fromString(m.body))
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Micro-batch offsets: queueId → next offset to read, JSON-encoded. */
+final case class QueueOffsets(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (q, o) => s""""$q":$o""" }.mkString("{", ",", "}")
+}
+
+object QueueOffsets {
+  def fromJson(json: String): QueueOffsets = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}")
+    if (body.isEmpty) QueueOffsets(Map.empty)
+    else QueueOffsets(body.split(",").iterator.map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap)
+  }
+}
+
+/**
+ * Micro-batch stream over the queue logs. Start offsets follow the
+ * configured [[StartMode]]; on restart Structured Streaming replays the
+ * checkpointed offset instead (restore-wins, matching
+ * reference: legacy/RocketMQSourceFunction.java:419-437).
+ */
+class MessageQueueMicroBatchStream(opts: GraftOptions)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def queues: Seq[Int] = TopicLog.listQueues(opts.rootDir, opts.topic)
+
+  /** End offsets frozen at Trigger.AvailableNow start, so the run is bounded
+    * even while producers keep appending. */
+  private var availableNowTarget: Option[Map[Int, Long]] = None
+
+  private def currentMax: Map[Int, Long] =
+    queues.map(q => q -> TopicLog.maxOffset(opts.rootDir, opts.topic, q)).toMap
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(currentMax)
+
+  override def initialOffset(): Offset =
+    QueueOffsets(queues.map { q =>
+      q -> OffsetStore.resolveStartOffset(opts.rootDir, opts.topic, q, opts.startMode)
+    }.toMap)
+
+  override def latestOffset(): Offset = availableNowTarget match {
+    case Some(target) => QueueOffsets(target)
+    case None => QueueOffsets(currentMax)
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = QueueOffsets(currentMax)
+
+  override def deserializeOffset(json: String): Offset = QueueOffsets.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[QueueOffsets].offsets
+    val e = end.asInstanceOf[QueueOffsets].offsets
+    e.toSeq.sortBy(_._1).flatMap { case (q, stop) =>
+      val from = s.getOrElse(q, 0L)
+      if (stop > from) Some(QueueSplit(opts.topic, MessageQueueSource.Broker, q, from, stop))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QueueReaderFactory(opts.rootDir, opts.tag)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object MessageQueueSource {
+  /** Single logical broker name for the file-backed store. */
+  val Broker = "file"
+
+  /** Resolve per-queue [start, stop) ranges for a bounded scan. */
+  def resolveSplits(opts: GraftOptions, batchDefaultEarliest: Boolean): Seq[QueueSplit] =
+    TopicLog.listQueues(opts.rootDir, opts.topic).map { q =>
+      val stop =
+        if (opts.endTimeMs >= 0) TopicLog.searchOffset(opts.rootDir, opts.topic, q, opts.endTimeMs)
+        else TopicLog.maxOffset(opts.rootDir, opts.topic, q)
+      val mode = opts.startMode match {
+        case StartMode.Latest if batchDefaultEarliest => StartMode.Earliest
+        case m => m
+      }
+      val start = OffsetStore.resolveStartOffset(opts.rootDir, opts.topic, q, mode)
+      QueueSplit(opts.topic, Broker, q, math.min(start, stop), stop)
+    }
+}

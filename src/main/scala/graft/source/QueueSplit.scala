@@ -1,0 +1,71 @@
+package graft.source
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.connector.read.InputPartition
+
+/**
+ * One (topic, broker, queue) slice of work with an offset range — the graft
+ * analog of the reference's partition split
+ * (reference: source/split/RocketMQPartitionSplit.java:1-101). Doubles as the
+ * DSv2 `InputPartition` so the planner hands it straight to readers.
+ */
+final case class QueueSplit(
+    topic: String,
+    broker: String,
+    queueId: Int,
+    startingOffset: Long,
+    stoppingOffset: Long) extends InputPartition {
+
+  def splitId: String = s"$topic-$broker-$queueId"
+
+  override def toString: String =
+    f"[Topic: $topic, Broker: $broker, Queue: $queueId, " +
+      f"StartingOffset: $startingOffset, StoppingOffset: $stoppingOffset]"
+}
+
+/**
+ * Versioned wire format for [[QueueSplit]] — DataOutputStream layout like the
+ * reference's SimpleVersionedSerializer
+ * (reference: source/split/RocketMQPartitionSplitSerializer.java:1-66).
+ */
+object QueueSplitSerializer {
+  val CurrentVersion = 0
+
+  def serialize(split: QueueSplit): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(baos)
+    out.writeUTF(split.topic)
+    out.writeUTF(split.broker)
+    out.writeInt(split.queueId)
+    out.writeLong(split.startingOffset)
+    out.writeLong(split.stoppingOffset)
+    out.flush()
+    baos.toByteArray
+  }
+
+  def deserialize(version: Int, bytes: Array[Byte]): QueueSplit = {
+    require(version == CurrentVersion, s"unknown split version: $version")
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    QueueSplit(in.readUTF(), in.readUTF(), in.readInt(), in.readLong(), in.readLong())
+  }
+}
+
+/**
+ * Deterministic split→reader assignment. Same hash-clockwise formula as the
+ * reference enumerator (reference:
+ * source/enumerator/RocketMQSourceEnumerator.java:343-350): the topic+broker
+ * hash picks a start reader, queue ids count clockwise from there, so one
+ * topic's queues spread evenly over readers regardless of the hash.
+ */
+object SplitAssigner {
+
+  def getSplitOwner(topic: String, broker: String, queueId: Int, numReaders: Int): Int = {
+    val startIndex = (((topic + "-" + broker).hashCode * 31) & 0x7FFFFFFF) % numReaders
+    (startIndex + queueId) % numReaders
+  }
+
+  /** Group splits by owning reader. */
+  def assign(splits: Seq[QueueSplit], numReaders: Int): Map[Int, Seq[QueueSplit]] =
+    splits.groupBy(s => getSplitOwner(s.topic, s.broker, s.queueId, numReaders))
+}

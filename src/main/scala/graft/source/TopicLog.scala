@@ -1,0 +1,180 @@
+package graft.source
+
+import java.io.{BufferedReader, BufferedWriter, File, FileReader, FileWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** One message in the file-backed queue log: the graft stand-in for a broker
+  * message (bornTs/key/tag/properties/body — the same fields the reference's
+  * BytesMessage + metadata carry). */
+final case class Message(
+    bornTs: Long,
+    key: String,
+    tag: String,
+    properties: Map[String, String],
+    body: String)
+
+/**
+ * File-backed topic storage: `<root>/<topic>/queue-<N>.log`, one message per
+ * line, offset = line number. Stands in for the broker so all offset/split
+ * semantics stay real (see SURVEY.md §3).
+ *
+ * Line format (tab-separated): `bornTs \t key \t tag \t k=v;k=v \t body`,
+ * with backslash/tab/newline/CR escaped inside every field, so arbitrary
+ * bodies round-trip. Append-only; one writer per queue (MQ semantics).
+ */
+object TopicLog {
+
+  val QueuePrefix = "queue-"
+  val QueueSuffix = ".log"
+
+  def queueFile(root: String, topic: String, queueId: Int): File =
+    new File(new File(root, topic), s"$QueuePrefix$queueId$QueueSuffix")
+
+  /** Queue ids present for a topic, ascending (a topic with no dir has none). */
+  def listQueues(root: String, topic: String): Seq[Int] = {
+    val dir = new File(root, topic)
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles()
+      .filter(f => f.getName.startsWith(QueuePrefix) && f.getName.endsWith(QueueSuffix))
+      .map(f => f.getName.stripPrefix(QueuePrefix).stripSuffix(QueueSuffix).toInt)
+      .sorted.toSeq
+  }
+
+  def listTopics(root: String): Seq[String] = {
+    val dir = new File(root)
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+
+  // ---- field escaping ----
+
+  private[source] def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[source] def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private[source] def formatLine(m: Message): String = {
+    val props = m.properties.toSeq.sorted
+      .map { case (k, v) => s"${escape(k)}=${escape(v)}" }.mkString(";")
+    s"${m.bornTs}\t${escape(m.key)}\t${escape(m.tag)}\t$props\t${escape(m.body)}"
+  }
+
+  private[source] def parseLine(line: String): Message = {
+    val parts = line.split("\t", 5)
+    val props =
+      if (parts.length < 4 || parts(3).isEmpty) Map.empty[String, String]
+      else parts(3).split(";").iterator.map { kv =>
+        val eq = kv.indexOf('=')
+        unescape(kv.substring(0, eq)) -> unescape(kv.substring(eq + 1))
+      }.toMap
+    Message(
+      bornTs = parts(0).toLong,
+      key = unescape(parts(1)),
+      tag = unescape(parts(2)),
+      properties = props,
+      body = if (parts.length < 5) "" else unescape(parts(4)))
+  }
+
+  // ---- IO ----
+
+  /** Append messages to a queue log (single writer per queue). */
+  def append(root: String, topic: String, queueId: Int, messages: Iterator[Message]): Long = {
+    val file = queueFile(root, topic, queueId)
+    file.getParentFile.mkdirs()
+    val out = new BufferedWriter(new FileWriter(file, StandardCharsets.UTF_8, true))
+    var n = 0L
+    try messages.foreach { m => out.write(formatLine(m)); out.newLine(); n += 1 }
+    finally out.close()
+    n
+  }
+
+  /** Earliest available offset (our logs never truncate). */
+  def minOffset(root: String, topic: String, queueId: Int): Long = 0L
+
+  /** One past the last offset = line count. */
+  def maxOffset(root: String, topic: String, queueId: Int): Long = {
+    val file = queueFile(root, topic, queueId)
+    if (!file.exists()) return 0L
+    val in = new BufferedReader(new FileReader(file, StandardCharsets.UTF_8))
+    try { var n = 0L; while (in.readLine() != null) n += 1; n }
+    finally in.close()
+  }
+
+  /** First offset whose bornTs >= ts; maxOffset if none (logs are
+    * time-ordered per queue, like broker commit logs). */
+  def searchOffset(root: String, topic: String, queueId: Int, ts: Long): Long = {
+    val file = queueFile(root, topic, queueId)
+    if (!file.exists()) return 0L
+    val in = new BufferedReader(new FileReader(file, StandardCharsets.UTF_8))
+    try {
+      var offset = 0L
+      var line = in.readLine()
+      while (line != null) {
+        if (line.substring(0, line.indexOf('\t')).toLong >= ts) return offset
+        offset += 1
+        line = in.readLine()
+      }
+      offset
+    } finally in.close()
+  }
+
+  /** Read messages with offsets in [startOffset, stopOffset). */
+  def readRange(root: String, topic: String, queueId: Int,
+                startOffset: Long, stopOffset: Long): Iterator[(Long, Message)] = {
+    val file = queueFile(root, topic, queueId)
+    if (!file.exists() || startOffset >= stopOffset) return Iterator.empty
+    val in = new BufferedReader(new FileReader(file, StandardCharsets.UTF_8))
+    var offset = -1L
+    new Iterator[(Long, Message)] {
+      private var nextLine: String = advance()
+      private def advance(): String = {
+        var line = in.readLine()
+        offset += 1
+        while (line != null && offset < startOffset) { line = in.readLine(); offset += 1 }
+        if (line == null || offset >= stopOffset) { in.close(); null } else line
+      }
+      override def hasNext: Boolean = nextLine != null
+      override def next(): (Long, Message) = {
+        val out = (offset, parseLine(nextLine))
+        nextLine = advance()
+        out
+      }
+    }
+  }
+
+  /** Recursively delete a topic dir (test/bench helper). */
+  def deleteTopic(root: String, topic: String): Unit = {
+    val dir = Paths.get(root, topic)
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.source.TopicLog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MessageQueueSinkSpec extends SparkSpec {
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-sink").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("category", StringType)))
+
+  private def sampleDf(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"name$i", if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "name", "category")
+  }
+
+  test("write routes every row to one topic, numQueues queue files") {
+    val root = freshRoot()
+    val conv = new RowMessageConverter(schema, fieldDelimiter = ",", keyColumns = Seq("id"))
+    MessageQueueSink.write(sampleDf(100), root,
+      new DefaultTopicSelector[Map[String, Any]]("out"), conv, numQueues = 4)
+    assert(TopicLog.listQueues(root, "out") === Seq(0, 1, 2, 3))
+    val total = (0 until 4).map(q => TopicLog.maxOffset(root, "out", q)).sum
+    assert(total === 100)
+    val (_, m) = TopicLog.readRange(root, "out", 0, 0, 1).next()
+    assert(m.body.split(",").length === 2) // id excluded (key), name+category remain
+  }
+
+  test("round-trip: sink then source returns the same rows") {
+    val root = freshRoot()
+    val conv = new RowMessageConverter(schema, fieldDelimiter = "",
+      keyColumns = Seq("id"), writeKeysToBody = true)
+    MessageQueueSink.write(sampleDf(50), root,
+      new DefaultTopicSelector[Map[String, Any]]("rt"), conv, numQueues = 3)
+    val back = spark.read.format("graft-mq")
+      .option("topic", "rt").option("consumerGroup", "g").option("rootDir", root)
+      .load()
+      .select(split(col("body"), "").as("f"))
+      .select(
+        element_at(col("f"), 1).cast("long").as("id"),
+        element_at(col("f"), 2).as("name"),
+        element_at(col("f"), 3).as("category"))
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = sampleDf(50).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want)
+  }
+
+  test("SimpleTopicSelector splits rows across topics by field value") {
+    val root = freshRoot()
+    val conv = new RowMessageConverter(schema, fieldDelimiter = ",")
+    MessageQueueSink.write(sampleDf(20), root,
+      new SimpleTopicSelector("category", "default", "category", ""), conv, numQueues = 2)
+    val aCount = TopicLog.listQueues(root, "A").map(q => TopicLog.maxOffset(root, "A", q)).sum
+    val bCount = TopicLog.listQueues(root, "B").map(q => TopicLog.maxOffset(root, "B", q)).sum
+    assert(aCount === 10 && bCount === 10)
+  }
+
+  test("dynamic tag column sets tag and can be excluded from body") {
+    val conv = new RowMessageConverter(schema, fieldDelimiter = ",",
+      isDynamicTag = true, dynamicTagColumn = "category", dynamicTagIncluded = false)
+    val m = conv.convert(Row(1L, "n", "A"), bornTs = 5L)
+    assert(m.tag === "A")
+    assert(m.body === "1,n")
+    val convIncl = new RowMessageConverter(schema, fieldDelimiter = ",",
+      isDynamicTag = true, dynamicTagColumn = "category")
+    assert(convIncl.convert(Row(1L, "n", "A"), 5L).body === "1,n,A")
+  }
+
+  test("key columns join with comma; property columns move to properties") {
+    val conv = new RowMessageConverter(schema, fieldDelimiter = "|",
+      keyColumns = Seq("id", "name"), propertyColumns = Seq("category"))
+    val m = conv.convert(Row(7L, "x", "B"), bornTs = 1L)
+    assert(m.key === "7,x")
+    assert(m.properties === Map("category" -> "B"))
+    assert(m.body === "") // id,name excluded as keys; category as property
+  }
+
+  test("bornTs column drives message time") {
+    val s2 = StructType(schema.fields :+ StructField("ts", TimestampType))
+    val conv = new RowMessageConverter(s2, fieldDelimiter = ",", bornTsColumn = "ts")
+    val m = conv.convert(Row(1L, "a", "A", new java.sql.Timestamp(123456L)))
+    assert(m.bornTs === 123456L)
+  }
+
+  test("unknown key column fails fast") {
+    assertThrows[IllegalArgumentException] {
+      new RowMessageConverter(schema, keyColumns = Seq("nope"))
+    }
+  }
+
+  test("async flush mode appends per message (same data, more IO)") {
+    val root = freshRoot()
+    val conv = new RowMessageConverter(schema, fieldDelimiter = ",")
+    MessageQueueSink.write(sampleDf(10), root,
+      new DefaultTopicSelector[Map[String, Any]]("async"), conv,
+      numQueues = 2, flushMode = FlushMode.Async)
+    val total = (0 until 2).map(q => TopicLog.maxOffset(root, "async", q)).sum
+    assert(total === 10)
+  }
+}

@@ -1,0 +1,173 @@
+package graft.source
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.config.StartMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class MessageQueueSourceSpec extends SparkSpec {
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-mq").toString
+
+  private def seed(root: String, topic: String, queues: Int, perQueue: Int): Unit =
+    (0 until queues).foreach { q =>
+      TopicLog.append(root, topic, q,
+        (0 until perQueue).iterator.map { i =>
+          Message(1000L * (i + 1), s"k$q-$i", if (i % 2 == 0) "even" else "odd",
+            Map("p" -> s"$q"), s"body-$q-$i")
+        })
+    }
+
+  test("batch read sees every message with metadata columns") {
+    val root = freshRoot()
+    seed(root, "t1", queues = 3, perQueue = 10)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "t1").option("consumerGroup", "g").option("rootDir", root)
+      .load()
+    assert(df.columns.toSeq === Seq(
+      "topic", "queue_id", "offset", "born_ts", "msg_key", "tag", "properties", "body"))
+    assert(df.count() === 30)
+    val row = df.filter(col("queue_id") === 1 && col("offset") === 2).collect().head
+    assert(row.getAs[String]("body") === "body-1-2")
+    assert(row.getAs[String]("msg_key") === "k1-2")
+    assert(row.getAs[java.sql.Timestamp]("born_ts").getTime === 3000L)
+    assert(row.getAs[Map[String, String]]("properties") === Map("p" -> "1"))
+  }
+
+  test("one input partition per queue") {
+    val root = freshRoot()
+    seed(root, "t2", queues = 4, perQueue = 2)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "t2").option("consumerGroup", "g").option("rootDir", root)
+      .load()
+    assert(df.rdd.getNumPartitions === 4)
+  }
+
+  test("tag filter drops non-matching messages at the reader") {
+    val root = freshRoot()
+    seed(root, "t3", queues = 2, perQueue = 10)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "t3").option("consumerGroup", "g").option("rootDir", root)
+      .option("tag", "even").load()
+    assert(df.count() === 10)
+    assert(df.select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("even"))
+    val both = spark.read.format("graft-mq")
+      .option("topic", "t3").option("consumerGroup", "g").option("rootDir", root)
+      .option("tag", "even||odd").load()
+    assert(both.count() === 20)
+  }
+
+  test("startMessageOffset skips to the offset in every queue") {
+    val root = freshRoot()
+    seed(root, "t4", queues = 2, perQueue = 5)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "t4").option("consumerGroup", "g").option("rootDir", root)
+      .option("startMessageOffset", "3").load()
+    assert(df.count() === 4) // 2 queues × offsets {3,4}
+    assert(df.agg(min("offset")).collect().head.getLong(0) === 3)
+  }
+
+  test("startTimeMs starts at first message with born_ts >= ts") {
+    val root = freshRoot()
+    seed(root, "t5", queues = 1, perQueue = 10) // bornTs 1000..10000
+    val df = spark.read.format("graft-mq")
+      .option("topic", "t5").option("consumerGroup", "g").option("rootDir", root)
+      .option("startTimeMs", "7000").load()
+    assert(df.count() === 4) // 7000,8000,9000,10000
+  }
+
+  test("endTimeMs bounds the scan") {
+    val root = freshRoot()
+    seed(root, "t6", queues = 1, perQueue = 10)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "t6").option("consumerGroup", "g").option("rootDir", root)
+      .option("endTimeMs", "5000").load()
+    assert(df.count() === 4) // bornTs 1000..4000 (stop offset = first >= 5000)
+  }
+
+  test("missing required option fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-mq").option("topic", "x").load()
+    }
+    assert(e.getMessage.contains("consumergroup"))
+  }
+
+  test("OffsetStore: restored offsets win over start mode") {
+    val root = freshRoot()
+    seed(root, "t7", queues = 2, perQueue = 10)
+    val store = new OffsetStore(root, "t7", restoredOffsets = Map(0 -> 7L))
+    assert(store.initialOffset(0, StartMode.Earliest) === 7L) // restored wins
+    assert(store.initialOffset(1, StartMode.Earliest) === 0L) // no restore → mode
+    store.update(1, 4L)
+    assert(store.snapshot === Map(0 -> 7L, 1 -> 4L))
+  }
+
+  test("OffsetStore start modes resolve like the reference") {
+    val root = freshRoot()
+    seed(root, "t8", queues = 1, perQueue = 10)
+    assert(OffsetStore.resolveStartOffset(root, "t8", 0, StartMode.Earliest) === 0L)
+    assert(OffsetStore.resolveStartOffset(root, "t8", 0, StartMode.Latest) === 10L)
+    assert(OffsetStore.resolveStartOffset(root, "t8", 0, StartMode.Timestamp(5000)) === 4L)
+    assert(OffsetStore.resolveStartOffset(root, "t8", 0, StartMode.Offset(3)) === 3L)
+    assert(OffsetStore.resolveStartOffset(root, "t8", 0, StartMode.Offset(99)) === 10L)
+  }
+
+  test("QueueOffsets JSON round-trips") {
+    val o = QueueOffsets(Map(0 -> 5L, 3 -> 12L))
+    assert(o.json() === """{"0":5,"3":12}""")
+    assert(QueueOffsets.fromJson(o.json()) === o)
+    assert(QueueOffsets.fromJson("{}") === QueueOffsets(Map.empty))
+  }
+
+  test("streaming micro-batch consumes appended messages incrementally") {
+    val root = freshRoot()
+    seed(root, "ts1", queues = 2, perQueue = 5)
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-stream-out").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", "ts1").option("consumerGroup", "g").option("rootDir", root)
+        .option("offsetResetTo", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 10)
+
+    // append more, restart from the same checkpoint: only the delta arrives
+    (0 until 2).foreach { qid =>
+      TopicLog.append(root, "ts1", qid, Iterator(Message(99000L, "late", "t", Map.empty, "late")))
+    }
+    runOnce()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === 12) // 10 originals + 2 new, no re-read
+    assert(all.filter(col("body") === "late").count() === 2)
+  }
+
+  test("streaming with offsetResetTo=latest sees only new messages") {
+    val root = freshRoot()
+    seed(root, "ts2", queues = 1, perQueue = 5)
+    val checkpoint = Files.createTempDirectory("graft-ckpt2").toString
+    val outName = "mq_latest_" + System.nanoTime()
+    // initialOffset resolves at first start: latest == 5, so the old 5 are skipped
+    TopicLog.append(root, "ts2", 0, Iterator(Message(50000L, "new", "t", Map.empty, "fresh")))
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", "ts2").option("consumerGroup", "g").option("rootDir", root)
+      .load() // default offsetResetTo=latest
+      .writeStream.format("memory").queryName(outName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // latest-at-plan-time includes the appended message already → 0 rows
+    assert(spark.table(outName).count() === 0)
+  }
+}
