@@ -30,6 +30,13 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangId _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "ann_topk" -> (Similarity.annTopK _),
+    // rows-only (not SQL-expressible in the oracle): LSH/banding internals
+    // are engine-specific, so the driver records row-count checks only.
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
+    "ann_lsh" -> (Similarity.annLsh _),
+    "embed_neardup" -> (Similarity.embedNearDup _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same column names + ordering). */

@@ -9,7 +9,16 @@ import org.apache.spark.sql.functions._
  * Exact dedup is a hash-groupBy (map-side partial agg, single shuffle on the
  * content hash). Near-dup variants (MinHash-LSH, SimHash, n-gram Jaccard)
  * generate candidates via band/bucket equi-joins — never an all-pairs cross
- * join — so they scale with duplicate density, not corpus size squared.
+ * join — so cost scales with duplicate density, not corpus size squared:
+ *
+ *  - MinHash: one explode + one groupBy builds all signatures columnarly;
+ *    banding turns "similar" into "equal on some band", a shuffle-join key.
+ *  - SimHash: 64 conditional sums per doc, band-split for Hamming<=3 recall.
+ *  - n-gram Jaccard: inverted-index join with a document-frequency cap so a
+ *    stopword shingle can never create a quadratic bucket.
+ *
+ * All hash coefficients derive from a fixed seed — results are deterministic
+ * across runs and cluster sizes.
  */
 object Dedup {
 
@@ -20,4 +29,187 @@ object Dedup {
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     exact(Tables.documents(spark, dir)).orderBy(col("text_hash"))
+
+  // ---- shingling ----
+
+  /** Long hashes of the distinct whitespace-normalized lowercase character
+    * n-gram shingles of `text` — pure Column expressions, stays in codegen. */
+  def shingleHashes(text: Column, n: Int = 4): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = transform(
+      sequence(lit(0), greatest(length(norm) - n, lit(0))),
+      i => norm.substr(i + 1, lit(n)))
+    array_distinct(transform(filter(grams, g => length(g) === n), g => xxhash64(g)))
+  }
+
+  // ---- MinHash ----
+
+  /** Modulus keeping every a*x+b inside a long under ANSI arithmetic:
+    * a,x < 2^31 so the product stays under 2^62. */
+  private val MinHashPrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic multipliers/offsets (mod p) for the signature permutations. */
+  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    (0 until numHashes).map { _ =>
+      val a = math.floorMod(next(), MinHashPrime - 1) + 1 // [1, p-1]
+      val b = math.floorMod(next(), MinHashPrime) // [0, p-1]
+      (a, b)
+    }
+  }
+
+  /**
+   * MinHash signatures: (idCol, sig array<long>[numHashes]).
+   * One explode + one groupBy(id) with numHashes partial-aggregated mins —
+   * signature construction is a single shuffle regardless of corpus size.
+   */
+  def minHashSignatures(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 64, shingleN: Int = 4, seed: Long = 42L): DataFrame = {
+    val cs = coeffs(numHashes, seed)
+    val exploded = docs
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleN)).as("sh"))
+      .withColumn("x", pmod(col("sh"), lit(MinHashPrime)))
+    val mins = cs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** (idCol, band, band_hash): equal band_hash within a band = LSH candidate. */
+  def lshBands(signatures: DataFrame, idCol: String = "doc_id",
+               numBands: Int = 16): DataFrame = {
+    val rowsPerBand = 64 / numBands
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /**
+   * Candidate near-dup pairs with signature-estimated Jaccard >= threshold.
+   * Candidates come from a band-bucket self-equi-join (shuffle on
+   * (band, band_hash)); each distinct pair is verified once against the two
+   * signatures.
+   */
+  def minHashNearDups(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 64, numBands: Int = 16, shingleN: Int = 4,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
+    val bands = lshBands(sigs, idCol, numBands)
+    val left = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
+    val right = bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+    val candidates = left.join(right, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minHashNearDups(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---- SimHash ----
+
+  /**
+   * 64-bit SimHash per document: sign of the per-bit weighted token-hash sum.
+   * Columnar: explode token hashes, 64 conditional sums in one groupBy.
+   */
+  def simHashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    tokens.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /**
+   * Near-dup pairs with Hamming distance <= maxHamming (default 3).
+   * The 64-bit hash splits into 4 16-bit bands; by pigeonhole any pair within
+   * Hamming 3 agrees exactly on >= 1 band, so a band equi-join finds all of
+   * them; bit_count(xor) verifies.
+   */
+  def simHashNearDups(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = simHashes(docs, textCol, idCol).cache()
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_bits"))
+    }
+    val banded = hashes
+      .select(col(idCol), col("simhash"), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.band_bits"))
+    val left = banded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("band_bits"))
+    val right = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("band_bits"))
+    left.join(right, Seq("band", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simHashNearDups(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---- exact n-gram Jaccard ----
+
+  /**
+   * Exact shingle-set Jaccard for every pair sharing at least one shingle,
+   * via an inverted-index join. `maxDf` drops shingles present in more than
+   * that fraction-free count of docs, bounding bucket fan-out (the classic
+   * posting-list cap — at 100 TB a ubiquitous shingle would otherwise create
+   * a quadratic join).
+   */
+  def ngramJaccard(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
+      .withColumn("n_sh", size(col("shs")))
+    val inv = sh.select(col(idCol), col("n_sh"), explode(col("shs")).as("s"))
+    val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val pruned = inv.join(rare.select("s"), "s")
+    val a = pruned.select(col("s"), col(idCol).as("doc_a"), col("n_sh").as("n_a"))
+    val b = pruned.select(col("s"), col(idCol).as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, "s").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 }

@@ -1,16 +1,21 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Embedding similarity search over `Array[Float]` columns.
  *
  * `bruteForceTopK` is the exact baseline: the (small) probe set is broadcast,
- * so the big side streams through a broadcast nested-loop join — one scan, no
- * shuffle, no cartesian materialization. The LSH variant (random-hyperplane
- * bucketing) is the 100 TB scale path: candidates come from a bucket
- * equi-join, so cost is per-bucket, not all-pairs.
+ * so the big side streams through a broadcast join — one scan, no shuffle of
+ * the corpus, no cartesian materialization.
+ *
+ * `CosineLSH` (random-hyperplane signatures) is the 100 TB scale path:
+ * vectors that share a bucket in any of `numTables` tables become join
+ * candidates, so cost is (bucket density × tables), not corpus².
+ * Hyperplanes are derived from a fixed seed and inlined as literal arrays —
+ * broadcast into codegen, no side table.
  */
 object Similarity {
 
@@ -32,7 +37,6 @@ object Similarity {
    *               it is broadcast to every task.
    */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val joined = corpus
       .join(broadcast(probes), col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
@@ -51,5 +55,109 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     bruteForceTopK(emb, probes, 10)
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  // ---- random-hyperplane LSH ----
+
+  /** Deterministic pseudo-gaussian hyperplanes (sum of 4 uniforms, seeded). */
+  private[operators] def hyperplanes(
+      numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var state = seed
+    def nextUniform(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(numPlanes)(Array.fill(dim)(
+      nextUniform() + nextUniform() + nextUniform() + nextUniform()))
+  }
+
+  /** Sign-pattern bucket id of `emb` for one table's planes. */
+  private def bucketKey(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(emb, plane) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** (srcCols*, table, bucket) — one row per vector per table. */
+  def lshBuckets(
+      df: DataFrame, embCol: String, dim: Int,
+      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        bucketKey(col(embCol), hyperplanes(bitsPerTable, dim, seed + t * 1000L)).as("bucket"))
+    }
+    df.select(col("*"), explode(array(tables: _*)).as("tb"))
+      .select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
+  }
+
+  /**
+   * Approximate top-k: candidates = corpus vectors sharing any (table,
+   * bucket) with the probe; exact cosine on candidates only. Probes are
+   * broadcast — the corpus streams once through the bucket equi-join.
+   */
+  def lshTopK(
+      corpus: DataFrame, probes: DataFrame, dim: Int, k: Int,
+      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+    val corpusBuckets = lshBuckets(corpus, "emb", dim, numTables, bitsPerTable, seed)
+    val probeBuckets = lshBuckets(probes, "q_emb", dim, numTables, bitsPerTable, seed)
+    val candidates = corpusBuckets
+      .join(broadcast(probeBuckets), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "q_emb", "vec_id", "emb").distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Query entry (rows-only): LSH top-10 for the first 5 vectors. The test
+    * embeddings have weak neighbors (cosine ≈ 0.25-0.4, i.e. angles near
+    * 70°), so recall needs few bits and many tables; with strong near-dup
+    * similarity (0.9+) the right trade is the reverse — more bits, fewer
+    * tables, smaller buckets. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    lshTopK(emb, probes, dim, 10, numTables = 16, bitsPerTable = 4)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs: bucket self-join (same table,
+   * same bucket), exact cosine verify, distinct pairs. No cross join — the
+   * shuffle key is the bucket id.
+   */
+  def embeddingNearDups(
+      corpus: DataFrame, dim: Int, threshold: Double = 0.95,
+      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+    val buckets = lshBuckets(corpus, "emb", dim, numTables, bitsPerTable, seed)
+    val a = buckets.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("table"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "emb_a", "vec_b", "emb_b").distinct()
+      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** Query entry (rows-only): near-pairs at cosine >= 0.3 (the synthetic
+    * embeddings top out near 0.4, so 0.3 exercises the verify path with a
+    * non-empty result). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    embeddingNearDups(emb, dim, threshold = 0.3, numTables = 16, bitsPerTable = 4)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 }

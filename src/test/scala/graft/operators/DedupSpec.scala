@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val planted: DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+    Seq(
+      (0L, base),
+      (1L, base), // exact duplicate of 0
+      (2L, base.replace("lazy", "sleepy")), // near-dup of 0
+      (3L, "completely different text about spark clusters and distributed joins at scale"),
+      (4L, base.replace("quick", "rapid").replace("dog", "hound")), // near-dup of 0
+      (5L, "another unrelated document mentioning neither foxes nor dogs at all today")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val r = Dedup.exact(planted).collect()
+    assert(r.length === 5) // 6 docs, one exact pair
+    val dupRow = r.find(_.getLong(2) === 2L).get
+    assert(dupRow.getLong(1) === 0L) // keep_id = min(0,1)
+  }
+
+  test("shingleHashes: deterministic, distinct, n-char windows") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "ab")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"), Dedup.shingleHashes(col("text"), 4).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1) === rows(2)) // deterministic
+    assert(rows(1).length === 3) // abcd bcde cdef
+    assert(rows(3).isEmpty) // shorter than n
+  }
+
+  test("minhash signatures have numHashes entries and equal text gives equal sig") {
+    val sigs = Dedup.minHashSignatures(planted, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length === 64))
+    assert(sigs(0L) === sigs(1L))
+  }
+
+  test("minhash LSH finds planted exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashNearDups(planted, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact pair always survives
+    assert(pairs.exists { case (a, b) => Set(a, b).intersect(Set(2L, 4L)).nonEmpty }) // near-dups found
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L || a == 5L || b == 5L })
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val r = Dedup.minHashNearDups(planted, threshold = 0.5)
+      .filter(col("doc_a") === 0 && col("doc_b") === 1).collect()
+    assert(r.length === 1 && r.head.getDouble(2) === 1.0)
+  }
+
+  test("minhash plan contains no cartesian product or broadcast nested loop") {
+    val plan = Dedup.minHashNearDups(planted).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"bnl join in plan:\n$plan")
+  }
+
+  test("simhash: identical docs get identical hashes; near-dups are close in Hamming") {
+    val hashes = Dedup.simHashes(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(0L) === hashes(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(0L), hashes(2L)) < hamming(hashes(0L), hashes(3L)))
+  }
+
+  test("simhash near-dups include the exact pair at hamming 0") {
+    val pairs = Dedup.simHashNearDups(planted, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("ngram jaccard: exact pair scores 1.0; unrelated pairs filtered") {
+    val pairs = Dedup.ngramJaccard(planted, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L))) // near-dup above threshold
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("ngram jaccard maxDf cap drops ubiquitous shingles from the index") {
+    import spark.implicits._
+    // 10 docs all sharing one phrase; pair (10,11) additionally near-identical
+    val docs = ((0 until 10).map(i => (i.toLong, s"common shared phrase here unique$i")) ++
+      Seq((10L, "zz yy xx ww vv uu tt"), (11L, "zz yy xx ww vv uu ss"))).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(docs, threshold = 0.3, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the shared-phrase shingles exceed maxDf, so those pairs vanish…
+    assert(!capped.exists { case (a, b) => a < 10 && b < 10 })
+    // …but the genuinely-similar rare pair survives
+    assert(capped.contains((10L, 11L)))
+  }
+
+  test("operators run on the real documents table and find the planted near-dups") {
+    val pairs = Dedup.minHashNearDups(Tables.documents(spark, sfDir), threshold = 0.5).count()
+    assert(pairs > 0)
+  }
+}

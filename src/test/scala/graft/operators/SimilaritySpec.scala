@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embeddings: DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+
+  private lazy val dim: Int =
+    Tables.embeddings(spark, sfDir).select(size(col("embedding"))).head().getInt(0)
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val sim = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+    val ortho = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
+    assert(ortho.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) === 0.0)
+  }
+
+  test("brute force top-k returns k neighbors per probe, sorted by similarity") {
+    val probes = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val r = Similarity.bruteForceTopK(embeddings, probes, 5)
+      .orderBy(col("query_id"), col("sim").desc).collect()
+    assert(r.groupBy(_.getLong(0)).forall(_._2.length === 5))
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sims = rows.map(_.getDouble(2))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+      rows.foreach(row => assert(row.getLong(1) !== row.getLong(0)))
+    }
+  }
+
+  test("brute force plan broadcasts probes — no shuffle of the corpus, no cartesian") {
+    val probes = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val plan = Similarity.bruteForceTopK(embeddings, probes, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"no broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("LSH buckets are deterministic and bounded by bits") {
+    val b = Similarity.lshBuckets(embeddings.limit(50), "emb", dim,
+      numTables = 4, bitsPerTable = 8)
+    val rows = b.select("vec_id", "table", "bucket").collect()
+    assert(rows.length === 200) // 50 vectors × 4 tables
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 256))
+    val again = Similarity.lshBuckets(embeddings.limit(50), "emb", dim,
+      numTables = 4, bitsPerTable = 8).select("vec_id", "table", "bucket").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("LSH top-k achieves high recall against brute force") {
+    val probes = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(embeddings, probes, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embeddings, probes, dim, 10,
+      numTables = 16, bitsPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("embedding near-dup pairs are symmetric-free, above threshold, verified") {
+    val pairs = Similarity.embeddingNearDups(embeddings, dim, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    pairs.foreach { case ((a, b), sim) =>
+      assert(a < b)
+      assert(sim >= 0.9)
+    }
+  }
+
+  test("LSH and near-dup plans contain no cartesian product") {
+    val probes = embeddings.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val p1 = Similarity.lshTopK(embeddings, probes, dim, 5)
+      .queryExecution.executedPlan.toString
+    val p2 = Similarity.embeddingNearDups(embeddings, dim)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"))
+  }
+}
