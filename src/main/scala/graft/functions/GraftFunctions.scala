@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the text-hash kernels. Each evaluates one
+ * flat JVM loop per row ([[TextHashes]]); CodegenFallback costs a single
+ * virtual call per row, which is noise next to the per-row O(len×hashes)
+ * work — the win over built-in higher-order functions is avoiding thousands
+ * of interpreted per-element lambda evaluations.
+ */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHashes.shingleHashesSorted(input.asInstanceOf[UTF8String].toString, n))
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sig = TextHashes.minHashSig(
+      input.asInstanceOf[UTF8String].toString, shingleN, numHashes, seed)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sortedIntersectSize(
+      a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override def prettyName: String = "graft_sorted_intersect_size"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Registration: `GraftFunctions.register(spark)` for an existing session, or
+ * `spark.sql.extensions=graft.functions.GraftExtensions` at session build —
+ * the SparkSessionExtensions path the reference's table factories occupy in
+ * Flink's SPI (reference: source/table/RocketMQDynamicTableSourceFactory.java).
+ * SQL: graft_shingle_hashes(text, n), graft_minhash_sig(text, n, k, seed),
+ * graft_sorted_intersect_size(a, b).
+ */
+object GraftFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.{ColumnShim => ExpressionUtils}
+
+  // ---- Column-level API (no registration needed) ----
+
+  def shingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashesExpr(ExpressionUtils.expression(text), n))
+
+  def minHashSig(text: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      MinHashSigExpr(ExpressionUtils.expression(text), shingleN, numHashes, seed))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectSizeExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  // ---- SQL registration ----
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val registry: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashesExpr(args(0), intLit(args(1), "n"))),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSigExpr(args(0), intLit(args(1), "shingleN"),
+        intLit(args(2), "numHashes"), intLit(args(3), "seed").toLong)),
+    ("graft_sorted_intersect_size",
+      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "graft_sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSizeExpr(args(0), args(1))))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}

@@ -32,52 +32,31 @@ object Dedup {
 
   // ---- shingling ----
 
-  /** Long hashes of the distinct whitespace-normalized lowercase character
-    * n-gram shingles of `text` — pure Column expressions, stays in codegen. */
-  def shingleHashes(text: Column, n: Int = 4): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val grams = transform(
-      sequence(lit(0), greatest(length(norm) - n, lit(0))),
-      i => norm.substr(i + 1, lit(n)))
-    array_distinct(transform(filter(grams, g => length(g) === n), g => xxhash64(g)))
-  }
+  /** Sorted distinct hashes of the whitespace-normalized lowercase character
+    * n-gram shingles of `text` — a custom Catalyst expression running one
+    * flat JVM loop per row ([[graft.functions.TextHashes]]); the built-in
+    * higher-order-function formulation costs thousands of interpreted
+    * per-element lambda calls per row. */
+  def shingleHashes(text: Column, n: Int = 4): Column =
+    graft.functions.GraftFunctions.shingleHashes(text, n)
 
   // ---- MinHash ----
 
-  /** Modulus keeping every a*x+b inside a long under ANSI arithmetic:
-    * a,x < 2^31 so the product stays under 2^62. */
-  private val MinHashPrime = 2147483647L // 2^31 - 1
-
-  /** Deterministic multipliers/offsets (mod p) for the signature permutations. */
-  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    var state = seed
-    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
-    (0 until numHashes).map { _ =>
-      val a = math.floorMod(next(), MinHashPrime - 1) + 1 // [1, p-1]
-      val b = math.floorMod(next(), MinHashPrime) // [0, p-1]
-      (a, b)
-    }
-  }
-
   /**
    * MinHash signatures: (idCol, sig array<long>[numHashes]).
-   * One explode + one groupBy(id) with numHashes partial-aggregated mins —
-   * signature construction is a single shuffle regardless of corpus size.
+   * One custom-expression evaluation per row — the whole signature is built
+   * inside the scan stage with ZERO shuffle (an explode+groupBy formulation
+   * moves |docs|×|shingles| rows through an exchange for nothing, and
+   * built-in higher-order functions interpret ~numHashes×shingles lambda
+   * calls per row).
    */
   def minHashSignatures(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      numHashes: Int = 64, shingleN: Int = 4, seed: Long = 42L): DataFrame = {
-    val cs = coeffs(numHashes, seed)
-    val exploded = docs
-      .select(col(idCol), explode(shingleHashes(col(textCol), shingleN)).as("sh"))
-      .withColumn("x", pmod(col("sh"), lit(MinHashPrime)))
-    val mins = cs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("x") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      numHashes: Int = 64, shingleN: Int = 4, seed: Long = 42L): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.GraftFunctions.minHashSig(col(textCol), shingleN, numHashes, seed).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** (idCol, band, band_hash): equal band_hash within a band = LSH candidate. */
   def lshBands(signatures: DataFrame, idCol: String = "doc_id",
@@ -181,15 +160,49 @@ object Dedup {
   // ---- exact n-gram Jaccard ----
 
   /**
-   * Exact shingle-set Jaccard for every pair sharing at least one shingle,
-   * via an inverted-index join. `maxDf` drops shingles present in more than
-   * that fraction-free count of docs, bounding bucket fan-out (the classic
-   * posting-list cap — at 100 TB a ubiquitous shingle would otherwise create
-   * a quadratic join).
+   * Exact shingle-set Jaccard, verified only on MinHash-LSH candidate pairs:
+   * banding proposes candidates (equi-join, never all-pairs), then each
+   * distinct pair gets one exact `array_intersect` over the two shingle
+   * sets. This is the SURVEY §2c design — at 100 TB the exact verify cost
+   * scales with the number of candidate pairs, which banding keeps
+   * proportional to the true duplicate density.
    */
   def ngramJaccard(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+      shingleN: Int = 4, threshold: Double = 0.5,
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+    val sh = docs
+      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
+    val bands = lshBands(sigs, idCol, numBands)
+    val candidates = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
+      .join(bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    candidates
+      .join(sh.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("common",
+        graft.functions.GraftFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * Inverted-index variant (no MinHash): exact Jaccard for every pair
+   * sharing a shingle rarer than `maxDf`. The df cap is load-bearing — char
+   * n-grams are heavy-tailed, and a shingle with df=d creates d² pairs.
+   * Keep maxDf small (default 50) or use the LSH-candidates
+   * [[ngramJaccard]] for big corpora.
+   */
+  def ngramJaccardInverted(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val sh = docs
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .withColumn("n_sh", size(col("shs")))

@@ -98,14 +98,21 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, dim: Int, k: Int,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
-    val corpusBuckets = lshBuckets(corpus, "emb", dim, numTables, bitsPerTable, seed)
+    val corpusBuckets = lshBuckets(corpus.select("vec_id", "emb"), "emb",
+      dim, numTables, bitsPerTable, seed)
+      .select("vec_id", "table", "bucket")
     val probeBuckets = lshBuckets(probes, "q_emb", dim, numTables, bitsPerTable, seed)
+      .select("query_id", "table", "bucket")
+    // candidate ids only through the bucket join; vectors re-attach once per
+    // distinct candidate (corpus by equi-join, probes by broadcast).
     val candidates = corpusBuckets
       .join(broadcast(probeBuckets), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "q_emb", "vec_id", "emb").distinct()
+      .select("query_id", "vec_id").distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     candidates
+      .join(corpus.select("vec_id", "emb"), "vec_id")
+      .join(broadcast(probes), "query_id")
       .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -137,13 +144,18 @@ object Similarity {
       corpus: DataFrame, dim: Int, threshold: Double = 0.95,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
     val buckets = lshBuckets(corpus, "emb", dim, numTables, bitsPerTable, seed)
-    val a = buckets.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
-      col("table"), col("bucket"))
-    val b = buckets.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
-      col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+      .select(col("vec_id"), col("table"), col("bucket"))
+    // candidate ids first (cheap distinct on two longs), embeddings joined
+    // back once per surviving pair — never shuffle vectors through the
+    // bucket join or deduplicate on array columns.
+    val candidates = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "emb_a", "vec_b", "emb_b").distinct()
+      .select("vec_a", "vec_b").distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
       .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")

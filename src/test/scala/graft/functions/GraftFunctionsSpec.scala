@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("normalize lowercases and collapses whitespace") {
+    assert(TextHashes.normalize("  Hello   World\t!\n") === "hello world !")
+    assert(TextHashes.normalize("") === "")
+    assert(TextHashes.normalize("   ") === "")
+  }
+
+  test("shingleHashesSorted: distinct, sorted, windows of n") {
+    val h = TextHashes.shingleHashesSorted("abcdef", 4) // abcd bcde cdef
+    assert(h.length === 3)
+    assert(h.sorted.sameElements(h))
+    assert(TextHashes.shingleHashesSorted("ab", 4).isEmpty)
+    // repeated content dedups
+    assert(TextHashes.shingleHashesSorted("abababab", 2).length === 2) // ab, ba
+    // normalization applies before shingling
+    assert(TextHashes.shingleHashesSorted("A  B c", 3)
+      .sameElements(TextHashes.shingleHashesSorted("a b C", 3)))
+  }
+
+  test("minHashSig: numHashes entries, equal text equal sig, null for short text") {
+    val a = TextHashes.minHashSig("the quick brown fox", 4, 64, 42)
+    val b = TextHashes.minHashSig("the quick brown fox", 4, 64, 42)
+    assert(a.length === 64)
+    assert(a.sameElements(b))
+    assert(TextHashes.minHashSig("ab", 4, 64, 42) === null)
+    // different seed, different signature
+    val c = TextHashes.minHashSig("the quick brown fox", 4, 64, 43)
+    assert(!a.sameElements(c))
+  }
+
+  test("minHashSig estimates Jaccard: identical=1, disjoint~0") {
+    val x = TextHashes.minHashSig("aaaa bbbb cccc dddd eeee", 4, 128, 42)
+    val y = TextHashes.minHashSig("aaaa bbbb cccc dddd eeee", 4, 128, 42)
+    val z = TextHashes.minHashSig("zzzz yyyy xxxx wwww vvvv", 4, 128, 42)
+    def est(p: Array[Long], q: Array[Long]) =
+      p.zip(q).count { case (m, n) => m == n }.toDouble / p.length
+    assert(est(x, y) === 1.0)
+    assert(est(x, z) < 0.15)
+  }
+
+  test("sortedIntersectSize is exact set intersection") {
+    assert(TextHashes.sortedIntersectSize(Array(1L, 3L, 5L), Array(2L, 3L, 5L, 9L)) === 2)
+    assert(TextHashes.sortedIntersectSize(Array.emptyLongArray, Array(1L)) === 0)
+    val a = TextHashes.shingleHashesSorted("the quick brown fox", 4)
+    assert(TextHashes.sortedIntersectSize(a, a) === a.length)
+  }
+
+  test("Column API evaluates inside DataFrames") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "xy"))
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+      GraftFunctions.minHashSig(col("text"), 4, 16, 42).as("sig"),
+      GraftFunctions.shingleHashes(col("text"), 4).as("shs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toList
+    assert(rows.find(_._1 == 1L).get._2 === rows.find(_._1 == 2L).get._2)
+    assert(rows.find(_._1 == 3L).get._2 === null) // too short → null sig
+  }
+
+  test("SQL registration: functions callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect_size(
+        |  graft_shingle_hashes('the quick brown fox', 4),
+        |  graft_shingle_hashes('the quick brown fox', 4)) AS n,
+        |  size(graft_minhash_sig('the quick brown fox', 4, 32, 42)) AS k""".stripMargin)
+      .collect().head
+    assert(r.getInt(0) > 0)
+    assert(r.getInt(1) === 32)
+  }
+
+  test("GraftExtensions injects functions at session build") {
+    val ext = new GraftExtensions
+    // builder-level smoke: applying the extension to a new session works
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(ext)
+      .getOrCreate()
+    // getOrCreate may return the existing session; register directly then
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT size(graft_minhash_sig('abcdefgh', 4, 8, 1)) AS n")
+      .collect().head.getInt(0) === 8)
+  }
+}

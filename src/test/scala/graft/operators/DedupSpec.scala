@@ -86,17 +86,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
-  test("ngram jaccard maxDf cap drops ubiquitous shingles from the index") {
+  test("inverted-index variant: maxDf cap drops ubiquitous shingles") {
     import spark.implicits._
     // 10 docs all sharing one phrase; pair (10,11) additionally near-identical
     val docs = ((0 until 10).map(i => (i.toLong, s"common shared phrase here unique$i")) ++
       Seq((10L, "zz yy xx ww vv uu tt"), (11L, "zz yy xx ww vv uu ss"))).toDF("doc_id", "text")
-    val capped = Dedup.ngramJaccard(docs, threshold = 0.3, maxDf = 5)
+    val capped = Dedup.ngramJaccardInverted(docs, threshold = 0.3, maxDf = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the shared-phrase shingles exceed maxDf, so those pairs vanish…
     assert(!capped.exists { case (a, b) => a < 10 && b < 10 })
     // …but the genuinely-similar rare pair survives
     assert(capped.contains((10L, 11L)))
+  }
+
+  test("LSH-candidate jaccard agrees with inverted-index jaccard on overlap pairs") {
+    val lsh = Dedup.ngramJaccard(planted, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val inv = Dedup.ngramJaccardInverted(planted, threshold = 0.4, maxDf = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh.keySet.intersect(inv.keySet).foreach { k => assert(lsh(k) === inv(k)) }
   }
 
   test("operators run on the real documents table and find the planted near-dups") {
