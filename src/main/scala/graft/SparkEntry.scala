@@ -22,6 +22,11 @@ object SparkEntry {
     "q8_distinct_agg" -> (Relational.q8DistinctAgg _),
     "q9_events_hourly" -> (Relational.q9EventsHourly _),
     "q10_events_sessions" -> (Relational.q10EventsSessions _),
+    "q11_semi_join" -> (Relational.q11SemiJoin _),
+    "q12_rollup" -> (Relational.q12Rollup _),
+    "q13_lag_lead" -> (Relational.q13LagLead _),
+    "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
+    "text_tokens" -> (TextAnalysis.textTokens _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "deser_documents" -> (Deser.deserDocuments _),
     "mq_roundtrip_events" -> (MqRoundtrip.mqRoundtripEvents _),
@@ -103,6 +108,31 @@ object SparkEntry {
         | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END),4) AS purchase_value,
         | CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_extendedprice),2) AS sum_price, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q13_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
+        | lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "events_windowed_stream" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,

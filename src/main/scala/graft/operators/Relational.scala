@@ -123,6 +123,35 @@ object Relational {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Semi join: customers having at least one high-value order. The semi
+   *  join deduplicates on the build side — no fact-side row multiplication. */
+  def q11SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Rollup: subtotal rows per (returnflag, linestatus) hierarchy level. */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Lag/lead analytics: per-user event deltas ordered by time. */
+  def q13LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.streaming.Watermarks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/**
+ * Oracle-checked STREAMING query: the events table consumed through
+ * Structured Streaming's file source with a watermark and a tumbling
+ * event-time window, drained with Trigger.AvailableNow into a memory sink.
+ * The result must equal the batch oracle — proving the streaming pipeline
+ * (watermark bookkeeping included) computes the same answer as SQL over the
+ * same data, which is the whole promise of the unified engine.
+ */
+object StreamingQueries {
+
+  def eventsWindowedStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source monitors a directory; expose the single parquet
+    // file through a temp dir symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val windowed = Watermarks.withBoundedOutOfOrderness(stream, "ts", 5000)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+
+    val name = "events_windowed_" + math.abs(dir.hashCode)
+    val q = windowed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+}

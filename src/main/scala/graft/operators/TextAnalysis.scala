@@ -115,6 +115,17 @@ object TextAnalysis {
       langId(col("text")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** Two tokenizations side by side: whitespace tokens and a BPE-ish regex
+    * (word pieces, numbers, single punctuation — the GPT-2 pre-tokenizer
+    * shape) — both pure codegen'd Column expressions. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+        .as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
