@@ -32,7 +32,8 @@ final case class GraftOptions(
     isDynamicTag: Boolean = false,
     dynamicTagColumn: String = null,
     keyColumns: Seq[String] = Nil,
-    writeKeysToBody: Boolean = false) {
+    writeKeysToBody: Boolean = false,
+    propertyFilter: Map[String, String] = Map.empty) {
 
   def startMode: StartMode =
     if (startMessageOffset >= 0) StartMode.Offset(startMessageOffset)
@@ -78,13 +79,14 @@ object GraftOptions {
   val DynamicTagColumn = "dynamictagcolumn"
   val KeyColumns = "keycolumns"
   val WriteKeysToBody = "writekeystobody"
+  val PropertyFilter = "propertyfilter"
 
   val RequiredKeys: Set[String] = Set(Topic, ConsumerGroup, RootDir)
   val OptionalKeys: Set[String] = Set(
     Tag, StartMessageOffset, StartTimeMs, EndTimeMs, PartitionDiscoveryIntervalMs,
     Encoding, FieldDelimiter, LineDelimiter, ColumnErrorDebug, LengthCheck,
     RetryTimes, SleepTimeMs, OffsetResetTo, IsDynamicTag, DynamicTagColumn,
-    KeyColumns, WriteKeysToBody)
+    KeyColumns, WriteKeysToBody, PropertyFilter)
 
   /** Java-style backslash-escape decoding for delimiter options ("\t", "\n",
     * "", …) — the reference unescapes delimiters the same way
@@ -153,7 +155,14 @@ object GraftOptions {
       isDynamicTag = opts.get(IsDynamicTag).exists(_.toBoolean),
       dynamicTagColumn = opts.get(DynamicTagColumn).orNull,
       keyColumns = opts.get(KeyColumns).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-      writeKeysToBody = opts.get(WriteKeysToBody).exists(_.toBoolean))
+      writeKeysToBody = opts.get(WriteKeysToBody).exists(_.toBoolean),
+      // "k=v;k2=v2" equality conjunction, the graft analog of the broker's
+      // SQL92 message selector (reference: example/PropertyFilterExamples.java:33)
+      propertyFilter = opts.get(PropertyFilter).map(_.split(";").iterator.map { kv =>
+        val eq = kv.indexOf('=')
+        require(eq > 0, s"propertyFilter entries must be k=v, got: $kv")
+        kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
+      }.toMap).getOrElse(Map.empty))
   }
 
   /** The three dirty-data strategies implied by `lengthCheck`. */

@@ -24,6 +24,12 @@ class KeyValueSerde(
     m
   }
 
+  /** Tuple form (reference:
+    * legacy/common/serialization/SimpleTupleDeserializationSchema.java:28-35). */
+  def deserializeKeyAndValueTuple(key: Array[Byte], value: Array[Byte]): (String, String) = (
+    if (key != null) new String(key, StandardCharsets.UTF_8) else null,
+    if (value != null) new String(value, StandardCharsets.UTF_8) else null)
+
   def serializeKey(tuple: Map[String, Any]): Array[Byte] =
     if (tuple == null || keyField == null) null
     else tuple.get(keyField).filter(_ != null)

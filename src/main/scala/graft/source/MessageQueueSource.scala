@@ -87,12 +87,13 @@ class MessageQueueBatch(opts: GraftOptions) extends Batch {
     MessageQueueSource.resolveSplits(opts, batchDefaultEarliest = true).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QueueReaderFactory(opts.rootDir, opts.tag)
+    new QueueReaderFactory(opts.rootDir, opts.tag, opts.propertyFilter)
 }
 
-class QueueReaderFactory(rootDir: String, tag: String) extends PartitionReaderFactory {
+class QueueReaderFactory(rootDir: String, tag: String,
+    propertyFilter: Map[String, String] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new QueuePartitionReader(rootDir, tag, partition.asInstanceOf[QueueSplit])
+    new QueuePartitionReader(rootDir, tag, propertyFilter, partition.asInstanceOf[QueueSplit])
 }
 
 /**
@@ -100,7 +101,8 @@ class QueueReaderFactory(rootDir: String, tag: String) extends PartitionReaderFa
  * non-matching messages never leave the scan (reference reader poll loop:
  * source/reader/RocketMQPartitionSplitReader.java:90-180).
  */
-class QueuePartitionReader(rootDir: String, tagFilter: String, split: QueueSplit)
+class QueuePartitionReader(rootDir: String, tagFilter: String,
+    propertyFilter: Map[String, String], split: QueueSplit)
     extends PartitionReader[InternalRow] {
 
   private val acceptedTags: Set[String] =
@@ -114,7 +116,12 @@ class QueuePartitionReader(rootDir: String, tagFilter: String, split: QueueSplit
   override def next(): Boolean = {
     while (iter.hasNext) {
       val (offset, m) = iter.next()
-      if (acceptedTags == null || acceptedTags.contains(m.tag)) {
+      val tagOk = acceptedTags == null || acceptedTags.contains(m.tag)
+      // equality-conjunction property selector, applied before the row is
+      // materialized (reference: example/PropertyFilterExamples.java:33)
+      val propsOk = propertyFilter.isEmpty ||
+        propertyFilter.forall { case (k, v) => m.properties.get(k).contains(v) }
+      if (tagOk && propsOk) {
         current = toRow(offset, m)
         return true
       }
@@ -216,7 +223,7 @@ class MessageQueueMicroBatchStream(opts: GraftOptions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QueueReaderFactory(opts.rootDir, opts.tag)
+    new QueueReaderFactory(opts.rootDir, opts.tag, opts.propertyFilter)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -20,6 +20,12 @@ class KeyValueSerdeSpec extends AnyFunSuite {
     assert(serde.deserializeKeyAndValue("k".getBytes, "x".getBytes) === Map("v" -> "x"))
   }
 
+  test("tuple form mirrors SimpleTupleDeserializationSchema") {
+    val serde = new KeyValueSerde()
+    assert(serde.deserializeKeyAndValueTuple("k".getBytes, "v".getBytes) === (("k", "v")))
+    assert(serde.deserializeKeyAndValueTuple(null, "v".getBytes) === ((null, "v")))
+  }
+
   test("serialize round-trips through deserialize") {
     val serde = new KeyValueSerde()
     val tuple = Map[String, Any]("key" -> "id9", "value" -> 42)

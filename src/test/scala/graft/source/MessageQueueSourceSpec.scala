@@ -87,6 +87,20 @@ class MessageQueueSourceSpec extends SparkSpec {
     assert(df.count() === 4) // bornTs 1000..4000 (stop offset = first >= 5000)
   }
 
+  test("property filter selects only matching messages (SQL92-selector analog)") {
+    val root = freshRoot()
+    seed(root, "t9", queues = 2, perQueue = 6) // property p = queue id
+    val df = spark.read.format("graft-mq")
+      .option("topic", "t9").option("consumerGroup", "g").option("rootDir", root)
+      .option("propertyFilter", "p=1").load()
+    assert(df.count() === 6)
+    assert(df.select("queue_id").distinct().collect().map(_.getInt(0)).toSeq === Seq(1))
+    val none = spark.read.format("graft-mq")
+      .option("topic", "t9").option("consumerGroup", "g").option("rootDir", root)
+      .option("propertyFilter", "p=1;missing=x").load()
+    assert(none.count() === 0) // conjunction semantics
+  }
+
   test("missing required option fails fast") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-mq").option("topic", "x").load()
