@@ -64,36 +64,120 @@ class MessageQueueTable(opts: GraftOptions) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MessageQueueScan(opts)
+    new MessageQueueScanBuilder(opts)
 }
 
-class MessageQueueScan(opts: GraftOptions) extends Scan {
-  override def readSchema(): StructType = MessageQueueTable.Schema
-  override def description(): String = s"graft-mq topic=${opts.topic}"
+/**
+ * Pushdown-aware scan builder:
+ *  - column pruning: the reader materializes only requested columns;
+ *  - `tag = 'x'` is consumed entirely at the reader (never re-evaluated);
+ *  - born_ts bounds translate to per-queue OFFSET ranges via searchOffset —
+ *    queue logs are born-ts-ordered like broker commit logs, so a time
+ *    predicate prunes log ranges the way partition pruning prunes files.
+ *    The bounds stay residual filters too, so row-level semantics are exact
+ *    even at the window edges.
+ */
+class MessageQueueScanBuilder(opts: GraftOptions) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
 
-  override def toBatch: Batch = new MessageQueueBatch(opts)
+  private var requiredSchema: StructType = MessageQueueTable.Schema
+  private var pushedTagFilter: Option[String] = None
+  private var bornTsLowerMs: Option[Long] = None
+  private var bornTsUpperMs: Option[Long] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = StructType(
+      MessageQueueTable.Schema.filter(f => required.fieldNames.contains(f.name)))
+
+  private def toMillis(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter {
+      case EqualTo("tag", v: String) if pushedTagFilter.isEmpty =>
+        pushedTagFilter = Some(v); pushed :+= EqualTo("tag", v); false // fully handled
+      case f @ GreaterThanOrEqual("born_ts", v) if toMillis(v).isDefined =>
+        bornTsLowerMs = Some(bornTsLowerMs.fold(toMillis(v).get)(math.max(_, toMillis(v).get)))
+        pushed :+= f; true // offset-range prune + residual exactness
+      case f @ GreaterThan("born_ts", v) if toMillis(v).isDefined =>
+        bornTsLowerMs = Some(bornTsLowerMs.fold(toMillis(v).get)(math.max(_, toMillis(v).get)))
+        pushed :+= f; true
+      case f @ LessThan("born_ts", v) if toMillis(v).isDefined =>
+        bornTsUpperMs = Some(bornTsUpperMs.fold(toMillis(v).get)(math.min(_, toMillis(v).get)))
+        pushed :+= f; true
+      case f @ LessThanOrEqual("born_ts", v) if toMillis(v).isDefined =>
+        // stop offset needs first-strictly-greater; +1ms is that bound in millis
+        bornTsUpperMs = Some(bornTsUpperMs.fold(toMillis(v).get + 1)(math.min(_, toMillis(v).get + 1)))
+        pushed :+= f; true
+      case _ => true
+    }
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new MessageQueueScan(opts, requiredSchema, pushedTagFilter, bornTsLowerMs, bornTsUpperMs)
+}
+
+class MessageQueueScan(
+    opts: GraftOptions,
+    requiredSchema: StructType = MessageQueueTable.Schema,
+    pushedTag: Option[String] = None,
+    bornTsLowerMs: Option[Long] = None,
+    bornTsUpperMs: Option[Long] = None) extends Scan {
+  override def readSchema(): StructType = requiredSchema
+  override def description(): String =
+    s"graft-mq topic=${opts.topic} PushedFilters: [tag=$pushedTag, bornTs=[$bornTsLowerMs,$bornTsUpperMs)]"
+
+  private def effectiveOpts(forBatch: Boolean): GraftOptions = {
+    var o = opts
+    if (pushedTag.isDefined) o = o.copy(tag = pushedTag.get)
+    // lower bound → later start offset: always safe for batch (whose default
+    // start is earliest); for streaming only when not in skip-old "latest"
+    // mode, where starting earlier would change semantics
+    bornTsLowerMs.foreach { lo =>
+      if (o.startMessageOffset < 0 && (forBatch || o.offsetResetTo != "latest"))
+        o = o.copy(startTimeMs = math.max(o.startTimeMs, lo))
+    }
+    bornTsUpperMs.foreach { hi =>
+      o = o.copy(endTimeMs = if (o.endTimeMs < 0) hi else math.min(o.endTimeMs, hi))
+    }
+    o
+  }
+
+  override def toBatch: Batch =
+    new MessageQueueBatch(effectiveOpts(forBatch = true), requiredSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MessageQueueMicroBatchStream(opts)
+    new MessageQueueMicroBatchStream(effectiveOpts(forBatch = false), requiredSchema)
 }
 
 /** Batch scan: per-queue offset ranges resolved once at planning.
   * Batch default start is earliest (a bounded scan of "latest" is empty);
   * explicit offset/timestamp start modes are honored, endTimeMs bounds the
   * stop offset (reference boundedness: source/RocketMQSource.java:70-90). */
-class MessageQueueBatch(opts: GraftOptions) extends Batch {
+class MessageQueueBatch(opts: GraftOptions,
+    requiredSchema: StructType = MessageQueueTable.Schema) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
     MessageQueueSource.resolveSplits(opts, batchDefaultEarliest = true).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QueueReaderFactory(opts.rootDir, opts.tag, opts.propertyFilter)
+    new QueueReaderFactory(opts.rootDir, opts.tag, opts.propertyFilter, requiredSchema)
 }
 
 class QueueReaderFactory(rootDir: String, tag: String,
-    propertyFilter: Map[String, String] = Map.empty) extends PartitionReaderFactory {
+    propertyFilter: Map[String, String] = Map.empty,
+    requiredSchema: StructType = MessageQueueTable.Schema) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new QueuePartitionReader(rootDir, tag, propertyFilter, partition.asInstanceOf[QueueSplit])
+    new QueuePartitionReader(rootDir, tag, propertyFilter, requiredSchema,
+      partition.asInstanceOf[QueueSplit])
 }
 
 /**
@@ -102,7 +186,7 @@ class QueueReaderFactory(rootDir: String, tag: String,
  * source/reader/RocketMQPartitionSplitReader.java:90-180).
  */
 class QueuePartitionReader(rootDir: String, tagFilter: String,
-    propertyFilter: Map[String, String], split: QueueSplit)
+    propertyFilter: Map[String, String], requiredSchema: StructType, split: QueueSplit)
     extends PartitionReader[InternalRow] {
 
   private val acceptedTags: Set[String] =
@@ -129,23 +213,30 @@ class QueuePartitionReader(rootDir: String, tagFilter: String,
     false
   }
 
-  private def toRow(offset: Long, m: Message): InternalRow = {
-    val keys = new Array[Any](m.properties.size)
-    val vals = new Array[Any](m.properties.size)
-    var i = 0
-    m.properties.foreach { case (k, v) =>
-      keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+  // column-pruned projection: one extractor per REQUIRED column only
+  private val extractors: Array[(Long, Message) => Any] =
+    requiredSchema.fieldNames.map {
+      case "topic" => (_: Long, _: Message) => UTF8String.fromString(split.topic)
+      case "queue_id" => (_: Long, _: Message) => split.queueId
+      case "offset" => (o: Long, _: Message) => o
+      case "born_ts" => (_: Long, m: Message) => m.bornTs * 1000L // millis → micros
+      case "msg_key" => (_: Long, m: Message) => UTF8String.fromString(m.key)
+      case "tag" => (_: Long, m: Message) => UTF8String.fromString(m.tag)
+      case "properties" => (_: Long, m: Message) => {
+        val keys = new Array[Any](m.properties.size)
+        val vals = new Array[Any](m.properties.size)
+        var i = 0
+        m.properties.foreach { case (k, v) =>
+          keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+        }
+        ArrayBasedMapData(keys, vals)
+      }
+      case "body" => (_: Long, m: Message) => UTF8String.fromString(m.body)
+      case other => throw new IllegalArgumentException(s"unknown column: $other")
     }
-    InternalRow(
-      UTF8String.fromString(split.topic),
-      split.queueId,
-      offset,
-      m.bornTs * 1000L, // millis → micros
-      UTF8String.fromString(m.key),
-      UTF8String.fromString(m.tag),
-      ArrayBasedMapData(keys, vals),
-      UTF8String.fromString(m.body))
-  }
+
+  private def toRow(offset: Long, m: Message): InternalRow =
+    InternalRow.fromSeq(extractors.map(_(offset, m)).toIndexedSeq)
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
@@ -175,7 +266,8 @@ object QueueOffsets {
  * checkpointed offset instead (restore-wins, matching
  * reference: legacy/RocketMQSourceFunction.java:419-437).
  */
-class MessageQueueMicroBatchStream(opts: GraftOptions)
+class MessageQueueMicroBatchStream(opts: GraftOptions,
+    requiredSchema: StructType = MessageQueueTable.Schema)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def queues: Seq[Int] = TopicLog.listQueues(opts.rootDir, opts.topic)
@@ -223,7 +315,7 @@ class MessageQueueMicroBatchStream(opts: GraftOptions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QueueReaderFactory(opts.rootDir, opts.tag, opts.propertyFilter)
+    new QueueReaderFactory(opts.rootDir, opts.tag, opts.propertyFilter, requiredSchema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

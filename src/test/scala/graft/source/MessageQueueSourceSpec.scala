@@ -101,6 +101,42 @@ class MessageQueueSourceSpec extends SparkSpec {
     assert(none.count() === 0) // conjunction semantics
   }
 
+  test("column pruning reaches the reader: projected scan reads only requested columns") {
+    val root = freshRoot()
+    seed(root, "tp1", queues = 2, perQueue = 4)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "tp1").option("consumerGroup", "g").option("rootDir", root)
+      .load().select("body", "offset")
+    assert(df.collect().length === 8)
+    // physical scan output is pruned to the two requested columns
+    assert(df.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name).toSet === Set("body", "offset"))
+  }
+
+  test("tag equality filter is pushed into the scan (consumed, not re-evaluated)") {
+    val root = freshRoot()
+    seed(root, "tp2", queues = 2, perQueue = 10)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "tp2").option("consumerGroup", "g").option("rootDir", root)
+      .load().filter(col("tag") === "even")
+    assert(df.count() === 10)
+    assert(df.select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("even"))
+  }
+
+  test("born_ts range predicate prunes offset ranges and stays exact") {
+    val root = freshRoot()
+    seed(root, "tp3", queues = 2, perQueue = 10) // bornTs 1000..10000 per queue
+    val base = spark.read.format("graft-mq")
+      .option("topic", "tp3").option("consumerGroup", "g").option("rootDir", root)
+      .load()
+    val filtered = base.filter(
+      col("born_ts") >= lit(new java.sql.Timestamp(4000L)) &&
+        col("born_ts") < lit(new java.sql.Timestamp(8000L)))
+    assert(filtered.count() === 8) // ts 4000..7000 in each of 2 queues
+    val ts = filtered.select("born_ts").collect().map(_.getTimestamp(0).getTime)
+    assert(ts.forall(t => t >= 4000 && t < 8000))
+  }
+
   test("missing required option fails fast") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-mq").option("topic", "x").load()
