@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One user event on the stream (event-time `ts`). */
+final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** A closed session: gap-based grouping of one user's events. */
+final case class UserSession(
+    user_id: Long,
+    start_ts: Timestamp,
+    end_ts: Timestamp,
+    n_events: Long,
+    sum_value: Double)
+
+private final case class SessionState(
+    start: Long, last: Long, n: Long, sum: Double)
+
+/**
+ * Gap-based sessionization with custom keyed state —
+ * `flatMapGroupsWithState` + event-time timeout, the Structured Streaming
+ * shape for state the built-in windows can't express (the reference's
+ * per-queue watermark state lives at the same layer:
+ * legacy/common/watermark/WaterMarkPerQueue.java:30-55).
+ *
+ * A session closes when no event arrives within `gapMs` of its last event;
+ * the timeout fires once the watermark passes last+gap, so state size is
+ * bounded by active users — the property that lets this run indefinitely on
+ * an unbounded stream.
+ */
+object Sessionize {
+
+  def sessions(
+      events: Dataset[UserEvent],
+      gapMs: Long,
+      watermarkDelayMs: Long = 5000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
