@@ -41,6 +41,16 @@ case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int, seed
     copy(child = newChild)
 }
 
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simHash64(input.asInstanceOf[UTF8String].toString)
+  override def prettyName: String = "graft_simhash64"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
@@ -78,6 +88,9 @@ object GraftFunctions {
     ExpressionUtils.column(
       SortedIntersectSizeExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def simHash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(text)))
+
   // ---- SQL registration ----
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -95,7 +108,10 @@ object GraftFunctions {
         intLit(args(2), "numHashes"), intLit(args(3), "seed").toLong)),
     ("graft_sorted_intersect_size",
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "graft_sorted_intersect_size"),
-      (args: Seq[Expression]) => SortedIntersectSizeExpr(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectSizeExpr(args(0), args(1))),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

@@ -108,6 +108,40 @@ object TextHashes {
     mins
   }
 
+  /**
+   * 64-bit SimHash: whitespace tokens of the normalized text, each distinct
+   * token hashed once; every hash bit votes ±1 on its output bit, sign wins.
+   * One pass, no explode/shuffle. Returns 0 for token-less text.
+   */
+  def simHash64(text: String): Long = {
+    val s = normalize(text)
+    if (s.isEmpty) return 0L
+    val weights = new Array[Int](64)
+    val seen = new java.util.HashSet[Long]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) {
+          val h = hashWindow(s, start, i - start)
+          if (seen.add(h)) {
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+              b += 1
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (weights(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** |a ∩ b| for two sorted long arrays — linear merge, no allocation. */
   def sortedIntersectSize(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var common = 0

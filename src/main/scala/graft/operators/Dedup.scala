@@ -105,24 +105,15 @@ object Dedup {
   // ---- SimHash ----
 
   /**
-   * 64-bit SimHash per document: sign of the per-bit weighted token-hash sum.
-   * Columnar: explode token hashes, 64 conditional sums in one groupBy.
+   * 64-bit SimHash per document: sign of the per-bit weighted token-hash
+   * sum, computed by one custom-expression kernel per row — stays in the
+   * scan stage with no explode/shuffle (an explode + 64-conditional-sum
+   * groupBy pays an exchange of every token for the same answer).
    */
   def simHashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id")
-      : DataFrame = {
-    val tokens = docs.select(col(idCol),
-      explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    tokens.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+      : DataFrame =
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions.simHash64(col(textCol)).as("simhash"))
 
   /**
    * Near-dup pairs with Hamming distance <= maxHamming (default 3).

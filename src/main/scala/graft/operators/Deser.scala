@@ -31,6 +31,30 @@ object Deser {
   }
 
   /**
+   * Message-level parse for graft-mq frames: body AND per-message properties
+   * feed the deserializer, so `headerFields` columns resolve from message
+   * properties exactly like the reference's metadata-aware schema
+   * (reference: source/reader/deserializer/RocketMQRowDeserializationSchema.java:60-104).
+   */
+  def parseMessages(
+      df: DataFrame,
+      schema: StructType,
+      headerFields: Set[String],
+      bodyCol: String = "body",
+      propsCol: String = "properties",
+      fieldDelimiter: String = "",
+      lengthCheck: String = "NONE"): DataFrame = {
+    val deser = RowDeserializer.withLengthCheck(
+      schema, lengthCheck, fieldDelimiter = fieldDelimiter, headerFields = headerFields)
+    val rows = df.select(col(bodyCol), col(propsCol))
+    rows.flatMap { r =>
+      val body = r.getString(0)
+      val props = if (r.isNullAt(1)) Map.empty[String, String] else r.getMap[String, String](1).toMap
+      if (body == null) Nil else deser.deserialize(body.getBytes, props)
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /**
    * Oracle-checked round-trip: documents → SOH-delimited body text →
    * [[RowDeserializer]] → typed columns. The oracle is simply the original
    * columns, so any parse drift (dropped rows, misaligned fields, bad

@@ -44,6 +44,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(est(x, z) < 0.15)
   }
 
+  test("simHash64: identical text equal, near text close, different text far") {
+    val a = TextHashes.simHash64("the quick brown fox jumps over the lazy dog again and again")
+    val b = TextHashes.simHash64("the quick brown fox jumps over the lazy dog again and again")
+    val c = TextHashes.simHash64("the quick brown fox jumps over the sleepy dog again and again")
+    val d = TextHashes.simHash64("completely unrelated words about distributed query planning")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(a === b)
+    assert(ham(a, c) < ham(a, d))
+    assert(TextHashes.simHash64("   ") === 0L)
+  }
+
   test("sortedIntersectSize is exact set intersection") {
     assert(TextHashes.sortedIntersectSize(Array(1L, 3L, 5L), Array(2L, 3L, 5L, 9L)) === 2)
     assert(TextHashes.sortedIntersectSize(Array.emptyLongArray, Array(1L)) === 0)
