@@ -40,6 +40,8 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
+    "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
+    "corpus_clean" -> (Dedup.corpusClean _),
     "ann_lsh" -> (Similarity.annLsh _),
     "embed_neardup" -> (Similarity.embedNearDup _),
   )

@@ -216,4 +216,81 @@ object Dedup {
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---- cluster + keep decisions ----
+
+  /**
+   * Connected components over near-dup pairs via min-label propagation:
+   * every doc's cluster id converges to the smallest doc id reachable from
+   * it. Join-per-iteration with localCheckpoint to cut lineage; iteration
+   * count is bounded by cluster diameter (near-dup clusters are shallow —
+   * dup chains longer than `maxIter` hops are pathological).
+   * Returns (doc_id, cluster_id) for every doc that appears in a pair.
+   */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = stepped.filter(col("next") < col("label")).count()
+      labels = stepped.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep decision per duplicate-cluster member: keep only the smallest id.
+    * (doc_id, cluster_id, keep). Docs in no pair are implicitly kept. */
+  def nearDupKeepDecisions(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    nearDupClusters(pairs, maxIter)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+
+  def dedupMinhashKeep(spark: SparkSession, dir: String): DataFrame =
+    nearDupKeepDecisions(minHashNearDups(Tables.documents(spark, dir), threshold = 0.5))
+      .orderBy(col("doc_id"))
+
+  /**
+   * End-to-end corpus cleaning, the composed LLM-data pipeline: per-doc
+   * quality + language signals (pure column expressions), near-dup keep
+   * decisions (MinHash-LSH + clustering), one boolean verdict per document
+   * with the reasons. Everything except the near-dup candidate join stays in
+   * the scan stage.
+   */
+  def cleanCorpus(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.3, langs: Set[String] = Set("en"),
+      nearDupThreshold: Double = 0.7): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val keepSet = nearDupKeepDecisions(
+      minHashNearDups(docs, textCol, idCol, threshold = nearDupThreshold))
+      .select(col("doc_id").as(idCol), col("keep").as("dup_keep"))
+    val scored = docs.select(
+      col(idCol),
+      TA.qualityScore(col(textCol)).as("quality"),
+      TA.langId(col(textCol)).as("pred_lang"))
+    scored
+      .join(keepSet, Seq(idCol), "left")
+      .withColumn("dup_keep", coalesce(col("dup_keep"), lit(true)))
+      .withColumn("lang_ok", col("pred_lang").isInCollection(langs.toSeq))
+      .withColumn("quality_ok", col("quality") >= minQuality)
+      .withColumn("keep", col("dup_keep") && col("lang_ok") && col("quality_ok"))
+      .select(idCol, "quality", "pred_lang", "dup_keep", "lang_ok", "quality_ok", "keep")
+  }
+
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    cleanCorpus(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -107,6 +107,33 @@ class DedupSpec extends SparkSpec {
     lsh.keySet.intersect(inv.keySet).foreach { k => assert(lsh(k) === inv(k)) }
   }
 
+  test("nearDupClusters: chains collapse to one cluster labeled by the min id") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupKeepDecisions keeps exactly the cluster minimum") {
+    import spark.implicits._
+    val pairs = Seq((5L, 9L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val keep = Dedup.nearDupKeepDecisions(pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep === Map(5L -> true, 7L -> false, 9L -> false))
+  }
+
+  test("cleanCorpus composes dedup, language, and quality verdicts") {
+    val verdicts = Dedup.cleanCorpus(planted, minQuality = 0.1,
+      langs = Set("en"), nearDupThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(verdicts.size === 6)
+    assert(verdicts(0L)) // cluster min, kept
+    assert(!verdicts(1L)) // exact dup of 0 → dropped
+    assert(verdicts(3L) || verdicts(5L)) // unrelated docs survive dedup
+  }
+
   test("operators run on the real documents table and find the planted near-dups") {
     val pairs = Dedup.minHashNearDups(Tables.documents(spark, sfDir), threshold = 0.5).count()
     assert(pairs > 0)
