@@ -70,13 +70,42 @@ object MessageQueueSink {
     }
   }
 
-  /** Streaming sink: `df.writeStream.foreachBatch(MessageQueueSink.foreachBatch(...))`. */
+  /**
+   * Streaming sink: `df.writeStream.foreachBatch(MessageQueueSink.foreachBatch(...))`.
+   *
+   * Exactly-once across restarts: Structured Streaming replays an unfinished
+   * micro-batch with the SAME batchId after a crash, so appends would
+   * duplicate. A committed-batch marker file per sink root makes the append
+   * idempotent — replayed batchIds are skipped. This is the Spark shape of
+   * the reference's pendingOffsetsToCommit checkpoint bookkeeping
+   * (reference: legacy/RocketMQSourceFunction.java:150, RocketMQSink.java:60-150).
+   */
   def foreachBatch(
       rootDir: String,
       selector: TopicSelector[Map[String, Any]],
       converter: RowMessageConverter,
       numQueues: Int = 8,
       flushMode: FlushMode = FlushMode.Batch(32)): (Dataset[Row], Long) => Unit =
-    (batch: Dataset[Row], _: Long) =>
-      write(batch.toDF(), rootDir, selector, converter, numQueues, flushMode)
+    (batch: Dataset[Row], batchId: Long) => {
+      if (!isCommitted(rootDir, batchId)) {
+        write(batch.toDF(), rootDir, selector, converter, numQueues, flushMode)
+        markCommitted(rootDir, batchId)
+      }
+    }
+
+  private def commitsFile(rootDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(rootDir, "_committed_batches")
+
+  private[sink] def isCommitted(rootDir: String, batchId: Long): Boolean = {
+    val f = commitsFile(rootDir)
+    java.nio.file.Files.exists(f) &&
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f)).asScala.contains(batchId.toString)
+  }
+
+  private[sink] def markCommitted(rootDir: String, batchId: Long): Unit = {
+    java.nio.file.Files.createDirectories(commitsFile(rootDir).getParent)
+    java.nio.file.Files.writeString(commitsFile(rootDir), s"$batchId\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
 }

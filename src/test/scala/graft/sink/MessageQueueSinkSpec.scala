@@ -97,6 +97,53 @@ class MessageQueueSinkSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch is idempotent: a replayed batchId appends nothing") {
+    val root = freshRoot()
+    val conv = new RowMessageConverter(schema, fieldDelimiter = ",")
+    val fn = MessageQueueSink.foreachBatch(root,
+      new DefaultTopicSelector[Map[String, Any]]("eo"), conv, numQueues = 2)
+    val batch = sampleDf(10)
+    fn(batch, 0L)
+    val afterFirst = (0 until 2).map(q => TopicLog.maxOffset(root, "eo", q)).sum
+    assert(afterFirst === 10)
+    fn(batch, 0L) // crash-replay of the same micro-batch
+    val afterReplay = (0 until 2).map(q => TopicLog.maxOffset(root, "eo", q)).sum
+    assert(afterReplay === 10) // no duplicates
+    fn(batch, 1L) // a genuinely new batch still lands
+    assert((0 until 2).map(q => TopicLog.maxOffset(root, "eo", q)).sum === 20)
+  }
+
+  test("streaming pipeline: mq source -> foreachBatch sink with exactly-once replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcRoot = freshRoot()
+    val dstRoot = freshRoot()
+    graft.source.TopicLog.append(srcRoot, "in", 0,
+      (0 until 6).iterator.map(i =>
+        graft.source.Message(1000L * i.max(1), s"k$i", "t", Map.empty, s"$i,n$i,A")))
+    val conv = new RowMessageConverter(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.StringType))),
+      fieldDelimiter = ",")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-eo-ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", "in").option("consumerGroup", "g").option("rootDir", srcRoot)
+        .option("offsetResetTo", "earliest").load()
+        .select(col("body"))
+        .writeStream
+        .foreachBatch(MessageQueueSink.foreachBatch(dstRoot,
+          new DefaultTopicSelector[Map[String, Any]]("out"), conv, numQueues = 1))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(TopicLog.maxOffset(dstRoot, "out", 0) === 6)
+    run() // restart with no new data: nothing re-appended
+    assert(TopicLog.maxOffset(dstRoot, "out", 0) === 6)
+  }
+
   test("async flush mode appends per message (same data, more IO)") {
     val root = freshRoot()
     val conv = new RowMessageConverter(schema, fieldDelimiter = ",")
