@@ -51,6 +51,52 @@ object QueueSplitSerializer {
   }
 }
 
+/** Enumerator checkpoint state: reader → assigned splits
+  * (reference: source/enumerator/RocketMQSourceEnumState.java:1-35). */
+final case class EnumState(currentAssignment: Map[Int, Seq[QueueSplit]])
+
+/** Wire format for [[EnumState]]: readers, then per-reader split counts and
+  * length-prefixed split payloads via [[QueueSplitSerializer]]
+  * (reference: source/enumerator/RocketMQSourceEnumStateSerializer.java:1-60). */
+object EnumStateSerializer {
+  val CurrentVersion = 0
+
+  def serialize(state: EnumState): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(baos)
+    out.writeInt(state.currentAssignment.size)
+    state.currentAssignment.toSeq.sortBy(_._1).foreach { case (reader, splits) =>
+      out.writeInt(reader)
+      out.writeInt(splits.size)
+      splits.foreach { s =>
+        val bytes = QueueSplitSerializer.serialize(s)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    }
+    out.flush()
+    baos.toByteArray
+  }
+
+  def deserialize(version: Int, bytes: Array[Byte]): EnumState = {
+    require(version == CurrentVersion,
+      s"bytes serialized with version $version; this deserializer supports up to $CurrentVersion")
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val nReaders = in.readInt()
+    val assignment = (0 until nReaders).map { _ =>
+      val reader = in.readInt()
+      val nSplits = in.readInt()
+      reader -> (0 until nSplits).map { _ =>
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        QueueSplitSerializer.deserialize(QueueSplitSerializer.CurrentVersion, buf)
+      }.toSeq
+    }.toMap
+    EnumState(assignment)
+  }
+}
+
 /**
  * Deterministic split→reader assignment. Same hash-clockwise formula as the
  * reference enumerator (reference:

@@ -40,6 +40,24 @@ class QueueSplitSpec extends AnyFunSuite {
     assert(SplitAssigner.getSplitOwner(topic, broker, q, n) === (start + q) % n)
   }
 
+  test("enum state round-trips reader assignments (mirrors reference serializer test)") {
+    val state = EnumState(Map(
+      0 -> Seq(QueueSplit("t", "b", 0, 0, 100), QueueSplit("t", "b", 2, 5, 200)),
+      1 -> Seq(QueueSplit("t", "b", 1, 0, 100)),
+      2 -> Seq.empty))
+    val bytes = EnumStateSerializer.serialize(state)
+    assert(EnumStateSerializer.deserialize(0, bytes) === state)
+    assertThrows[IllegalArgumentException](EnumStateSerializer.deserialize(3, bytes))
+  }
+
+  test("assign + serialize + restore preserves the full assignment") {
+    val splits = for (q <- 0 until 8) yield QueueSplit("topic", "file", q, 0, 50)
+    val assigned = SplitAssigner.assign(splits, 3)
+    val restored = EnumStateSerializer.deserialize(0,
+      EnumStateSerializer.serialize(EnumState(assigned)))
+    assert(restored.currentAssignment.values.flatten.toSet === splits.toSet)
+  }
+
   test("assign groups all splits with no loss") {
     val splits = for (t <- Seq("a", "b"); q <- 0 until 6)
       yield QueueSplit(t, "file", q, 0, 10)
