@@ -63,6 +63,18 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class SigEqualFractionExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sigEqualFraction(
+      a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override def prettyName: String = "graft_sig_equal_fraction"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigEqualFractionExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /**
  * Registration: `GraftFunctions.register(spark)` for an existing session, or
  * `spark.sql.extensions=graft.functions.GraftExtensions` at session build —
@@ -90,6 +102,10 @@ object GraftFunctions {
 
   def simHash64(text: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(text)))
+
+  def sigEqualFraction(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SigEqualFractionExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   // ---- SQL registration ----
 

@@ -142,6 +142,15 @@ object TextHashes {
     out
   }
 
+  /** Fraction of equal components between two equal-length signatures —
+    * the MinHash Jaccard estimate. */
+  def sigEqualFraction(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var eq = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
   /** |a ∩ b| for two sorted long arrays — linear merge, no allocation. */
   def sortedIntersectSize(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var common = 0

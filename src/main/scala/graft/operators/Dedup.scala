@@ -72,30 +72,44 @@ object Dedup {
   }
 
   /**
+   * Band count tuned to the similarity threshold: the LSH catch curve is
+   * steepest around t ≈ (1/b)^(r/64·…), so high thresholds want long bands
+   * (few, selective) and low thresholds short ones (many, permissive). On
+   * template-heavy corpora a too-permissive banding floods the verify stage
+   * with false candidates — this is the knob that keeps candidates
+   * proportional to true duplicate density.
+   */
+  def bandsForThreshold(threshold: Double): Int =
+    if (threshold >= 0.7) 8 // r=8: j^8 per band
+    else if (threshold >= 0.45) 16 // r=4
+    else 32 // r=2
+
+  /**
    * Candidate near-dup pairs with signature-estimated Jaccard >= threshold.
    * Candidates come from a band-bucket self-equi-join (shuffle on
-   * (band, band_hash)); each distinct pair is verified once against the two
-   * signatures.
+   * (band, band_hash)); verification is a per-pair signature-equality kernel
+   * run BEFORE any distinct, so the wide dedup shuffle only ever sees pairs
+   * that already passed the threshold.
    */
   def minHashNearDups(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      numHashes: Int = 64, numBands: Int = 16, shingleN: Int = 4,
+      numHashes: Int = 64, numBands: Int = -1, shingleN: Int = 4,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
-    val bands = lshBands(sigs, idCol, numBands)
-    val left = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
-    val right = bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
-    val candidates = left.join(right, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val bands = lshBands(sigs, idCol, b)
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
+    val left = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
+    val right = bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+    left.join(right, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .distinct()
   }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -161,16 +175,23 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.5,
-      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, numBands: Int = -1, seed: Long = 42L): DataFrame = {
+    val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
     val sh = docs
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
-    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
-    val bands = lshBands(sigs, idCol, numBands)
+    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
+    val bands = lshBands(sigs, idCol, b)
+    // cheap signature prefilter (slightly below threshold to keep estimate
+    // noise from dropping borderline pairs) before the wide shingle-set join
+    val est = graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b"))
     val candidates = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
       .join(bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .join(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(est >= math.max(0.0, threshold - 0.15))
       .select("doc_a", "doc_b").distinct()
     candidates
       .join(sh.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
@@ -259,8 +280,11 @@ object Dedup {
     nearDupClusters(pairs, maxIter)
       .withColumn("keep", col("doc_id") === col("cluster_id"))
 
+  /** Keep/drop verdicts at the confident-duplicate threshold — dropping a
+    * document wants high precision, so 0.7 (not the exploratory 0.5 used for
+    * pair inspection). */
   def dedupMinhashKeep(spark: SparkSession, dir: String): DataFrame =
-    nearDupKeepDecisions(minHashNearDups(Tables.documents(spark, dir), threshold = 0.5))
+    nearDupKeepDecisions(minHashNearDups(Tables.documents(spark, dir), threshold = 0.7))
       .orderBy(col("doc_id"))
 
   /**
