@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Salted equi-join for skewed keys. AQE's skew-join handles most cases at
+ * runtime, but salting is still the tool when a single key dwarfs a
+ * partition (hot user, null-ish default key) or when the join feeds
+ * stateful streaming where AQE is off:
+ *
+ *  - the skewed (big) side gets a deterministic salt in [0, salts);
+ *  - the build (small) side is replicated once per salt value;
+ *  - the join key becomes (key, salt), spreading the hot key over `salts`
+ *    reducers.
+ *
+ * The salt is a hash of the big side's whole row (not random), so results
+ * are reproducible run to run.
+ */
+object SkewJoin {
+
+  def salted(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+}
