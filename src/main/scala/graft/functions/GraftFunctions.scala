@@ -63,6 +63,60 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Cosine similarity over two numeric arrays (float or double, mixed ok) —
+ * one flat fused loop for dot product and both norms. The higher-order
+ * `aggregate(zip_with(...))` formulation interprets ~4 boxed lambda calls
+ * per element per row; this is the hot inner kernel of every similarity
+ * operator, so it gets a real loop.
+ */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs array<float|double> args, got ${left.dataType}, ${right.dataType}")
+  }
+
+  private def toDoubles(v: Any, dt: DataType): Array[Double] = dt match {
+    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
+    case _ =>
+      val fs = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Double](fs.length)
+      var i = 0
+      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+      out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = toDoubles(a, left.dataType)
+    val ys = toDoubles(b, right.dataType)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(xs.length, ys.length)
+    var i = 0
+    while (i < n) {
+      dot += xs(i) * ys(i); na += xs(i) * xs(i); nb += ys(i) * ys(i)
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def prettyName: String = "graft_cosine_sim"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SigEqualFractionExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -107,6 +161,10 @@ object GraftFunctions {
     ExpressionUtils.column(
       SigEqualFractionExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   // ---- SQL registration ----
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -127,7 +185,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => SortedIntersectSizeExpr(args(0), args(1))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
-      (args: Seq[Expression]) => SimHash64Expr(args(0))))
+      (args: Seq[Expression]) => SimHash64Expr(args(0))),
+    ("graft_cosine_sim",
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine_sim"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

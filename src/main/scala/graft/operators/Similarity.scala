@@ -19,14 +19,17 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two double arrays as a codegen-friendly fold. */
+  /** Dot product of two double arrays as a Column fold (small/one-off use;
+    * the hot path goes through the fused [[cosine]] kernel). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused dot+norms kernel; accepts float or double arrays directly. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   private def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
