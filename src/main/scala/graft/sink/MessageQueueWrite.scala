@@ -1,0 +1,89 @@
+package graft.sink
+
+import java.util
+
+import graft.config.GraftOptions
+import graft.source.{Message, TopicLog}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/**
+ * DSv2 batch write: `df.write.format("graft-mq").option(...).save()`.
+ *
+ * Each task buffers its rows and appends them to its OWN queue file on
+ * commit — task = queue (single writer per queue, the broker invariant), and
+ * an aborted/retried task appends nothing (no partial lines). Rows become
+ * delimited message bodies via the same exclusion rules as
+ * [[RowMessageConverter]]; a `born_ts`-typed column can drive message time.
+ */
+class MessageQueueWriteBuilder(opts: GraftOptions, schema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new MessageQueueBatchWrite(opts, schema)
+  }
+}
+
+class MessageQueueBatchWrite(opts: GraftOptions, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new QueueDataWriterFactory(opts, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class QueueDataWriterFactory(opts: GraftOptions, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new QueueDataWriter(opts, schema, partitionId)
+}
+
+private final case class QueueCommit(queueId: Int, rows: Long) extends WriterCommitMessage
+
+class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val fieldNames = schema.fieldNames
+  private val tagIdx =
+    if (opts.isDynamicTag && opts.dynamicTagColumn != null)
+      schema.fieldIndex(opts.dynamicTagColumn)
+    else -1
+  private val keyIdx = opts.keyColumns.map(schema.fieldIndex).toArray
+  private val bornIdx = {
+    val i = schema.fields.indexWhere(f => f.name == "born_ts" && f.dataType == TimestampType)
+    i
+  }
+  private val excluded: Set[Int] =
+    (if (opts.writeKeysToBody) Set.empty[Int] else keyIdx.toSet) ++
+      (if (tagIdx >= 0) Set(tagIdx) else Set.empty) ++
+      (if (bornIdx >= 0) Set(bornIdx) else Set.empty)
+  private val bodyIdx = schema.indices.filterNot(excluded.contains).toArray
+
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[Message]
+
+  private def str(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) ""
+    else schema(i).dataType match {
+      case TimestampType => (row.getLong(i) / 1000L).toString // micros → millis
+      case dt => row.get(i, dt).toString
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val key = keyIdx.map(str(row, _)).mkString(",")
+    val tag = if (tagIdx >= 0) str(row, tagIdx) else opts.tag
+    val born =
+      if (bornIdx >= 0 && !row.isNullAt(bornIdx)) row.getLong(bornIdx) / 1000L
+      else System.currentTimeMillis()
+    val body = bodyIdx.map(str(row, _))
+      .mkString(if (opts.fieldDelimiter.isEmpty) "" else opts.fieldDelimiter)
+    buffer += Message(born, key, if (tag == "*") "" else tag, Map.empty, body)
+  }
+
+  /** All IO happens here — a failed attempt leaves no partial lines. */
+  override def commit(): WriterCommitMessage = {
+    TopicLog.append(opts.rootDir, opts.topic, partitionId, buffer.iterator)
+    QueueCommit(partitionId, buffer.size)
+  }
+
+  override def abort(): Unit = buffer.clear()
+  override def close(): Unit = ()
+}

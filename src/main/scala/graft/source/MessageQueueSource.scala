@@ -5,7 +5,7 @@ import java.util
 import graft.config.{GraftOptions, StartMode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
@@ -57,14 +57,20 @@ object MessageQueueTable {
     StructField("body", StringType)))
 }
 
-class MessageQueueTable(opts: GraftOptions) extends Table with SupportsRead {
+class MessageQueueTable(opts: GraftOptions) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-mq:${opts.topic}"
   override def schema(): StructType = MessageQueueTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MessageQueueScanBuilder(opts)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new graft.sink.MessageQueueWriteBuilder(opts, info.schema())
 }
 
 /**

@@ -144,6 +144,42 @@ class MessageQueueSinkSpec extends SparkSpec {
     assert(TopicLog.maxOffset(dstRoot, "out", 0) === 6)
   }
 
+  test("DSv2 write path: df.write.format(graft-mq) lands rows in queue logs") {
+    val root = freshRoot()
+    sampleDf(40).write.format("graft-mq")
+      .option("topic", "dsv2").option("consumerGroup", "g").option("rootDir", root)
+      .option("keyColumns", "id")
+      .option("isDynamicTag", "true").option("dynamicTagColumn", "category")
+      .mode("append")
+      .save()
+    val queues = TopicLog.listQueues(root, "dsv2")
+    assert(queues.nonEmpty)
+    val total = queues.map(q => TopicLog.maxOffset(root, "dsv2", q)).sum
+    assert(total === 40)
+    val (_, m) = TopicLog.readRange(root, "dsv2", queues.head, 0, 1).next()
+    assert(m.tag === "A" || m.tag === "B") // dynamic tag from category
+    assert(m.key.nonEmpty) // id as message key
+    assert(m.body.split("").length === 1) // only name remains in body
+  }
+
+  test("DSv2 write then graft-mq read round-trips") {
+    val root = freshRoot()
+    sampleDf(25).write.format("graft-mq")
+      .option("topic", "rt2").option("consumerGroup", "g").option("rootDir", root)
+      .option("fieldDelimiter", ",").option("writeKeysToBody", "true")
+      .mode("append").save()
+    val back = spark.read.format("graft-mq")
+      .option("topic", "rt2").option("consumerGroup", "g").option("rootDir", root)
+      .load()
+      .select(split(col("body"), ",").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("id"),
+        element_at(col("f"), 2).as("name"),
+        element_at(col("f"), 3).as("category"))
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = sampleDf(25).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want)
+  }
+
   test("async flush mode appends per message (same data, more IO)") {
     val root = freshRoot()
     val conv = new RowMessageConverter(schema, fieldDelimiter = ",")
