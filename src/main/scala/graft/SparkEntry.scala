@@ -26,6 +26,7 @@ object SparkEntry {
     "q12_rollup" -> (Relational.q12Rollup _),
     "q13_lag_lead" -> (Relational.q13LagLead _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
+    "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "deser_documents" -> (Deser.deserDocuments _),
@@ -129,6 +130,9 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "events_dedup_stream" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

@@ -46,4 +46,33 @@ object StreamingQueries {
         col("n_events"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }
+
+  /**
+   * Streaming stateful dedup parity: events streamed with a watermark +
+   * dropDuplicates on the key, then aggregated — must equal batch
+   * count(DISTINCT) SQL. Exercises the dedup state store end-to-end.
+   */
+  def eventsDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-dd")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_events"))
+
+    val name = "events_dedup_" + math.abs(dir.hashCode)
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"))
+  }
 }
