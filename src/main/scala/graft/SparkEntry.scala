@@ -25,6 +25,9 @@ object SparkEntry {
     "q11_semi_join" -> (Relational.q11SemiJoin _),
     "q12_rollup" -> (Relational.q12Rollup _),
     "q13_lag_lead" -> (Relational.q13LagLead _),
+    "q14_scalar_subquery" -> (Relational.q14ScalarSubquery _),
+    "q15_cube" -> (Relational.q15Cube _),
+    "q16_except" -> (Relational.q16Except _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -126,6 +129,19 @@ object SparkEntry {
         | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
         | lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q14_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q16_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
     "events_windowed_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),4) AS sum_value

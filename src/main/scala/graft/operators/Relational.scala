@@ -152,6 +152,31 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Scalar-subquery filter: orders above the global average price. The
+   *  single-row aggregate broadcasts; the fact scan streams through it. */
+  def q14ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val avgPrice = orders.agg(avg(col("o_totalprice")).as("avg_price"))
+    orders.join(broadcast(avgPrice), col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Cube: aggregates over every combination of the two grouping columns. */
+  def q15Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Set difference: nations with customers but no suppliers. */
+  def q16Except(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
