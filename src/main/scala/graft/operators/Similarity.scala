@@ -172,7 +172,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val dim = Tables.embeddings(spark, dir)
       .select(size(col("embedding"))).head().getInt(0)
-    embeddingNearDups(emb, dim, threshold = 0.3, numTables = 8, bitsPerTable = 4)
+    embeddingNearDups(emb, dim, threshold = 0.3, numTables = 8, bitsPerTable = 6)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }
