@@ -28,6 +28,7 @@ object SparkEntry {
     "q14_scalar_subquery" -> (Relational.q14ScalarSubquery _),
     "q15_cube" -> (Relational.q15Cube _),
     "q16_except" -> (Relational.q16Except _),
+    "q17_sketches" -> (Relational.q17Sketches _), // rows-only: sketch estimates
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "text_tokens" -> (TextAnalysis.textTokens _),

@@ -177,6 +177,21 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** Sketch aggregates (rows-only: sketch outputs are engine-specific):
+   *  HLL distinct-count estimate + approximate percentiles per event type.
+   *  At 100 TB these replace exact distinct/percentile shuffles with
+   *  mergeable fixed-size state — the only way those stats stay cheap. */
+  def q17Sketches(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 2).as("p50_value"),
+        round(percentile_approx(col("value"), lit(0.99), lit(10000)), 2).as("p99_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

@@ -79,6 +79,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q17 sketch estimates land within tolerance of exact answers") {
+    val approx = Relational.q17Sketches(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (et, ex) =>
+      val (acd, hll) = approx(et)
+      assert(math.abs(acd - ex).toDouble / ex < 0.1, s"$et approx_count_distinct off: $acd vs $ex")
+      assert(math.abs(hll - ex).toDouble / ex < 0.1, s"$et hll off: $hll vs $ex")
+    }
+  }
+
   test("q10 per-user stats count every event exactly once") {
     val rows = Relational.q10EventsSessions(spark, sfDir).collect()
     val total = rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum
