@@ -49,6 +49,7 @@ object SparkEntry {
     "corpus_clean" -> (Dedup.corpusClean _),
     "ann_lsh" -> (Similarity.annLsh _),
     "embed_neardup" -> (Similarity.embedNearDup _),
+    "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same column names + ordering). */

@@ -115,6 +115,33 @@ object Multimodal {
   }
 
   /**
+   * Query entry (rows-only): derive a deterministic stub image per document
+   * (dims keyed off doc_id), then run the full decode → meta → embed
+   * pipeline. Proves the binary-column plumbing end-to-end on driver data.
+   */
+  def multimodalPipeline(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), lit("image").as("modality"), col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, r.getString(1),
+            encodeStub((id % 64 + 16).toInt, (id % 48 + 16).toInt, (id % 3 + 1).toInt))
+        }
+      }(Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("modality", StringType),
+        StructField("content", BinaryType)))))
+    val decoded = embedContent(withDecodedMeta(media))
+    decoded.select(
+      col("media_id"), col("modality"),
+      col("meta.width"), col("meta.height"), col("meta.channels"), col("meta.n_bytes"),
+      size(col("embedding")).as("emb_dim"))
+      .orderBy(col("media_id"))
+  }
+
+  /**
    * Stub feature extraction: a deterministic 8-dim embedding from content
    * bytes (a real impl would run a vision encoder per batch). Demonstrates
    * the batched map shape with typed array output.
