@@ -33,7 +33,8 @@ final case class GraftOptions(
     dynamicTagColumn: String = null,
     keyColumns: Seq[String] = Nil,
     writeKeysToBody: Boolean = false,
-    propertyFilter: Map[String, String] = Map.empty) {
+    propertyFilter: Map[String, String] = Map.empty,
+    numQueues: Int = 0) {
 
   def startMode: StartMode =
     if (startMessageOffset >= 0) StartMode.Offset(startMessageOffset)
@@ -80,13 +81,14 @@ object GraftOptions {
   val KeyColumns = "keycolumns"
   val WriteKeysToBody = "writekeystobody"
   val PropertyFilter = "propertyfilter"
+  val NumQueues = "numqueues"
 
   val RequiredKeys: Set[String] = Set(Topic, ConsumerGroup, RootDir)
   val OptionalKeys: Set[String] = Set(
     Tag, StartMessageOffset, StartTimeMs, EndTimeMs, PartitionDiscoveryIntervalMs,
     Encoding, FieldDelimiter, LineDelimiter, ColumnErrorDebug, LengthCheck,
     RetryTimes, SleepTimeMs, OffsetResetTo, IsDynamicTag, DynamicTagColumn,
-    KeyColumns, WriteKeysToBody, PropertyFilter)
+    KeyColumns, WriteKeysToBody, PropertyFilter, NumQueues)
 
   /** Java-style backslash-escape decoding for delimiter options ("\t", "\n",
     * "", …) — the reference unescapes delimiters the same way
@@ -162,7 +164,8 @@ object GraftOptions {
         val eq = kv.indexOf('=')
         require(eq > 0, s"propertyFilter entries must be k=v, got: $kv")
         kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      numQueues = opts.get(NumQueues).map(_.toInt).getOrElse(0))
   }
 
   /** The three dirty-data strategies implied by `lengthCheck`. */

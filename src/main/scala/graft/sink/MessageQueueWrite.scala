@@ -19,8 +19,22 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  */
 class MessageQueueWriteBuilder(opts: GraftOptions, schema: StructType)
     extends WriteBuilder {
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
     override def toBatch: BatchWrite = new MessageQueueBatchWrite(opts, schema)
+    // task = queue, so the requested partition count IS the queue count;
+    // 0 lets the incoming partitioning stand. Clustering key: the message
+    // key columns (keeps one key's messages ordered within one queue, the
+    // broker's per-key ordering guarantee) or the whole row when no keys.
+    override def requiredDistribution(): Distribution =
+      if (opts.numQueues <= 0) Distributions.unspecified()
+      else {
+        val cols = if (opts.keyColumns.nonEmpty) opts.keyColumns else schema.fieldNames.toSeq
+        Distributions.clustered(cols.map(c => Expressions.identity(c)).toArray)
+      }
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    override def requiredNumPartitions(): Int = math.max(opts.numQueues, 0)
   }
 }
 

@@ -162,6 +162,16 @@ class MessageQueueSinkSpec extends SparkSpec {
     assert(m.body.split("").length === 1) // only name remains in body
   }
 
+  test("DSv2 write honors numQueues via required distribution") {
+    val root = freshRoot()
+    sampleDf(30).repartition(10).write.format("graft-mq")
+      .option("topic", "nq").option("consumerGroup", "g").option("rootDir", root)
+      .option("numQueues", "3").option("fieldDelimiter", ",")
+      .mode("append").save()
+    assert(TopicLog.listQueues(root, "nq") === Seq(0, 1, 2))
+    assert((0 until 3).map(q => TopicLog.maxOffset(root, "nq", q)).sum === 30)
+  }
+
   test("DSv2 write then graft-mq read round-trips") {
     val root = freshRoot()
     sampleDf(25).write.format("graft-mq")
