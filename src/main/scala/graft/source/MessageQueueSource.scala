@@ -245,7 +245,7 @@ class QueuePartitionReader(rootDir: String, tagFilter: String,
     InternalRow.fromSeq(extractors.map(_(offset, m)).toIndexedSeq)
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = iter.close()
 }
 
 /** Micro-batch offsets: queueId → next offset to read, JSON-encoded. */

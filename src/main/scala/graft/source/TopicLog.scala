@@ -145,29 +145,37 @@ object TopicLog {
     } finally in.close()
   }
 
-  /** Read messages with offsets in [startOffset, stopOffset). */
-  def readRange(root: String, topic: String, queueId: Int,
-                startOffset: Long, stopOffset: Long): Iterator[(Long, Message)] = {
-    val file = queueFile(root, topic, queueId)
-    if (!file.exists() || startOffset >= stopOffset) return Iterator.empty
-    val in = new BufferedReader(new FileReader(file, StandardCharsets.UTF_8))
-    var offset = -1L
-    new Iterator[(Long, Message)] {
-      private var nextLine: String = advance()
-      private def advance(): String = {
-        var line = in.readLine()
-        offset += 1
-        while (line != null && offset < startOffset) { line = in.readLine(); offset += 1 }
-        if (line == null || offset >= stopOffset) { in.close(); null } else line
-      }
-      override def hasNext: Boolean = nextLine != null
-      override def next(): (Long, Message) = {
-        val out = (offset, parseLine(nextLine))
-        nextLine = advance()
-        out
-      }
+  /** Iterator over a queue range that can be closed before exhaustion
+    * (a LIMITed scan stops early; the reader must not leak the handle). */
+  final class RangeIterator(file: File, startOffset: Long, stopOffset: Long)
+      extends Iterator[(Long, Message)] with AutoCloseable {
+    private val in =
+      if (!file.exists() || startOffset >= stopOffset) null
+      else new BufferedReader(new FileReader(file, StandardCharsets.UTF_8))
+    private var offset = -1L
+    private var nextLine: String = if (in == null) null else advance()
+
+    private def advance(): String = {
+      var line = in.readLine()
+      offset += 1
+      while (line != null && offset < startOffset) { line = in.readLine(); offset += 1 }
+      if (line == null || offset >= stopOffset) { in.close(); null } else line
+    }
+    override def hasNext: Boolean = nextLine != null
+    override def next(): (Long, Message) = {
+      val out = (offset, parseLine(nextLine))
+      nextLine = advance()
+      out
+    }
+    override def close(): Unit = {
+      if (in != null && nextLine != null) { in.close(); nextLine = null }
     }
   }
+
+  /** Read messages with offsets in [startOffset, stopOffset). */
+  def readRange(root: String, topic: String, queueId: Int,
+                startOffset: Long, stopOffset: Long): RangeIterator =
+    new RangeIterator(queueFile(root, topic, queueId), startOffset, stopOffset)
 
   /** Recursively delete a topic dir (test/bench helper). */
   def deleteTopic(root: String, topic: String): Unit = {
