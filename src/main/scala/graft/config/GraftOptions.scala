@@ -135,6 +135,9 @@ object GraftOptions {
     val reset = opts.getOrElse(OffsetResetTo, "latest").toLowerCase
     if (!Set("earliest", "latest", "timestamp").contains(reset))
       throw new IllegalArgumentException(s"invalid offsetResetTo: $reset")
+    if (reset == "timestamp" && !opts.contains(StartTimeMs))
+      throw new IllegalArgumentException(
+        "offsetResetTo=timestamp requires startTimeMs")
 
     GraftOptions(
       topic = opts(Topic),

@@ -67,8 +67,15 @@ object TextHashes {
 
   private val Prime = 2147483647L // 2^31 - 1: a*x+b stays inside a long
 
-  /** Deterministic (a, b) coefficient pairs in the mod-p space. */
-  def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  /** Deterministic (a, b) coefficient pairs in the mod-p space — memoized,
+    * the kernel runs once per row and must not regenerate them. */
+  def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((numHashes, seed), { case (n, s) => generate(n, s) })
+
+  private def generate(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
     var state = seed
     def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
     val as = new Array[Long](numHashes)

@@ -60,8 +60,10 @@ object Dedup {
 
   /** (idCol, band, band_hash): equal band_hash within a band = LSH candidate. */
   def lshBands(signatures: DataFrame, idCol: String = "doc_id",
-               numBands: Int = 16): DataFrame = {
-    val rowsPerBand = 64 / numBands
+               numBands: Int = 16, numHashes: Int = 64): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be divisible by numBands ($numBands)")
+    val rowsPerBand = numHashes / numBands
     val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
@@ -97,7 +99,7 @@ object Dedup {
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
-    val bands = lshBands(sigs, idCol, b)
+    val bands = lshBands(sigs, idCol, b, numHashes)
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
     val left = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
@@ -181,7 +183,7 @@ object Dedup {
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
-    val bands = lshBands(sigs, idCol, b)
+    val bands = lshBands(sigs, idCol, b, numHashes)
     // cheap signature prefilter (slightly below threshold to keep estimate
     // noise from dropping borderline pairs) before the wide shingle-set join
     val est = graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b"))
@@ -206,8 +208,12 @@ object Dedup {
   }
 
   /**
-   * Inverted-index variant (no MinHash): exact Jaccard for every pair
-   * sharing a shingle rarer than `maxDf`. The df cap is load-bearing — char
+   * Inverted-index variant (no MinHash): df-capped Jaccard for every pair
+   * sharing a shingle rarer than `maxDf`. NOTE the cap biases the estimate
+   * low: only sub-cap shingles count toward `common` while the denominators
+   * count all shingles, so pairs whose overlap is mostly ubiquitous shingles
+   * score near zero (use the LSH [[ngramJaccard]] for exact values). The df
+   * cap is load-bearing — char
    * n-grams are heavy-tailed, and a shingle with df=d creates d² pairs.
    * Keep maxDf small (default 50) or use the LSH-candidates
    * [[ngramJaccard]] for big corpora.

@@ -25,7 +25,8 @@ object Deser {
     val deser = RowDeserializer.withLengthCheck(
       schema, lengthCheck, fieldDelimiter = fieldDelimiter, lineDelimiter = lineDelimiter)
     df.select(col(bodyCol)).as(Encoders.STRING)
-      .flatMap(body => if (body == null) Nil else deser.deserialize(body.getBytes))(
+      .flatMap(body => if (body == null) Nil
+        else deser.deserialize(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))(
         Encoders.row(schema))
       .toDF()
   }
@@ -50,7 +51,8 @@ object Deser {
     rows.flatMap { r =>
       val body = r.getString(0)
       val props = if (r.isNullAt(1)) Map.empty[String, String] else r.getMap[String, String](1).toMap
-      if (body == null) Nil else deser.deserialize(body.getBytes, props)
+      if (body == null) Nil
+      else deser.deserialize(body.getBytes(java.nio.charset.StandardCharsets.UTF_8), props)
     }(Encoders.row(schema)).toDF()
   }
 

@@ -161,8 +161,10 @@ class RowDeserializer(
   private def splitPreserveAll(s: String, sep: String): Array[String] =
     splitBy(s, sep).toArray
 
-  /** Literal (non-regex) split on a delimiter string, keeping trailing empties. */
+  /** Literal (non-regex) split on a delimiter string, keeping trailing empties.
+    * An empty delimiter never splits (indexOf("") would loop forever). */
   private def splitBy(s: String, sep: String): Vector[String] = {
+    if (sep.isEmpty) return Vector(s)
     val out = Vector.newBuilder[String]
     var start = 0
     var idx = s.indexOf(sep)

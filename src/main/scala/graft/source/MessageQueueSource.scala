@@ -105,7 +105,12 @@ class MessageQueueScanBuilder(opts: GraftOptions) extends ScanBuilder
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
-      case EqualTo("tag", v: String) if pushedTagFilter.isEmpty =>
+      // only consume tag equality when the reader option imposes no tag
+      // constraint of its own — replacing a user's tag option with the
+      // predicate would widen the scan (option "a" + filter tag='b' must be
+      // empty, not all-of-b)
+      case EqualTo("tag", v: String)
+          if pushedTagFilter.isEmpty && (opts.tag == null || opts.tag == "*" || opts.tag.isEmpty) =>
         pushedTagFilter = Some(v); pushed :+= EqualTo("tag", v); false // fully handled
       case f @ GreaterThanOrEqual("born_ts", v) if toMillis(v).isDefined =>
         bornTsLowerMs = Some(bornTsLowerMs.fold(toMillis(v).get)(math.max(_, toMillis(v).get)))

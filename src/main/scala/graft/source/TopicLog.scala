@@ -56,9 +56,39 @@ object TopicLog {
       case '\t' => sb.append("\\t")
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
+      // ';' and '=' structure the properties field; escaping them everywhere
+      // keeps one uniform codec (unescape's catch-all restores them)
+      case ';' => sb.append("\\;")
+      case '=' => sb.append("\\=")
       case c => sb.append(c)
     }
     sb.toString
+  }
+
+  /** First index of `sep` not preceded by an escape backslash. */
+  private def indexOfUnescaped(s: String, sep: Char, from: Int): Int = {
+    var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == sep) return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Split on unescaped occurrences of `sep`. */
+  private def splitUnescaped(s: String, sep: Char): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var start = 0
+    var idx = indexOfUnescaped(s, sep, 0)
+    while (idx >= 0) {
+      out += s.substring(start, idx)
+      start = idx + 1
+      idx = indexOfUnescaped(s, sep, start)
+    }
+    out += s.substring(start)
+    out.result()
   }
 
   private[source] def unescape(s: String): String = {
@@ -90,8 +120,9 @@ object TopicLog {
     val parts = line.split("\t", 5)
     val props =
       if (parts.length < 4 || parts(3).isEmpty) Map.empty[String, String]
-      else parts(3).split(";").iterator.map { kv =>
-        val eq = kv.indexOf('=')
+      else splitUnescaped(parts(3), ';').iterator.filter(_.nonEmpty).map { kv =>
+        val eq = indexOfUnescaped(kv, '=', 0)
+        require(eq >= 0, s"malformed property entry: $kv")
         unescape(kv.substring(0, eq)) -> unescape(kv.substring(eq + 1))
       }.toMap
     Message(

@@ -57,6 +57,16 @@ class DedupSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getDouble(2) === 1.0)
   }
 
+  test("non-64 signature lengths band correctly; indivisible split rejected") {
+    val pairs = Dedup.minHashNearDups(planted, numHashes = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) }) // no candidate explosion
+    assertThrows[IllegalArgumentException] {
+      Dedup.lshBands(Dedup.minHashSignatures(planted, numHashes = 50), numBands = 16, numHashes = 50)
+    }
+  }
+
   test("minhash plan contains no cartesian product or broadcast nested loop") {
     val plan = Dedup.minHashNearDups(planted).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")

@@ -105,6 +105,14 @@ class RowDeserializerSpec extends AnyFunSuite {
     assert(skip.deserialize("1,a,2.0,junk".getBytes) === Seq.empty)
   }
 
+  test("empty field delimiter never splits (and never hangs)") {
+    val d = new RowDeserializer(schema, fieldDelimiter = "",
+      fieldMissingStrategy = DirtyDataStrategy.Pad,
+      formatErrorStrategy = DirtyDataStrategy.Null)
+    // whole line lands in the first column (unparsable int -> null), rest pad
+    assert(d.deserialize("1,a,2.0".getBytes) === Seq(Row(null, null, null)))
+  }
+
   test("custom multi-char delimiters and \\u0001 default work") {
     val d = new RowDeserializer(schema, fieldDelimiter = "||",
       fieldMissingStrategy = DirtyDataStrategy.Pad)

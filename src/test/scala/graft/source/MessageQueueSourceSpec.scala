@@ -137,6 +137,32 @@ class MessageQueueSourceSpec extends SparkSpec {
     assert(ts.forall(t => t >= 4000 && t < 8000))
   }
 
+  test("tag option intersected with a conflicting tag filter yields empty, not widened") {
+    val root = freshRoot()
+    seed(root, "tp4", queues = 1, perQueue = 10)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "tp4").option("consumerGroup", "g").option("rootDir", root)
+      .option("tag", "even").load()
+      .filter(col("tag") === "odd")
+    assert(df.count() === 0)
+    // and without an option constraint the filter is consumed at the reader
+    val pushedOnly = spark.read.format("graft-mq")
+      .option("topic", "tp4").option("consumerGroup", "g").option("rootDir", root)
+      .load().filter(col("tag") === "odd")
+    assert(pushedOnly.count() === 5)
+  }
+
+  test("offsetResetTo=timestamp without startTimeMs fails validation") {
+    val root = freshRoot()
+    seed(root, "tp5", queues = 1, perQueue = 2)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-mq")
+        .option("topic", "tp5").option("consumerGroup", "g").option("rootDir", root)
+        .option("offsetResetTo", "timestamp").load().count()
+    }
+    assert(e.getMessage.contains("startTimeMs"))
+  }
+
   test("missing required option fails fast") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-mq").option("topic", "x").load()

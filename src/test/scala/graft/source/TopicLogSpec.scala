@@ -63,6 +63,14 @@ class TopicLogSpec extends AnyFunSuite {
     assert(TopicLog.listQueues(root, "nope") === Seq.empty)
   }
 
+  test("properties containing ';' and '=' round-trip") {
+    val root = tmpRoot()
+    val m = Message(5L, "k", "t",
+      Map("a;b" -> "x=y", "c" -> "v1;v2=3", "plain" -> "ok"), "body=;stuff")
+    TopicLog.append(root, "t", 0, Iterator(m))
+    assert(TopicLog.readRange(root, "t", 0, 0, 1).toSeq === Seq((0L, m)))
+  }
+
   test("empty properties and empty body round-trip") {
     val root = tmpRoot()
     val m = Message(5L, "", "", Map.empty, "")
