@@ -73,12 +73,17 @@ object MessageQueueSink {
   /**
    * Streaming sink: `df.writeStream.foreachBatch(MessageQueueSink.foreachBatch(...))`.
    *
-   * Exactly-once across restarts: Structured Streaming replays an unfinished
-   * micro-batch with the SAME batchId after a crash, so appends would
-   * duplicate. A committed-batch marker file per sink root makes the append
-   * idempotent — replayed batchIds are skipped. This is the Spark shape of
-   * the reference's pendingOffsetsToCommit checkpoint bookkeeping
+   * Exactly-once across RESTARTS: Structured Streaming replays an unfinished
+   * micro-batch with the SAME batchId after a crash, and the committed-batch
+   * marker file skips batchIds that already fully landed. This is the Spark
+   * shape of the reference's pendingOffsetsToCommit checkpoint bookkeeping
    * (reference: legacy/RocketMQSourceFunction.java:150, RocketMQSink.java:60-150).
+   *
+   * Within one batch the guarantee is at-least-once: a task retry or a crash
+   * mid-batch can re-append rows the earlier attempt already flushed, exactly
+   * like the reference's async sink. For task-retry atomicity use the DSv2
+   * writer (`df.write.format("graft-mq")`), whose per-task buffer only
+   * touches the log at the commit-coordinated commit().
    */
   def foreachBatch(
       rootDir: String,
