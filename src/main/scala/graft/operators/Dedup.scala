@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
  * generate candidates via band/bucket equi-joins — never an all-pairs cross
  * join — so cost scales with duplicate density, not corpus size squared:
  *
- *  - MinHash: one explode + one groupBy builds all signatures columnarly;
- *    banding turns "similar" into "equal on some band", a shuffle-join key.
- *  - SimHash: 64 conditional sums per doc, band-split for Hamming<=3 recall.
- *  - n-gram Jaccard: inverted-index join with a document-frequency cap so a
- *    stopword shingle can never create a quadratic bucket.
+ *  - MinHash: signatures built by a custom-expression kernel inside the
+ *    scan (zero shuffle); banding turns "similar" into "equal on some
+ *    band", a shuffle-join key sized to the threshold.
+ *  - SimHash: one 64-bit kernel per row, 4x16-bit band split for
+ *    guaranteed Hamming<=3 recall.
+ *  - n-gram Jaccard: exact set intersection, verified only on LSH
+ *    candidate pairs (inverted-index variant with a df cap as fallback).
  *
  * All hash coefficients derive from a fixed seed — results are deterministic
  * across runs and cluster sizes.
