@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
     "corpus_clean" -> (Dedup.corpusClean _),
     "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf" -> (Similarity.annIvf _),
     "embed_neardup" -> (Similarity.embedNearDup _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
   )

@@ -138,6 +138,73 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  // ---- IVF (inverted file) ----
+
+  /**
+   * Deterministic coarse quantizer: the K corpus vectors with the smallest
+   * id-hash become centroids (cheap, reproducible; a Lloyd refinement is a
+   * groupBy away but the sampled quantizer already gives balanced cells on
+   * real embedding distributions).
+   */
+  def sampleCentroids(corpus: DataFrame, k: Int): Array[(Int, Array[Double])] =
+    corpus.select(col("vec_id"), col("emb"))
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+
+  /** Columns of per-centroid cosine, sorted ascending by sim as structs. */
+  private def centroidSims(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array_sort(array(centroids.map { case (cid, c) =>
+      struct(
+        graft.functions.GraftFunctions.cosineSim(emb, array(c.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** Assign every vector to its nearest centroid cell. */
+  def assignCells(df: DataFrame, embCol: String,
+                  centroids: Array[(Int, Array[Double])]): DataFrame =
+    df.withColumn("centroid_id",
+      element_at(centroidSims(col(embCol), centroids), -1).getField("cid"))
+
+  /**
+   * IVF-flat top-k: vectors live in centroid cells; each probe searches only
+   * its `nprobe` nearest cells (equi-join on centroid_id, probes broadcast).
+   * The complementary scale path to [[lshTopK]] — cost is corpus/K × nprobe
+   * per probe instead of bucket-collision driven, and the index is one
+   * assignment pass that any number of queries reuses.
+   */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 8): DataFrame = {
+    val centroids = sampleCentroids(corpus, numCentroids)
+    val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
+    val probeCells = probes
+      .withColumn("cell",
+        explode(transform(
+          slice(centroidSims(col("q_emb"), centroids), -nprobe, nprobe),
+          s => s.getField("cid"))))
+      .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(broadcast(probeCells), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Query entry (rows-only): IVF top-10 for the first 5 vectors. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfTopK(emb, probes, 10)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: bucket self-join (same table,
    * same bucket), exact cosine verify, distinct pairs. No cross join — the

@@ -67,6 +67,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF: every vector lands in exactly one cell; cells cover the corpus") {
+    val centroids = Similarity.sampleCentroids(embeddings, 8)
+    assert(centroids.length === 8)
+    val assigned = Similarity.assignCells(embeddings.select("vec_id", "emb"), "emb", centroids)
+    assert(assigned.count() === embeddings.count())
+    val cells = assigned.groupBy("centroid_id").count().collect()
+    assert(cells.map(_.getInt(0)).toSet.subsetOf((0 until 8).toSet))
+    assert(cells.map(_.getLong(1)).sum === embeddings.count())
+  }
+
+  test("IVF top-k: nprobe=all is exhaustive; half-probe recall stays high") {
+    val probes = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(embeddings, probes, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell must reproduce brute force exactly
+    val full = Similarity.ivfTopK(embeddings, probes, 10, numCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    val half = Similarity.ivfTopK(embeddings, probes, 10, numCentroids = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(half).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF half-probe recall too low: $recall")
+  }
+
+  test("IVF plan: probes broadcast onto a cell equi-join, no cartesian") {
+    val probes = embeddings.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val plan = Similarity.ivfTopK(embeddings, probes, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embedding near-dup pairs are symmetric-free, above threshold, verified") {
     val pairs = Similarity.embeddingNearDups(embeddings, dim, threshold = 0.9)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
