@@ -31,6 +31,7 @@ final case class GraftOptions(
     offsetResetTo: String = "latest",
     isDynamicTag: Boolean = false,
     dynamicTagColumn: String = null,
+    dynamicTagColumnWriteIncluded: Boolean = true,
     keyColumns: Seq[String] = Nil,
     writeKeysToBody: Boolean = false,
     propertyFilter: Map[String, String] = Map.empty,
@@ -78,6 +79,7 @@ object GraftOptions {
   val OffsetResetTo = "offsetresetto"
   val IsDynamicTag = "isdynamictag"
   val DynamicTagColumn = "dynamictagcolumn"
+  val DynamicTagColumnWriteIncluded = "dynamictagcolumnwriteincluded"
   val KeyColumns = "keycolumns"
   val WriteKeysToBody = "writekeystobody"
   val PropertyFilter = "propertyfilter"
@@ -88,7 +90,8 @@ object GraftOptions {
     Tag, StartMessageOffset, StartTimeMs, EndTimeMs, PartitionDiscoveryIntervalMs,
     Encoding, FieldDelimiter, LineDelimiter, ColumnErrorDebug, LengthCheck,
     RetryTimes, SleepTimeMs, OffsetResetTo, IsDynamicTag, DynamicTagColumn,
-    KeyColumns, WriteKeysToBody, PropertyFilter, NumQueues)
+    DynamicTagColumnWriteIncluded, KeyColumns, WriteKeysToBody, PropertyFilter,
+    NumQueues)
 
   /** Java-style backslash-escape decoding for delimiter options ("\t", "\n",
     * "", …) — the reference unescapes delimiters the same way
@@ -159,6 +162,8 @@ object GraftOptions {
       offsetResetTo = reset,
       isDynamicTag = opts.get(IsDynamicTag).exists(_.toBoolean),
       dynamicTagColumn = opts.get(DynamicTagColumn).orNull,
+      dynamicTagColumnWriteIncluded =
+        opts.get(DynamicTagColumnWriteIncluded).forall(_.toBoolean),
       keyColumns = opts.get(KeyColumns).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       writeKeysToBody = opts.get(WriteKeysToBody).exists(_.toBoolean),
       // "k=v;k2=v2" equality conjunction, the graft analog of the broker's

@@ -117,6 +117,60 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Random-hyperplane LSH bucket id: bit i of the result is the sign of
+ * emb · planes(i). The planes live INSIDE the expression (not as literal
+ * children), so the plan stays small at any dimension and all planes are
+ * evaluated in one fused pass per row.
+ */
+case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+  override def dataType: DataType = LongType
+
+  private def toDoubles(v: Any): Array[Double] = child.dataType match {
+    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
+    case _ =>
+      val fs = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Double](fs.length)
+      var i = 0
+      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+      out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = toDoubles(input)
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      val n = math.min(xs.length, plane.length)
+      var i = 0
+      while (i < n) { dot += xs(i) * plane(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  // the planes array participates in equality so plans with different seeds
+  // don't dedupe into each other
+  override def equals(other: Any): Boolean = other match {
+    case o: HyperplaneBucketExpr =>
+      child == o.child && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], o.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
 case class SigEqualFractionExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -164,6 +218,9 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplaneBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(HyperplaneBucketExpr(ExpressionUtils.expression(emb), planes))
 
   // ---- SQL registration ----
 

@@ -74,12 +74,12 @@ object Similarity {
       nextUniform() + nextUniform() + nextUniform() + nextUniform()))
   }
 
-  /** Sign-pattern bucket id of `emb` for one table's planes. */
+  /** Sign-pattern bucket id of `emb` for one table's planes — a single
+    * kernel pass over all planes ([[graft.functions.HyperplaneBucketExpr]];
+    * per-plane Column folds would blow the codegen tree past the JVM method
+    * limit at realistic dimensions). */
   private def bucketKey(emb: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
-      when(dot(emb, plane) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+    graft.functions.GraftFunctions.hyperplaneBucket(emb, planes)
 
   /** (srcCols*, table, bucket) — one row per vector per table. */
   def lshBuckets(
@@ -130,8 +130,7 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val dim = Tables.embeddings(spark, dir)
-      .select(size(col("embedding"))).head().getInt(0)
+    val dim = emb.select(size(col("emb"))).head().getInt(0)
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     lshTopK(emb, probes, dim, 10, numTables = 16, bitsPerTable = 4)
@@ -179,11 +178,15 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 8): DataFrame = {
     val centroids = sampleCentroids(corpus, numCentroids)
+    // a tiny corpus can yield fewer centroids than requested; an unclamped
+    // nprobe would make slice() return an empty array and silently drop
+    // every probe
+    val probeN = math.min(nprobe, centroids.length)
     val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
     val probeCells = probes
       .withColumn("cell",
         explode(transform(
-          slice(centroidSims(col("q_emb"), centroids), -nprobe, nprobe),
+          slice(centroidSims(col("q_emb"), centroids), -probeN, probeN),
           s => s.getField("cid"))))
       .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -237,8 +240,7 @@ object Similarity {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val dim = Tables.embeddings(spark, dir)
-      .select(size(col("embedding"))).head().getInt(0)
+    val dim = emb.select(size(col("emb"))).head().getInt(0)
     embeddingNearDups(emb, dim, threshold = 0.3, numTables = 8, bitsPerTable = 6)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -25,6 +25,8 @@ object SkewJoin {
       key: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs already have a _salt column; rename it before salting")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",

@@ -15,15 +15,25 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
  */
 object StreamingQueries {
 
+  /** The file stream source monitors a directory; expose the single parquet
+    * file through a per-input temp dir symlink (absolute target — a relative
+    * one would dangle from /tmp). Reused across calls, cleaned at JVM exit. */
+  private def symlinkDir(dir: String, prefix: String): String = {
+    val abs = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"$prefix-${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, abs)
+    streamDir.toFile.deleteOnExit()
+    streamDir.toString
+  }
+
   def eventsWindowedStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file stream source monitors a directory; expose the single parquet
-    // file through a temp dir symlink
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamDir = symlinkDir(dir, "graft-events-stream")
     val stream = spark.readStream
       .schema(schema)
       .parquet(streamDir.toString)
@@ -59,10 +69,7 @@ object StreamingQueries {
     // setup dominates a single-batch local run); RocksDB wins only for
     // long-lived state far larger than executor heap.
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-dd")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamDir = symlinkDir(dir, "graft-events-dd")
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "5 seconds")

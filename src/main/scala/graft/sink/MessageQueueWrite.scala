@@ -68,11 +68,18 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
   }
   private val excluded: Set[Int] =
     (if (opts.writeKeysToBody) Set.empty[Int] else keyIdx.toSet) ++
-      (if (tagIdx >= 0) Set(tagIdx) else Set.empty) ++
+      (if (tagIdx >= 0 && !opts.dynamicTagColumnWriteIncluded) Set(tagIdx) else Set.empty) ++
       (if (bornIdx >= 0) Set(bornIdx) else Set.empty)
   private val bodyIdx = schema.indices.filterNot(excluded.contains).toArray
 
-  private val buffer = scala.collection.mutable.ArrayBuffer.empty[Message]
+  // rows spill to a task-attempt temp file as they arrive (O(1) heap, the
+  // 100 TB partition case); commit() appends the spill to the queue log in
+  // one transfer and deletes it.
+  private val spillPath = java.nio.file.Files.createTempFile(
+    s"graft-write-$partitionId-", ".spill")
+  private val spill = new java.io.BufferedWriter(new java.io.FileWriter(
+    spillPath.toFile, java.nio.charset.StandardCharsets.UTF_8))
+  private var rows = 0L
 
   private def str(row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) ""
@@ -89,15 +96,27 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
       else System.currentTimeMillis()
     val body = bodyIdx.map(str(row, _))
       .mkString(if (opts.fieldDelimiter.isEmpty) "" else opts.fieldDelimiter)
-    buffer += Message(born, key, if (tag == "*") "" else tag, Map.empty, body)
+    spill.write(TopicLog.renderLine(
+      Message(born, key, if (tag == "*") "" else tag, Map.empty, body)))
+    spill.newLine()
+    rows += 1L
   }
 
-  /** All IO happens here — a failed attempt leaves no partial lines. */
+  /** The queue log is only touched here, after every row spilled cleanly —
+    * an attempt that dies mid-write leaves just an orphan temp file. A crash
+    * DURING this append can still leave a partial tail (single-file appends
+    * are not atomic); Spark's commit coordinator prevents the double-commit
+    * case. */
   override def commit(): WriterCommitMessage = {
-    TopicLog.append(opts.rootDir, opts.topic, partitionId, buffer.iterator)
-    QueueCommit(partitionId, buffer.size)
+    spill.close()
+    TopicLog.appendRendered(opts.rootDir, opts.topic, partitionId, spillPath)
+    java.nio.file.Files.deleteIfExists(spillPath)
+    QueueCommit(partitionId, rows)
   }
 
-  override def abort(): Unit = buffer.clear()
-  override def close(): Unit = ()
+  override def abort(): Unit = {
+    spill.close()
+    java.nio.file.Files.deleteIfExists(spillPath)
+  }
+  override def close(): Unit = { java.nio.file.Files.deleteIfExists(spillPath); () }
 }

@@ -135,6 +135,21 @@ object TopicLog {
 
   // ---- IO ----
 
+  /** One message as its on-disk line (no terminator). */
+  def renderLine(m: Message): String = formatLine(m)
+
+  /** Append pre-rendered lines from a spill file to a queue log in one
+    * channel transfer (the DSv2 writer's commit path). */
+  def appendRendered(root: String, topic: String, queueId: Int,
+                     spill: java.nio.file.Path): Unit = {
+    val file = queueFile(root, topic, queueId)
+    file.getParentFile.mkdirs()
+    val out = new java.io.FileOutputStream(file, true)
+    val in = new java.io.FileInputStream(spill.toFile)
+    try in.getChannel.transferTo(0, Long.MaxValue, out.getChannel)
+    finally { in.close(); out.close() }
+  }
+
   /** Append messages to a queue log (single writer per queue). */
   def append(root: String, topic: String, queueId: Int, messages: Iterator[Message]): Long = {
     val file = queueFile(root, topic, queueId)

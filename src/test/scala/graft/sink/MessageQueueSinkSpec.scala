@@ -150,6 +150,7 @@ class MessageQueueSinkSpec extends SparkSpec {
       .option("topic", "dsv2").option("consumerGroup", "g").option("rootDir", root)
       .option("keyColumns", "id")
       .option("isDynamicTag", "true").option("dynamicTagColumn", "category")
+      .option("dynamicTagColumnWriteIncluded", "false")
       .mode("append")
       .save()
     val queues = TopicLog.listQueues(root, "dsv2")
