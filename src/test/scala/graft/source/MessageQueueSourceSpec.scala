@@ -228,6 +228,36 @@ class MessageQueueSourceSpec extends SparkSpec {
     assert(all.filter(col("body") === "late").count() === 2)
   }
 
+  test("live tail: a running stream picks up appends across micro-batches") {
+    val root = freshRoot()
+    seed(root, "tail1", queues = 2, perQueue = 3)
+    val outName = "mq_tail_" + System.nanoTime()
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", "tail1").option("consumerGroup", "g").option("rootDir", root)
+      .option("offsetResetTo", "earliest").load()
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(outName).count() === 6)
+      // producer keeps appending while the stream runs
+      TopicLog.append(root, "tail1", 0, Iterator(Message(50000, "n1", "t", Map.empty, "late-0")))
+      TopicLog.append(root, "tail1", 1, Iterator(Message(51000, "n2", "t", Map.empty, "late-1")))
+      q.processAllAvailable()
+      assert(spark.table(outName).count() === 8)
+      TopicLog.append(root, "tail1", 1, Iterator(Message(52000, "n3", "t", Map.empty, "late-2")))
+      q.processAllAvailable()
+      val bodies = spark.table(outName).select("body").collect().map(_.getString(0)).toSet
+      assert(spark.table(outName).count() === 9)
+      assert(bodies.contains("late-2"))
+      // offsets remain strictly per-queue sequential with no gaps or dups
+      val offsets = spark.table(outName).select("queue_id", "offset").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      assert(offsets.distinct.length === offsets.length)
+    } finally q.stop()
+  }
+
   test("streaming with offsetResetTo=latest sees only new messages") {
     val root = freshRoot()
     seed(root, "ts2", queues = 1, perQueue = 5)
