@@ -29,6 +29,7 @@ object SparkEntry {
     "q15_cube" -> (Relational.q15Cube _),
     "q16_except" -> (Relational.q16Except _),
     "q17_sketches" -> (Relational.q17Sketches _), // rows-only: sketch estimates
+    "q18_percentiles" -> (Relational.q18Percentiles _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -149,6 +150,12 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q18_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25),4) AS p25,
+        | round(quantile_cont(value, 0.5),4) AS p50,
+        | round(quantile_cont(value, 0.9),4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_dedup_stream" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -192,6 +192,18 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Exact interpolated percentiles per group (the sketch-free counterpart
+   *  of q17 — full sort per group, only affordable when groups fit memory). */
+  def q18Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
