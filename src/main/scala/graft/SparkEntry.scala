@@ -30,6 +30,8 @@ object SparkEntry {
     "q16_except" -> (Relational.q16Except _),
     "q17_sketches" -> (Relational.q17Sketches _), // rows-only: sketch estimates
     "q18_percentiles" -> (Relational.q18Percentiles _),
+    "q19_string_ops" -> (Relational.q19StringOps _),
+    "q20_datetime" -> (Relational.q20Datetime _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -156,6 +158,22 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5),4) AS p50,
         | round(quantile_cont(value, 0.9),4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_string_ops" ->
+      """SELECT p_partkey, upper(p_name) AS upper_name,
+        | substr(p_name, 1, 8) AS prefix8,
+        | length(p_name) AS name_len,
+        | lpad(p_partkey::VARCHAR, 8, '0') AS padded_key,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q20_datetime" ->
+      """SELECT o_orderkey,
+        | EXTRACT(year FROM o_orderdate) AS yr,
+        | EXTRACT(month FROM o_orderdate) AS mo,
+        | EXTRACT(isodow FROM o_orderdate) AS isodow,
+        | CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "events_dedup_stream" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -204,6 +204,36 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** String-function surface: case, slicing, padding, regex replace,
+   *  concatenation — all codegen'd Column expressions. */
+  def q19StringOps(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        substring(col("p_name"), 1, 8).as("prefix8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Datetime-function surface: component extraction, ISO weekday, date
+   *  arithmetic — pushdown-safe Column expressions over the order dates. */
+  def q20Datetime(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_1999"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
