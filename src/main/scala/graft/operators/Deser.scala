@@ -19,7 +19,7 @@ object Deser {
       df: DataFrame,
       bodyCol: String,
       schema: StructType,
-      fieldDelimiter: String = "",
+      fieldDelimiter: String = "",
       lineDelimiter: String = "\n",
       lengthCheck: String = "NONE"): DataFrame = {
     val deser = RowDeserializer.withLengthCheck(
@@ -43,7 +43,7 @@ object Deser {
       headerFields: Set[String],
       bodyCol: String = "body",
       propsCol: String = "properties",
-      fieldDelimiter: String = "",
+      fieldDelimiter: String = "",
       lengthCheck: String = "NONE"): DataFrame = {
     val deser = RowDeserializer.withLengthCheck(
       schema, lengthCheck, fieldDelimiter = fieldDelimiter, headerFields = headerFields)
