@@ -43,17 +43,23 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangId _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "ann_topk" -> (Similarity.annTopK _),
-    // rows-only (not SQL-expressible in the oracle): LSH/banding internals
-    // are engine-specific, so the driver records row-count checks only.
+    // oracle-checked near-dup family: LSH proposes, exact math decides, so
+    // DuckDB reproduces the full answer (banding recall at the planted
+    // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
     "dedup_minhash" -> (Dedup.dedupMinhash _),
-    "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
     "corpus_clean" -> (Dedup.corpusClean _),
-    "ann_lsh" -> (Similarity.annLsh _),
-    "ann_ivf" -> (Similarity.annIvf _),
-    "embed_neardup" -> (Similarity.embedNearDup _),
+    "ann_ivf" -> (Similarity.annIvf _), // exhaustive nprobe: must equal brute force
+    "embed_neardup_exact" -> (Similarity.embedNearDupExact _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
+    // rows-only WITH an eager in-query recall assertion against the exact
+    // baseline (the output itself is engine-specific: SimHash bits / pruned
+    // approximate search on Gaussian test embeddings).
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf_probe" -> (Similarity.annIvfProbe _),
+    "embed_neardup" -> (Similarity.embedNearDup _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same column names + ordering). */
@@ -241,6 +247,143 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ---- near-dup / similarity family ----
+    // The gram CTE mirrors TextHashes.normalize (lowercase, collapse
+    // whitespace, trim) + distinct char-4-gram sets; counting distinct grams
+    // equals counting distinct 64-bit gram hashes (no collisions at this
+    // scale), so exact Jaccard agrees with the Spark kernel.
+    "ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
+        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
+        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(common::DOUBLE/(ga.n+gb.n-common), 4) AS jaccard
+        |FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
+        |WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
+        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
+        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(common::DOUBLE/(ga.n+gb.n-common), 4) AS jaccard
+        |FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
+        |WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_keep" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
+        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
+        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
+        |  WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.7),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r2.id, e.b FROM reach r2 JOIN edges e ON e.a = r2.r)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "corpus_clean" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
+        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
+        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
+        |  WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.7),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r2.id, e.b FROM reach r2 JOIN edges e ON e.a = r2.r),
+        |dup AS (SELECT id AS doc_id, (min(r) = id) AS dup_keep FROM reach GROUP BY id),
+        |q AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk, length(text) AS n,
+        |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, n_tokens, alpha_ratio, stop_hits, cjk, n,
+        |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','mit','für','auf','ein','eine','zu','den','im','nicht'], t))) AS de,
+        |  len(list_filter(toks, t -> list_contains(['le','la','les','de','et','est','un','une','du','des','en','que','qui','dans','pour'], t))) AS fr,
+        |  len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','del','en','que','por','con','para'], t))) AS es
+        | FROM q),
+        |scored AS (
+        | SELECT doc_id,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.3
+        |    + coalesce(alpha_ratio, 0.0) * 0.4
+        |    + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality,
+        |  CASE WHEN cjk * 2 > n THEN 'zh'
+        |       WHEN stop_hits = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+        |       WHEN stop_hits >= de AND stop_hits >= fr AND stop_hits >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        | FROM h)
+        |SELECT s.doc_id, s.quality, s.pred_lang,
+        | coalesce(d.dup_keep, true) AS dup_keep,
+        | (s.pred_lang = 'en') AS lang_ok,
+        | (s.quality >= 0.3) AS quality_ok,
+        | (coalesce(d.dup_keep, true) AND s.pred_lang = 'en' AND s.quality >= 0.3) AS keep
+        |FROM scored s LEFT JOIN dup d ON d.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "embed_neardup_exact" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "multimodal_pipeline" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        | (doc_id % 64 + 16)::INT AS width, (doc_id % 48 + 16)::INT AS height,
+        | (doc_id % 3 + 1)::INT AS channels,
+        | (12 + least((doc_id % 64 + 16)*(doc_id % 48 + 16)*(doc_id % 3 + 1), 4096))::BIGINT AS n_bytes,
+        | 8::INT AS emb_dim
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // exhaustive IVF (nprobe = numCentroids) partitions the corpus and
+    // searches every cell — identical, by construction, to brute force
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  round(list_dot_product(e.emb, p.q_emb)
+        |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS sim
+        | FROM e, p WHERE e.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),

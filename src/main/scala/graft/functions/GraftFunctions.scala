@@ -100,8 +100,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = toDoubles(a, left.dataType)
     val ys = toDoubles(b, right.dataType)
+    if (xs.length != ys.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ${xs.length} vs ${ys.length} — " +
+          "a silent min-length similarity would be plausible but wrong")
     var dot = 0.0; var na = 0.0; var nb = 0.0
-    val n = math.min(xs.length, ys.length)
+    val n = xs.length
     var i = 0
     while (i < n) {
       dot += xs(i) * ys(i); na += xs(i) * xs(i); nb += ys(i) * ys(i)
@@ -171,6 +175,158 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/**
+ * Dim-free variant of [[HyperplaneBucketExpr]]: planes are generated lazily
+ * from (numPlanes, dim, seed) when the first vector arrives, so the plan
+ * needs no driver-side dimension probe (one fewer Spark job per query).
+ * Deterministic: every task derives the identical planes from the seed, and
+ * a corpus with mixed dimensions gets per-dim planes (each dim is its own
+ * consistent LSH family).
+ */
+case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, d => VectorKernels.hyperplanes(numPlanes, d, seed))
+
+  private def toDoubles(v: Any): Array[Double] = child.dataType match {
+    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
+    case _ =>
+      val fs = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Double](fs.length)
+      var i = 0
+      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+      out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = toDoubles(input)
+    val planes = planesFor(xs.length)
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < xs.length) { dot += xs(i) * plane(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def prettyName: String = "graft_hyperplane_bucket_gen"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketGenExpr =
+    copy(child = newChild)
+}
+
+/**
+ * IVF coarse-quantizer assignment: the `nprobe` centroid ids nearest to the
+ * input vector by cosine, descending (ties broken toward the lower id). The
+ * centroid matrix lives INSIDE the expression — at K centroids the plan
+ * holds ONE node instead of K literal-array struct children, so the Catalyst
+ * tree stays O(1) and codegen survives K in the thousands (the cell count a
+ * 100 TB corpus actually needs). Centroid norms are precomputed once per
+ * expression instance; per row the work is one dot product per centroid plus
+ * an O(K·nprobe) partial selection.
+ */
+case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+  require(nprobe >= 1 && nprobe <= centroids.length,
+    s"nprobe ($nprobe) must be in [1, ${centroids.length}]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val invNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) 0.0 else 1.0 / n
+  }
+
+  private def toDoubles(v: Any): Array[Double] = child.dataType match {
+    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
+    case _ =>
+      val fs = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Double](fs.length)
+      var i = 0
+      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+      out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = toDoubles(input)
+    // |x| is constant across centroids, so ranking by dot(x,c)/|c| is the
+    // cosine ranking without ever computing |x|
+    val k = centroids.length
+    val n = nprobe
+    val topSim = new Array[Double](n)
+    val topCid = new Array[Int](n)
+    java.util.Arrays.fill(topSim, Double.NegativeInfinity)
+    java.util.Arrays.fill(topCid, Int.MaxValue)
+    var c = 0
+    while (c < k) {
+      val cen = centroids(c)
+      if (cen.length != xs.length)
+        throw new IllegalArgumentException(
+          s"ivf_assign: vector dim ${xs.length} != centroid dim ${cen.length}")
+      var dot = 0.0
+      var i = 0
+      while (i < xs.length) { dot += xs(i) * cen(i); i += 1 }
+      val sim = dot * invNorms(c)
+      // insertion into the running top-n (descending sim, then ascending cid)
+      if (sim > topSim(n - 1) || (sim == topSim(n - 1) && c < topCid(n - 1))) {
+        var pos = n - 1
+        while (pos > 0 && (sim > topSim(pos - 1) ||
+            (sim == topSim(pos - 1) && c < topCid(pos - 1)))) {
+          topSim(pos) = topSim(pos - 1); topCid(pos) = topCid(pos - 1)
+          pos -= 1
+        }
+        topSim(pos) = sim; topCid(pos) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(topCid)
+  }
+
+  // centroids participate in equality so different quantizers don't dedupe
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfAssignExpr =>
+      child == o.child && nprobe == o.nprobe && java.util.Arrays.deepEquals(
+        centroids.asInstanceOf[Array[AnyRef]], o.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + nprobe) +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
+  override def prettyName: String = "graft_ivf_assign"
+  override protected def withNewChildInternal(newChild: Expression): IvfAssignExpr =
+    copy(child = newChild)
+}
+
+/** Deterministic vector-hash helpers shared by the LSH expressions. */
+object VectorKernels {
+  /** Pseudo-gaussian hyperplanes (sum of 4 seeded uniforms) — the same
+    * generator for every (numPlanes, dim, seed), wherever it is evaluated. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var state = seed
+    def nextUniform(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(numPlanes)(Array.fill(dim)(
+      nextUniform() + nextUniform() + nextUniform() + nextUniform()))
+  }
+}
+
 case class SigEqualFractionExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -221,6 +377,16 @@ object GraftFunctions {
 
   def hyperplaneBucket(emb: Column, planes: Array[Array[Double]]): Column =
     ExpressionUtils.column(HyperplaneBucketExpr(ExpressionUtils.expression(emb), planes))
+
+  /** Dim-free hyperplane bucket: planes derived from (numPlanes, row dim, seed). */
+  def hyperplaneBucketGen(emb: Column, numPlanes: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      HyperplaneBucketGenExpr(ExpressionUtils.expression(emb), numPlanes, seed))
+
+  /** Top-`nprobe` nearest centroid ids by cosine, descending. */
+  def ivfAssign(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(
+      IvfAssignExpr(ExpressionUtils.expression(emb), centroids, nprobe))
 
   // ---- SQL registration ----
 

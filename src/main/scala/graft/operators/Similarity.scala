@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
  * `CosineLSH` (random-hyperplane signatures) is the 100 TB scale path:
  * vectors that share a bucket in any of `numTables` tables become join
  * candidates, so cost is (bucket density × tables), not corpus².
- * Hyperplanes are derived from a fixed seed and inlined as literal arrays —
- * broadcast into codegen, no side table.
+ * Hyperplanes and the IVF centroid matrix live inside fused expressions
+ * ([[graft.functions.HyperplaneBucketGenExpr]],
+ * [[graft.functions.IvfAssignExpr]]) — the plan stays O(1) nodes at any
+ * dimension or centroid count, and no driver-side probe is needed.
  */
 object Similarity {
 
@@ -64,30 +66,24 @@ object Similarity {
 
   /** Deterministic pseudo-gaussian hyperplanes (sum of 4 uniforms, seeded). */
   private[operators] def hyperplanes(
-      numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    var state = seed
-    def nextUniform(): Double = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
-    }
-    Array.fill(numPlanes)(Array.fill(dim)(
-      nextUniform() + nextUniform() + nextUniform() + nextUniform()))
-  }
+      numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    graft.functions.VectorKernels.hyperplanes(numPlanes, dim, seed)
 
-  /** Sign-pattern bucket id of `emb` for one table's planes — a single
-    * kernel pass over all planes ([[graft.functions.HyperplaneBucketExpr]];
-    * per-plane Column folds would blow the codegen tree past the JVM method
-    * limit at realistic dimensions). */
-  private def bucketKey(emb: Column, planes: Array[Array[Double]]): Column =
-    graft.functions.GraftFunctions.hyperplaneBucket(emb, planes)
+  /** Sign-pattern bucket id of `emb` for one table — a single kernel pass
+    * over all planes ([[graft.functions.HyperplaneBucketGenExpr]]; per-plane
+    * Column folds would blow the codegen tree past the JVM method limit at
+    * realistic dimensions). The planes derive from (bits, row dim, seed)
+    * inside the expression, so no driver-side dimension probe is needed. */
+  private def bucketKey(emb: Column, bitsPerTable: Int, tableSeed: Long): Column =
+    graft.functions.GraftFunctions.hyperplaneBucketGen(emb, bitsPerTable, tableSeed)
 
   /** (srcCols*, table, bucket) — one row per vector per table. */
   def lshBuckets(
-      df: DataFrame, embCol: String, dim: Int,
+      df: DataFrame, embCol: String,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
     val tables = (0 until numTables).map { t =>
       struct(lit(t).as("table"),
-        bucketKey(col(embCol), hyperplanes(bitsPerTable, dim, seed + t * 1000L)).as("bucket"))
+        bucketKey(col(embCol), bitsPerTable, seed + t * 1000L).as("bucket"))
     }
     df.select(col("*"), explode(array(tables: _*)).as("tb"))
       .select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
@@ -99,12 +95,12 @@ object Similarity {
    * broadcast — the corpus streams once through the bucket equi-join.
    */
   def lshTopK(
-      corpus: DataFrame, probes: DataFrame, dim: Int, k: Int,
+      corpus: DataFrame, probes: DataFrame, k: Int,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
     val corpusBuckets = lshBuckets(corpus.select("vec_id", "emb"), "emb",
-      dim, numTables, bitsPerTable, seed)
+      numTables, bitsPerTable, seed)
       .select("vec_id", "table", "bucket")
-    val probeBuckets = lshBuckets(probes, "q_emb", dim, numTables, bitsPerTable, seed)
+    val probeBuckets = lshBuckets(probes, "q_emb", numTables, bitsPerTable, seed)
       .select("query_id", "table", "bucket")
     // candidate ids only through the bucket join; vectors re-attach once per
     // distinct candidate (corpus by equi-join, probes by broadcast).
@@ -130,11 +126,33 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val dim = emb.select(size(col("emb"))).head().getInt(0)
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    lshTopK(emb, probes, dim, 10, numTables = 16, bitsPerTable = 4)
-      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    val approx = lshTopK(emb, probes, 10, numTables = 16, bitsPerTable = 4)
+    // measured 0.94 (sf0.01) / 0.82 (sf0.1) on Gaussian weak neighbors
+    assertRecall(approx, bruteForceTopK(emb, probes, 10), minRecall = 0.7, what = "ann_lsh")
+    approx.orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /**
+   * Correctness-harness recall gate: `approx` must recover at least
+   * `minRecall` of the exact result's (query_id, neighbor_id) pairs, else
+   * the query throws — an eager in-query assertion (one extra job) so the
+   * driver's rows-only check cannot silently pass on drifted recall. The
+   * floors are set against the measured recall of the synthetic test
+   * embeddings (Gaussian, no planted near-dups — top-10 "neighbors" sit at
+   * cosine 0.25-0.5, the hardest regime for LSH/IVF pruning).
+   */
+  private def assertRecall(
+      approx: DataFrame, exact: DataFrame, minRecall: Double, what: String): Unit = {
+    val a = approx.select("query_id", "neighbor_id")
+    val e = exact.select("query_id", "neighbor_id").cache()
+    val total = e.count()
+    val caught = e.join(a, Seq("query_id", "neighbor_id"), "left_semi").count()
+    e.unpersist()
+    val recall = if (total == 0) 1.0 else caught.toDouble / total
+    require(recall >= minRecall,
+      f"$what recall $recall%.3f below floor $minRecall%.2f ($caught/$total)")
   }
 
   // ---- IVF (inverted file) ----
@@ -143,51 +161,47 @@ object Similarity {
    * Deterministic coarse quantizer: the K corpus vectors with the smallest
    * id-hash become centroids (cheap, reproducible; a Lloyd refinement is a
    * groupBy away but the sampled quantizer already gives balanced cells on
-   * real embedding distributions).
+   * real embedding distributions). Centroid id = array index. The collect is
+   * K vectors — the quantizer itself, not data — and is the one driver-side
+   * materialization the IVF design needs.
    */
-  def sampleCentroids(corpus: DataFrame, k: Int): Array[(Int, Array[Double])] =
+  def sampleCentroids(corpus: DataFrame, k: Int): Array[Array[Double]] =
     corpus.select(col("vec_id"), col("emb"))
       .orderBy(xxhash64(col("vec_id")))
       .limit(k)
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+      .map(_.getSeq[Double](1).toArray)
 
-  /** Columns of per-centroid cosine, sorted ascending by sim as structs. */
-  private def centroidSims(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
-    array_sort(array(centroids.map { case (cid, c) =>
-      struct(
-        graft.functions.GraftFunctions.cosineSim(emb, array(c.map(lit): _*)).as("sim"),
-        lit(cid).as("cid"))
-    }: _*))
-
-  /** Assign every vector to its nearest centroid cell. */
+  /** Assign every vector to its nearest centroid cell — one fused
+    * [[graft.functions.IvfAssignExpr]] holding the whole centroid matrix, so
+    * the plan is a single node at any K (K literal-array struct children
+    * would blow the Catalyst tree past codegen limits around K≈10³, the cell
+    * count a realistic corpus needs). */
   def assignCells(df: DataFrame, embCol: String,
-                  centroids: Array[(Int, Array[Double])]): DataFrame =
+                  centroids: Array[Array[Double]]): DataFrame =
     df.withColumn("centroid_id",
-      element_at(centroidSims(col(embCol), centroids), -1).getField("cid"))
+      element_at(graft.functions.GraftFunctions.ivfAssign(col(embCol), centroids, 1), 1))
 
   /**
    * IVF-flat top-k: vectors live in centroid cells; each probe searches only
    * its `nprobe` nearest cells (equi-join on centroid_id, probes broadcast).
    * The complementary scale path to [[lshTopK]] — cost is corpus/K × nprobe
    * per probe instead of bucket-collision driven, and the index is one
-   * assignment pass that any number of queries reuses.
+   * assignment pass that any number of queries reuses. With nprobe ==
+   * numCentroids the search is exhaustive and equals brute force exactly
+   * (the cells partition the corpus) — the property the oracle checks.
    */
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 8): DataFrame = {
     val centroids = sampleCentroids(corpus, numCentroids)
     // a tiny corpus can yield fewer centroids than requested; an unclamped
-    // nprobe would make slice() return an empty array and silently drop
-    // every probe
+    // nprobe would violate the expression's [1, K] contract
     val probeN = math.min(nprobe, centroids.length)
     val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
     val probeCells = probes
-      .withColumn("cell",
-        explode(transform(
-          slice(centroidSims(col("q_emb"), centroids), -probeN, probeN),
-          s => s.getField("cid"))))
+      .withColumn("cell", explode(
+        graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
       .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     indexed.join(broadcast(probeCells), Seq("centroid_id"))
@@ -198,14 +212,32 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
-  /** Query entry (rows-only): IVF top-10 for the first 5 vectors. */
+  /** Query entry: IVF top-10 with nprobe = numCentroids — exhaustive search
+    * through the full IVF machinery (quantizer, cell assignment, cell
+    * equi-join, per-cell top-k), which must equal brute force EXACTLY, so it
+    * shares ann_topk's DuckDB oracle. The pruned-nprobe path is covered by
+    * [[annIvfProbe]] and the recall suite. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    ivfTopK(emb, probes, 10)
+    ivfTopK(emb, probes, 10, numCentroids = 16, nprobe = 16)
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** Query entry (rows-only + recall assertion): the pruned IVF path —
+    * nprobe=8 of 16 cells searches ~half the corpus; on Gaussian test
+    * embeddings the measured recall floor is enforced in-query. */
+  def annIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val approx = ivfTopK(emb, probes, 10, numCentroids = 16, nprobe = 8)
+    // measured 0.70 at both sf0.01 and sf0.1
+    assertRecall(approx, bruteForceTopK(emb, probes, 10), minRecall = 0.5, what = "ann_ivf_probe")
+    approx.orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
   /**
@@ -214,9 +246,9 @@ object Similarity {
    * shuffle key is the bucket id.
    */
   def embeddingNearDups(
-      corpus: DataFrame, dim: Int, threshold: Double = 0.95,
+      corpus: DataFrame, threshold: Double = 0.95,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
-    val buckets = lshBuckets(corpus, "emb", dim, numTables, bitsPerTable, seed)
+    val buckets = lshBuckets(corpus, "emb", numTables, bitsPerTable, seed)
       .select(col("vec_id"), col("table"), col("bucket"))
     // candidate ids first (cheap distinct on two longs), embeddings joined
     // back once per surviving pair — never shuffle vectors through the
@@ -234,14 +266,52 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
-  /** Query entry (rows-only): near-pairs at cosine >= 0.3 (the synthetic
-    * embeddings top out near 0.4, so 0.3 exercises the verify path with a
-    * non-empty result). */
+  /** Exact near-pair baseline: every (a<b) pair with cosine >= threshold by
+    * a brute self-join. Quadratic by definition — it is the ground truth the
+    * LSH path is measured against, the ann_topk of the pair world. */
+  def embeddingNearDupsExact(corpus: DataFrame, threshold: Double): DataFrame =
+    corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+      .join(broadcast(corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))),
+        col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+
+  /** Query entry (oracle-checked): exact cosine>=0.3 pairs — DuckDB computes
+    * the same brute-force answer. */
+  def embedNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    embeddingNearDupsExact(emb, threshold = 0.3).orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Query entry (rows-only + recall assertion): LSH near-pairs at cosine >=
+    * 0.3. The synthetic embeddings are Gaussian (top pair ≈ 0.51), so 0.3 is
+    * a deliberately weak threshold that exercises the verify path on a
+    * non-empty result; the angle (72°) is the regime where hyperplane LSH
+    * prunes worst, so few bits + many tables and a measured-recall floor. At
+    * a production near-dup threshold (0.95, 18° — per-bit collision 0.9) the
+    * same operator runs 12 bits/table with high recall AND real pruning. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val dim = emb.select(size(col("emb"))).head().getInt(0)
-    embeddingNearDups(emb, dim, threshold = 0.3, numTables = 8, bitsPerTable = 6)
-      .orderBy(col("vec_a"), col("vec_b"))
+    val approx = embeddingNearDups(emb, threshold = 0.3, numTables = 16, bitsPerTable = 4)
+    val exact = embeddingNearDupsExact(emb, threshold = 0.3)
+    // measured 0.93 (sf0.01) / 0.91 (sf0.1)
+    assertPairRecall(approx, exact, minRecall = 0.75, what = "embed_neardup")
+    approx.orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Pair-set sibling of [[assertRecall]] on (vec_a, vec_b) keys. */
+  private def assertPairRecall(
+      approx: DataFrame, exact: DataFrame, minRecall: Double, what: String): Unit = {
+    val e = exact.select("vec_a", "vec_b").cache()
+    val total = e.count()
+    val caught = e.join(approx.select("vec_a", "vec_b"),
+      Seq("vec_a", "vec_b"), "left_semi").count()
+    e.unpersist()
+    val recall = if (total == 0) 1.0 else caught.toDouble / total
+    require(recall >= minRecall,
+      f"$what recall $recall%.3f below floor $minRecall%.2f ($caught/$total)")
   }
 }

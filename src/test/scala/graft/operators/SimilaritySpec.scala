@@ -45,12 +45,12 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH buckets are deterministic and bounded by bits") {
-    val b = Similarity.lshBuckets(embeddings.limit(50), "emb", dim,
+    val b = Similarity.lshBuckets(embeddings.limit(50), "emb",
       numTables = 4, bitsPerTable = 8)
     val rows = b.select("vec_id", "table", "bucket").collect()
     assert(rows.length === 200) // 50 vectors × 4 tables
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 256))
-    val again = Similarity.lshBuckets(embeddings.limit(50), "emb", dim,
+    val again = Similarity.lshBuckets(embeddings.limit(50), "emb",
       numTables = 4, bitsPerTable = 8).select("vec_id", "table", "bucket").collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
@@ -60,7 +60,7 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val exact = Similarity.bruteForceTopK(embeddings, probes, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(embeddings, probes, dim, 10,
+    val approx = Similarity.lshTopK(embeddings, probes, 10,
       numTables = 16, bitsPerTable = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
@@ -100,8 +100,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("IVF assignment at K=1024 stays one fused plan node and evaluates") {
+    // the centroid matrix lives inside IvfAssignExpr — a K-literal plan
+    // would blow the Catalyst tree / codegen at this K
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(1024)(Array.fill(dim)(rnd.nextGaussian()))
+    val assigned = Similarity.assignCells(embeddings.select("vec_id", "emb"), "emb", centroids)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert("graft_ivf_assign".r.findAllIn(plan).size === 1, s"plan not fused:\n$plan")
+    val cells = assigned.select("centroid_id").collect().map(_.getInt(0))
+    assert(cells.length === embeddings.count())
+    assert(cells.forall(c => c >= 0 && c < 1024))
+  }
+
+  test("IVF nprobe ordering: nearest cell first, ids deterministic") {
+    import spark.implicits._
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = Seq((1L, Seq(0.9, 0.1))).toDF("vec_id", "emb")
+    val got = df.select(graft.functions.GraftFunctions
+        .ivfAssign(col("emb"), centroids, 3).as("cells"))
+      .head().getSeq[Int](0)
+    assert(got === Seq(0, 1, 2)) // cos desc: 0.994, 0.110, -0.994
+  }
+
   test("embedding near-dup pairs are symmetric-free, above threshold, verified") {
-    val pairs = Similarity.embeddingNearDups(embeddings, dim, threshold = 0.9)
+    val pairs = Similarity.embeddingNearDups(embeddings, threshold = 0.9)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     pairs.foreach { case ((a, b), sim) =>
       assert(a < b)
@@ -112,9 +135,9 @@ class SimilaritySpec extends SparkSpec {
   test("LSH and near-dup plans contain no cartesian product") {
     val probes = embeddings.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val p1 = Similarity.lshTopK(embeddings, probes, dim, 5)
+    val p1 = Similarity.lshTopK(embeddings, probes, 5)
       .queryExecution.executedPlan.toString
-    val p2 = Similarity.embeddingNearDups(embeddings, dim)
+    val p2 = Similarity.embeddingNearDups(embeddings)
       .queryExecution.executedPlan.toString
     assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"))
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"))
