@@ -170,10 +170,19 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
-  /** Set difference: nations with customers but no suppliers. */
+  /** Set difference: customer nations with no ASIA-region supplier. The
+    * right side is restricted to one region so the difference is non-empty
+    * at every test SF — an unrestricted supplier side covers all nations and
+    * would make the check vacuous (0 rows == 0 rows proves nothing). */
   def q16Except(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSuppliers = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_nationkey").as("nationkey"))
     Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .except(asiaSuppliers)
       .orderBy(col("nationkey"))
   }
 
