@@ -1,9 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // timings measure the operators, not the correctness harness — the
+    // approximate entries skip their eager recall-assertion jobs under bench
+    sys.props("graft.bench") = "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,10 +18,20 @@ object Bench {
     // isn't charged for startup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop-sink write materializes EVERY output column and keeps sorts:
+    // count() let Catalyst prune projections, so scan-stage queries were
+    // timed as bare parquet scans and orderBys were optimized away
+    def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      // min over iterations: single-shot timings at this scale are dominated
+      // by JIT/first-listing noise, and min is the stable estimator
+      val times = (1 to iters).map(_ => once(fn))
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

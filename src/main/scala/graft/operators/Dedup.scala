@@ -197,15 +197,17 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val simPairs = simHashNearDups(docs)
-    val truth = ngramJaccard(docs, threshold = 0.9, numBands = 16)
-      .select("doc_a", "doc_b").cache()
-    val total = truth.count()
-    val caught = truth.join(simPairs.select("doc_a", "doc_b"),
-      Seq("doc_a", "doc_b"), "left_semi").count()
-    truth.unpersist()
-    val recall = if (total == 0) 1.0 else caught.toDouble / total
-    require(recall >= 0.35,
-      f"dedup_simhash recall $recall%.3f below floor 0.35 ($caught/$total)")
+    if (Tables.eagerAssertionsEnabled) {
+      val truth = ngramJaccard(docs, threshold = 0.9, numBands = 16)
+        .select("doc_a", "doc_b").cache()
+      val total = truth.count()
+      val caught = truth.join(simPairs.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_semi").count()
+      truth.unpersist()
+      val recall = if (total == 0) 1.0 else caught.toDouble / total
+      require(recall >= 0.35,
+        f"dedup_simhash recall $recall%.3f below floor 0.35 ($caught/$total)")
+    }
     simPairs.orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -145,6 +145,7 @@ object Similarity {
    */
   private def assertRecall(
       approx: DataFrame, exact: DataFrame, minRecall: Double, what: String): Unit = {
+    if (!Tables.eagerAssertionsEnabled) return
     val a = approx.select("query_id", "neighbor_id")
     val e = exact.select("query_id", "neighbor_id").cache()
     val total = e.count()
@@ -305,6 +306,7 @@ object Similarity {
   /** Pair-set sibling of [[assertRecall]] on (vec_a, vec_b) keys. */
   private def assertPairRecall(
       approx: DataFrame, exact: DataFrame, minRecall: Double, what: String): Unit = {
+    if (!Tables.eagerAssertionsEnabled) return
     val e = exact.select("vec_a", "vec_b").cache()
     val total = e.count()
     val caught = e.join(approx.select("vec_a", "vec_b"),

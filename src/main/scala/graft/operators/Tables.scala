@@ -27,4 +27,11 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The approximate-operator entries carry eager in-query recall
+    * assertions (extra Spark jobs) for the correctness gate. The bench main
+    * disables them via this flag so timings measure the operator, not the
+    * harness check. */
+  private[graft] def eagerAssertionsEnabled: Boolean =
+    !sys.props.get("graft.bench").contains("1")
 }
