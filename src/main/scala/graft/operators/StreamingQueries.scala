@@ -18,6 +18,23 @@ object StreamingQueries {
   /** The file stream source monitors a directory; expose the single parquet
     * file through a per-input temp dir symlink (absolute target — a relative
     * one would dangle from /tmp). Reused across calls, cleaned at JVM exit. */
+  /**
+   * Stateful streaming freezes the state-store partition count to
+   * spark.sql.shuffle.partitions at first run, and every micro-batch pays a
+   * per-partition state checkpoint fsync — at 32 partitions that overhead
+   * dominated a ~100k-row drain (7.4s vs 2.1s measured at sf0.1). Size the
+   * stream's shuffle to the state, run, restore the session conf. A real
+   * deployment sizes this to keys-per-partition instead; the inputs here are
+   * small enough that 8 is already fsync-bound, not state-bound.
+   */
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val target = math.min(n, prev.toInt)
+    spark.conf.set(key, target.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def symlinkDir(dir: String, prefix: String): String = {
     val abs = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
     val streamDir = java.nio.file.Paths.get(
@@ -44,12 +61,14 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
 
     val name = "events_windowed_" + math.abs(dir.hashCode)
-    val q = windowed.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = windowed.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.table(name)
       .select(col("window.start").as("hour"), col("event_type"),
@@ -78,12 +97,14 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_distinct_events"))
 
     val name = "events_dedup_" + math.abs(dir.hashCode)
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy(col("event_type"))
   }
 }
