@@ -167,6 +167,9 @@ class MessageQueueScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MessageQueueMicroBatchStream(effectiveOpts(forBatch = false), requiredSchema)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Metrics.readMetrics
 }
 
 /** Batch scan: per-queue offset ranges resolved once at planning.
@@ -207,6 +210,9 @@ class QueuePartitionReader(rootDir: String, tagFilter: String,
   private val iter = TopicLog.readRange(
     rootDir, split.topic, split.queueId, split.startingOffset, split.stoppingOffset)
   private var current: InternalRow = _
+  private var messagesRead = 0L
+  private var messagesFiltered = 0L
+  private var bytesRead = 0L
 
   override def next(): Boolean = {
     while (iter.hasNext) {
@@ -216,13 +222,21 @@ class QueuePartitionReader(rootDir: String, tagFilter: String,
       // materialized (reference: example/PropertyFilterExamples.java:33)
       val propsOk = propertyFilter.isEmpty ||
         propertyFilter.forall { case (k, v) => m.properties.get(k).contains(v) }
+      bytesRead += m.body.length
       if (tagOk && propsOk) {
+        messagesRead += 1
         current = toRow(offset, m)
         return true
-      }
+      } else messagesFiltered += 1
     }
     false
   }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(Metrics.Value(Metrics.MessagesRead, messagesRead),
+      Metrics.Value(Metrics.MessagesFiltered, messagesFiltered),
+      Metrics.Value(Metrics.BytesRead, bytesRead))
 
   // column-pruned projection: one extractor per REQUIRED column only
   private val extractors: Array[(Long, Message) => Any] =
@@ -315,9 +329,16 @@ class MessageQueueMicroBatchStream(opts: GraftOptions,
 
   override def deserializeOffset(json: String): Offset = QueueOffsets.fromJson(json)
 
+  /** End offsets of the most recently planned micro-batch — flushed to the
+    * group's offset file at stop(), because the engine only calls commit(N)
+    * while starting batch N+1, which never happens for the FINAL batch of a
+    * run (Trigger.AvailableNow ends after it). */
+  @volatile private var lastPlannedEnd: Option[Map[Int, Long]] = None
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[QueueOffsets].offsets
     val e = end.asInstanceOf[QueueOffsets].offsets
+    lastPlannedEnd = Some(e)
     e.toSeq.sortBy(_._1).flatMap { case (q, stop) =>
       val from = s.getOrElse(q, 0L)
       if (stop > from) Some(QueueSplit(opts.topic, MessageQueueSource.Broker, q, from, stop))
@@ -328,8 +349,21 @@ class MessageQueueMicroBatchStream(opts: GraftOptions,
   override def createReaderFactory(): PartitionReaderFactory =
     new QueueReaderFactory(opts.rootDir, opts.tag, opts.propertyFilter, requiredSchema)
 
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  /** Persist the group's progress so external tooling sees lag, mirroring
+    * the reference's commit-on-checkpoint-complete
+    * (legacy/RocketMQSourceFunction.java:340-437). Restart correctness does
+    * NOT depend on this — the streaming checkpoint wins (restore-wins). */
+  override def commit(end: Offset): Unit =
+    OffsetStore.commitOffsets(opts.rootDir, opts.topic, opts.consumerGroup,
+      end.asInstanceOf[QueueOffsets].offsets)
+
+  /** Flush the final batch's end offsets (see [[lastPlannedEnd]]). If the
+    * run died mid-batch this may over-report the group position by one
+    * batch — acceptable for a monitoring-only surface; the streaming
+    * checkpoint remains the authority for restarts (restore-wins). */
+  override def stop(): Unit = lastPlannedEnd.foreach { e =>
+    OffsetStore.commitOffsets(opts.rootDir, opts.topic, opts.consumerGroup, e)
+  }
 }
 
 object MessageQueueSource {

@@ -42,4 +42,50 @@ object OffsetStore {
       case StartMode.Offset(o) =>
         math.min(o, TopicLog.maxOffset(rootDir, topic, queueId))
     }
+
+  // ---- durable consumer-group offsets ----
+  //
+  // Structured Streaming's checkpoint already makes restarts correct; this
+  // surface exists so EXTERNAL tooling can see a group's progress and lag,
+  // like the reference committing offsets back to the broker on checkpoint
+  // complete (reference: legacy/RocketMQSourceFunction.java:340-437,
+  // notifyCheckpointComplete → consumer.commitOffset). One file per group
+  // under the topic dir, written atomically (temp + move).
+
+  private def offsetsFile(rootDir: String, topic: String, group: String): java.nio.file.Path =
+    java.nio.file.Paths.get(rootDir, topic, "__offsets", s"$group.offsets")
+
+  /** Persist a group's committed (next-to-read) offsets. */
+  def commitOffsets(
+      rootDir: String, topic: String, group: String, offsets: Map[Int, Long]): Unit = {
+    val file = offsetsFile(rootDir, topic, group)
+    java.nio.file.Files.createDirectories(file.getParent)
+    val tmp = java.nio.file.Files.createTempFile(file.getParent, s".$group-", ".tmp")
+    val body = offsets.toSeq.sortBy(_._1).map { case (q, o) => s"$q\t$o" }.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Last committed offsets for a group (empty if it never committed). */
+  def committedOffsets(rootDir: String, topic: String, group: String): Map[Int, Long] = {
+    val file = offsetsFile(rootDir, topic, group)
+    if (!java.nio.file.Files.exists(file)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(file)).asScala
+      .filter(_.nonEmpty)
+      .map { line => val Array(q, o) = line.split("\t"); q.toInt -> o.toLong }
+      .toMap
+  }
+
+  /** Per-queue lag (log end minus committed position) — the monitoring
+    * number an operator actually watches. Queues the group never committed
+    * report the full log length. */
+  def consumerLag(rootDir: String, topic: String, group: String): Map[Int, Long] = {
+    val committed = committedOffsets(rootDir, topic, group)
+    TopicLog.listQueues(rootDir, topic).map { q =>
+      q -> math.max(0L, TopicLog.maxOffset(rootDir, topic, q) - committed.getOrElse(q, 0L))
+    }.toMap
+  }
 }

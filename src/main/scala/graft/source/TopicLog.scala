@@ -164,13 +164,46 @@ object TopicLog {
   /** Earliest available offset (our logs never truncate). */
   def minOffset(root: String, topic: String, queueId: Int): Long = 0L
 
-  /** One past the last offset = line count. */
+  /** (bytes counted up to the last seen newline, complete lines seen).
+    * Keyed by absolute path; append-only logs only ever grow, so a cached
+    * prefix stays valid and each maxOffset() call scans just the appended
+    * suffix. Without this, every streaming latestOffset() tick re-read the
+    * whole log — linear per tick, quadratic over a stream's lifetime. */
+  private val lineCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** One past the last offset = count of COMPLETE (newline-terminated)
+    * lines — a partial tail from a concurrent append is not yet readable. */
   def maxOffset(root: String, topic: String, queueId: Int): Long = {
     val file = queueFile(root, topic, queueId)
     if (!file.exists()) return 0L
-    val in = new BufferedReader(new FileReader(file, StandardCharsets.UTF_8))
-    try { var n = 0L; while (in.readLine() != null) n += 1; n }
-    finally in.close()
+    val key = file.getAbsolutePath
+    val fileLen = file.length()
+    val (countedBytes, cachedLines) = lineCountCache.getOrDefault(key, (0L, 0L))
+    // a shorter file means the log was deleted and recreated — rescan
+    val (from, base) = if (fileLen < countedBytes) (0L, 0L) else (countedBytes, cachedLines)
+    if (fileLen == from) return base
+    val in = new java.io.FileInputStream(file)
+    try {
+      var skipped = 0L
+      while (skipped < from) skipped += in.skip(from - skipped)
+      val buf = new Array[Byte](64 * 1024)
+      var lines = base
+      var pos = from
+      var lastNl = from
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') { lines += 1; lastNl = pos + i + 1 }
+          i += 1
+        }
+        pos += n
+        n = in.read(buf)
+      }
+      lineCountCache.put(key, (lastNl, lines))
+      lines
+    } finally in.close()
   }
 
   /** First offset whose bornTs >= ts; maxOffset if none (logs are
@@ -230,5 +263,9 @@ object TopicLog {
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
+    // drop cached line counts for the deleted logs — a recreated log of
+    // exactly the cached byte length would otherwise reuse a stale count
+    val prefix = dir.toAbsolutePath.toString + File.separator
+    lineCountCache.keySet().removeIf(k => k.startsWith(prefix))
   }
 }

@@ -77,4 +77,34 @@ class TopicLogSpec extends AnyFunSuite {
     TopicLog.append(root, "t", 0, Iterator(m))
     assert(TopicLog.readRange(root, "t", 0, 0, 1).toSeq === Seq((0L, m)))
   }
+
+  test("maxOffset tracks appends via the suffix-scan cache") {
+    val root = tmpRoot()
+    TopicLog.append(root, "t", 0, (1 to 4).map(i => msg(i, s"b$i")).iterator)
+    assert(TopicLog.maxOffset(root, "t", 0) === 4) // cold scan, caches
+    assert(TopicLog.maxOffset(root, "t", 0) === 4) // cache hit, no rescan
+    TopicLog.append(root, "t", 0, (5 to 9).map(i => msg(i, s"b$i")).iterator)
+    assert(TopicLog.maxOffset(root, "t", 0) === 9) // suffix-only scan
+    // a partial (unterminated) tail is not yet a readable message
+    val f = TopicLog.queueFile(root, "t", 0)
+    val out = new java.io.FileOutputStream(f, true)
+    out.write("123\tk\tt\t\tpartial-no-newline".getBytes)
+    out.close()
+    assert(TopicLog.maxOffset(root, "t", 0) === 9)
+    out.getClass // (silence unused warnings)
+    val out2 = new java.io.FileOutputStream(f, true)
+    out2.write("\n".getBytes)
+    out2.close()
+    assert(TopicLog.maxOffset(root, "t", 0) === 10)
+  }
+
+  test("deleteTopic invalidates the line-count cache") {
+    val root = tmpRoot()
+    TopicLog.append(root, "t", 0, (1 to 6).map(i => msg(i, "x")).iterator)
+    assert(TopicLog.maxOffset(root, "t", 0) === 6)
+    TopicLog.deleteTopic(root, "t")
+    assert(TopicLog.maxOffset(root, "t", 0) === 0)
+    TopicLog.append(root, "t", 0, (1 to 2).map(i => msg(i, "y")).iterator)
+    assert(TopicLog.maxOffset(root, "t", 0) === 2)
+  }
 }
