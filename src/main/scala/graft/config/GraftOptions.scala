@@ -22,7 +22,7 @@ final case class GraftOptions(
     endTimeMs: Long = -1L,
     partitionDiscoveryIntervalMs: Long = 30000L,
     encoding: String = "UTF-8",
-    fieldDelimiter: String = "",
+    fieldDelimiter: String = graft.serde.Delimiters.Soh,
     lineDelimiter: String = "\n",
     columnErrorDebug: Boolean = true,
     lengthCheck: String = "NONE",
@@ -35,7 +35,8 @@ final case class GraftOptions(
     keyColumns: Seq[String] = Nil,
     writeKeysToBody: Boolean = false,
     propertyFilter: Map[String, String] = Map.empty,
-    numQueues: Int = 0) {
+    numQueues: Int = 0,
+    msgDelayLevel: Int = 0) {
 
   def startMode: StartMode =
     if (startMessageOffset >= 0) StartMode.Offset(startMessageOffset)
@@ -84,6 +85,7 @@ object GraftOptions {
   val WriteKeysToBody = "writekeystobody"
   val PropertyFilter = "propertyfilter"
   val NumQueues = "numqueues"
+  val MsgDelayLevel = "msgdelaylevel"
 
   val RequiredKeys: Set[String] = Set(Topic, ConsumerGroup, RootDir)
   val OptionalKeys: Set[String] = Set(
@@ -91,10 +93,24 @@ object GraftOptions {
     Encoding, FieldDelimiter, LineDelimiter, ColumnErrorDebug, LengthCheck,
     RetryTimes, SleepTimeMs, OffsetResetTo, IsDynamicTag, DynamicTagColumn,
     DynamicTagColumnWriteIncluded, KeyColumns, WriteKeysToBody, PropertyFilter,
-    NumQueues)
+    NumQueues, MsgDelayLevel)
+
+  /** Broker-convention delay ladder, level 1-18 (reference:
+    * legacy/common/RocketMQConfig.java MSG_DELAY_LEVEL00-18 — "1s 5s 10s 30s
+    * 1m 2m 3m 4m 5m 6m 7m 8m 9m 10m 20m 30m 1h 2h"); level 0 = no delay.
+    * The file-backed broker has no time-gated visibility, so delayed
+    * delivery is expressed as a born_ts shift: delayed messages sort (and
+    * time-range-prune) at their DELIVERY time, which is the observable
+    * behavior a consumer sees. */
+  val DelayLevelMs: Array[Long] = Array(0L,
+    1000L, 5000L, 10000L, 30000L,
+    60000L, 120000L, 180000L, 240000L, 300000L, 360000L, 420000L, 480000L,
+    540000L, 600000L, 1200000L, 1800000L, 3600000L, 7200000L)
+
+  def delayMs(level: Int): Long = DelayLevelMs(level)
 
   /** Java-style backslash-escape decoding for delimiter options ("\t", "\n",
-    * "", …) — the reference unescapes delimiters the same way
+    * SOH, …) — the reference unescapes delimiters the same way
     * (RowDeserializationSchema.java:103-104). */
   def unescape(s: String): String = {
     val sb = new StringBuilder
@@ -141,6 +157,10 @@ object GraftOptions {
     if (reset == "timestamp" && !opts.contains(StartTimeMs))
       throw new IllegalArgumentException(
         "offsetResetTo=timestamp requires startTimeMs")
+    val delayLevel = opts.get(MsgDelayLevel).map(_.toInt).getOrElse(0)
+    if (delayLevel < 0 || delayLevel >= DelayLevelMs.length)
+      throw new IllegalArgumentException(
+        s"invalid msgDelayLevel: $delayLevel (expected 0-${DelayLevelMs.length - 1})")
 
     GraftOptions(
       topic = opts(Topic),
@@ -153,7 +173,7 @@ object GraftOptions {
       partitionDiscoveryIntervalMs =
         opts.get(PartitionDiscoveryIntervalMs).map(_.toLong).getOrElse(30000L),
       encoding = opts.getOrElse(Encoding, "UTF-8"),
-      fieldDelimiter = unescape(opts.getOrElse(FieldDelimiter, "")),
+      fieldDelimiter = unescape(opts.getOrElse(FieldDelimiter, graft.serde.Delimiters.Soh)),
       lineDelimiter = unescape(opts.getOrElse(LineDelimiter, "\n")),
       columnErrorDebug = opts.get(ColumnErrorDebug).forall(_.toBoolean),
       lengthCheck = lengthCheck,
@@ -173,7 +193,8 @@ object GraftOptions {
         require(eq > 0, s"propertyFilter entries must be k=v, got: $kv")
         kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
       }.toMap).getOrElse(Map.empty),
-      numQueues = opts.get(NumQueues).map(_.toInt).getOrElse(0))
+      numQueues = opts.get(NumQueues).map(_.toInt).getOrElse(0),
+      msgDelayLevel = delayLevel)
   }
 
   /** The three dirty-data strategies implied by `lengthCheck`. */

@@ -35,6 +35,9 @@ class MessageQueueWriteBuilder(opts: GraftOptions, schema: StructType)
       }
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def requiredNumPartitions(): Int = math.max(opts.numQueues, 0)
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      graft.source.Metrics.writeMetrics
   }
 }
 
@@ -80,6 +83,7 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
   private val spill = new java.io.BufferedWriter(new java.io.FileWriter(
     spillPath.toFile, java.nio.charset.StandardCharsets.UTF_8))
   private var rows = 0L
+  private var bytes = 0L
 
   private def str(row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) ""
@@ -88,19 +92,29 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
       case dt => row.get(i, dt).toString
     }
 
+  // msgDelayLevel shifts delivery time (see GraftOptions.DelayLevelMs)
+  private val delayMs = graft.config.GraftOptions.delayMs(opts.msgDelayLevel)
+
   override def write(row: InternalRow): Unit = {
     val key = keyIdx.map(str(row, _)).mkString(",")
     val tag = if (tagIdx >= 0) str(row, tagIdx) else opts.tag
-    val born =
-      if (bornIdx >= 0 && !row.isNullAt(bornIdx)) row.getLong(bornIdx) / 1000L
-      else System.currentTimeMillis()
+    val born = delayMs +
+      (if (bornIdx >= 0 && !row.isNullAt(bornIdx)) row.getLong(bornIdx) / 1000L
+       else System.currentTimeMillis())
     val body = bodyIdx.map(str(row, _))
-      .mkString(if (opts.fieldDelimiter.isEmpty) "" else opts.fieldDelimiter)
-    spill.write(TopicLog.renderLine(
-      Message(born, key, if (tag == "*") "" else tag, Map.empty, body)))
+      .mkString(if (opts.fieldDelimiter.isEmpty) graft.serde.Delimiters.Soh else opts.fieldDelimiter)
+    val line = TopicLog.renderLine(
+      Message(born, key, if (tag == "*") "" else tag, Map.empty, body))
+    spill.write(line)
     spill.newLine()
     rows += 1L
+    bytes += line.length + 1L
   }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(graft.source.Metrics.Value(graft.source.Metrics.MessagesWritten, rows),
+      graft.source.Metrics.Value(graft.source.Metrics.BytesWritten, bytes))
 
   /** The queue log is only touched here, after every row spilled cleanly —
     * an attempt that dies mid-write leaves just an orphan temp file. A crash

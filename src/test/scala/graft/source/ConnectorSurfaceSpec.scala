@@ -1,0 +1,130 @@
+package graft.source
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Consumer-group offset commits, DSv2 custom metrics, and the
+  * msgDelayLevel write option. */
+class ConnectorSurfaceSpec extends SparkSpec {
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-surface").toString
+
+  private def seed(root: String, topic: String, queues: Int, perQueue: Int): Unit =
+    (0 until queues).foreach { q =>
+      TopicLog.append(root, topic, q,
+        (0 until perQueue).iterator.map { i =>
+          Message(1000L * (i + 1), s"k$q-$i", if (i % 2 == 0) "even" else "odd",
+            Map.empty, s"body-$q-$i")
+        })
+    }
+
+  test("streaming commit persists consumer-group offsets; lag is observable") {
+    val root = freshRoot()
+    seed(root, "oc", queues = 2, perQueue = 5)
+    assert(OffsetStore.committedOffsets(root, "oc", "g1") === Map.empty)
+    assert(OffsetStore.consumerLag(root, "oc", "g1") === Map(0 -> 5L, 1 -> 5L))
+
+    val ckpt = Files.createTempDirectory("graft-oc-ckpt").toString
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", "oc").option("consumerGroup", "g1").option("rootDir", root)
+      .option("offsetResetTo", "earliest")
+      .load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(OffsetStore.committedOffsets(root, "oc", "g1") === Map(0 -> 5L, 1 -> 5L))
+    assert(OffsetStore.consumerLag(root, "oc", "g1") === Map(0 -> 0L, 1 -> 0L))
+
+    // more messages arrive; a restarted stream drains them and the committed
+    // offsets advance past the first batch's
+    seed(root, "oc", queues = 2, perQueue = 3) // appends 3 more per queue
+    assert(OffsetStore.consumerLag(root, "oc", "g1") === Map(0 -> 3L, 1 -> 3L))
+    val q2 = spark.readStream.format("graft-mq")
+      .option("topic", "oc").option("consumerGroup", "g1").option("rootDir", root)
+      .option("offsetResetTo", "earliest")
+      .load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(OffsetStore.committedOffsets(root, "oc", "g1") === Map(0 -> 8L, 1 -> 8L))
+    assert(OffsetStore.consumerLag(root, "oc", "g1") === Map(0 -> 0L, 1 -> 0L))
+  }
+
+  test("batch scan reports custom read metrics (read + filtered + bytes)") {
+    val root = freshRoot()
+    seed(root, "met", queues = 2, perQueue = 10)
+    val df = spark.read.format("graft-mq")
+      .option("topic", "met").option("consumerGroup", "g").option("rootDir", root)
+      .option("tag", "even").load()
+    // collect() executes df's own QueryExecution, so its plan carries the
+    // metric values (count() would execute a different plan)
+    assert(df.collect().length === 10)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val metrics = scan.metrics
+    assert(metrics.contains("graft_messages_read"), s"metrics: ${metrics.keys}")
+    assert(metrics("graft_messages_read").value === 10)
+    assert(metrics("graft_messages_filtered").value === 10)
+    assert(metrics("graft_bytes_read").value > 0)
+  }
+
+  test("DSv2 write reports custom write metrics") {
+    val root = freshRoot()
+    import spark.implicits._
+    var captured: Map[String, Long] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val nodes = qe.executedPlan.collect {
+          case p if p.metrics.contains("graft_messages_written") => p.metrics
+        }
+        if (nodes.nonEmpty)
+          captured = nodes.head.map { case (k, v) => k -> v.value }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.format("graft-mq").mode("append")
+        .option("topic", "wm").option("consumerGroup", "g").option("rootDir", root)
+        .save()
+      // the listener fires asynchronously on the listener bus
+      val deadline = System.currentTimeMillis() + 10000
+      while (captured.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(captured.getOrElse("graft_messages_written", -1L) === 3L)
+      assert(captured.getOrElse("graft_bytes_written", -1L) > 0L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("msgDelayLevel shifts delivery time by the broker delay ladder") {
+    val root = freshRoot()
+    import spark.implicits._
+    val base = new java.sql.Timestamp(1000000L)
+    Seq((1L, base)).toDF("id", "born_ts")
+      .write.format("graft-mq").mode("append")
+      .option("topic", "dl").option("consumerGroup", "g").option("rootDir", root)
+      .option("msgDelayLevel", "4") // level 4 = 30s
+      .save()
+    val got = spark.read.format("graft-mq")
+      .option("topic", "dl").option("consumerGroup", "g").option("rootDir", root)
+      .load().select("born_ts").collect().head.getTimestamp(0)
+    assert(got.getTime === 1000000L + 30000L)
+  }
+
+  test("msgDelayLevel out of range is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      graft.config.GraftOptions.parse(Map(
+        "topic" -> "t", "consumergroup" -> "g", "rootdir" -> "/tmp",
+        "msgdelaylevel" -> "19"))
+    }
+    assert(e.getMessage.contains("msgDelayLevel"))
+  }
+}
