@@ -152,7 +152,11 @@ object SparkEntry {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q16_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        |WHERE rg.r_name = 'ASIA'
         |ORDER BY nationkey""".stripMargin,
     "events_windowed_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -150,10 +150,15 @@ object TextHashes {
   }
 
   /** Fraction of equal components between two equal-length signatures —
-    * the MinHash Jaccard estimate. */
+    * the MinHash Jaccard estimate. Throws on length mismatch: comparing
+    * signatures from different numHashes configurations would produce a
+    * plausible-looking but meaningless estimate. */
   def sigEqualFraction(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"signature length mismatch: ${a.length} vs ${b.length}")
     var i = 0; var eq = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
     if (n == 0) 0.0 else eq.toDouble / n
   }

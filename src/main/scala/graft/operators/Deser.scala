@@ -19,7 +19,7 @@ object Deser {
       df: DataFrame,
       bodyCol: String,
       schema: StructType,
-      fieldDelimiter: String = "",
+      fieldDelimiter: String = graft.serde.Delimiters.Soh,
       lineDelimiter: String = "\n",
       lengthCheck: String = "NONE"): DataFrame = {
     val deser = RowDeserializer.withLengthCheck(
@@ -43,7 +43,7 @@ object Deser {
       headerFields: Set[String],
       bodyCol: String = "body",
       propsCol: String = "properties",
-      fieldDelimiter: String = "",
+      fieldDelimiter: String = graft.serde.Delimiters.Soh,
       lengthCheck: String = "NONE"): DataFrame = {
     val deser = RowDeserializer.withLengthCheck(
       schema, lengthCheck, fieldDelimiter = fieldDelimiter, headerFields = headerFields)
@@ -68,8 +68,8 @@ object Deser {
       StructField("lang", StringType),
       StructField("n_chars", LongType)))
     val bodies = Tables.documents(spark, dir)
-      .select(concat_ws("", col("doc_id"), col("lang"), col("n_chars")).as("body"))
-    parseBodies(bodies, "body", schema, fieldDelimiter = "")
+      .select(concat_ws(graft.serde.Delimiters.Soh, col("doc_id"), col("lang"), col("n_chars")).as("body"))
+    parseBodies(bodies, "body", schema, fieldDelimiter = graft.serde.Delimiters.Soh)
       .orderBy(col("doc_id"))
   }
 }

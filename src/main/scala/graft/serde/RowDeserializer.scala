@@ -58,7 +58,7 @@ class RowDeserializer(
     fieldMissingStrategy: DirtyDataStrategy = DirtyDataStrategy.Skip,
     fieldIncrementStrategy: DirtyDataStrategy = DirtyDataStrategy.Cut,
     encoding: String = "UTF-8",
-    fieldDelimiter: String = "",
+    fieldDelimiter: String = Delimiters.Soh,
     lineDelimiter: String = "\n",
     headerFields: Set[String] = Set.empty) extends Serializable {
 
@@ -69,6 +69,31 @@ class RowDeserializer(
     schema.fieldNames.indices.filter(i => !isHeader(i)).toArray
   private val dataColumnSize = dataIndexMapping.length
   @transient private lazy val charset = Charset.forName(encoding)
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[RowDeserializer])
+
+  /** Dirty-row accounting, the behavioral difference between SKIP and
+    * SKIP_SILENT (reference logs-and-counts on SKIP:
+    * source/reader/deserializer/RowDeserializationSchema.java SKIP path):
+    * both count every dropped line; SKIP also logs it. An optional Spark
+    * accumulator aggregates counts across executors. */
+  private val dropped = new java.util.concurrent.atomic.AtomicLong()
+  @volatile private var droppedAcc: org.apache.spark.util.LongAccumulator = null
+
+  /** Lines dropped by a Skip/SkipSilent strategy in THIS JVM instance. */
+  def droppedCount: Long = dropped.get()
+
+  /** Register a driver-side accumulator for cluster-wide dirty-row counts. */
+  def withDroppedAccumulator(acc: org.apache.spark.util.LongAccumulator): this.type = {
+    droppedAcc = acc; this
+  }
+
+  private def recordDrop(reason: String, line: String, strategy: DirtyDataStrategy): Unit = {
+    dropped.incrementAndGet()
+    val acc = droppedAcc
+    if (acc != null) acc.add(1L)
+    if (strategy != DirtyDataStrategy.SkipSilent && log.isWarnEnabled)
+      log.warn(s"dropped dirty row ($reason): ${line.take(120)}")
+  }
 
   private def isOnlyVarbinaryData: Boolean =
     dataColumnSize == 1 && schema(dataIndexMapping(0)).dataType == BinaryType
@@ -104,10 +129,16 @@ class RowDeserializer(
       else splitPreserveAll(line, fieldDelimiter)
     val tokens: Array[String] =
       if (rawTokens.length < dataColumnSize) handleFieldMissing(rawTokens) match {
-        case null => return None
+        case null =>
+          recordDrop(s"field missing: ${rawTokens.length} < $dataColumnSize",
+            line, fieldMissingStrategy)
+          return None
         case t => t
       } else if (rawTokens.length > dataColumnSize) handleFieldIncrement(rawTokens) match {
-        case null => return None
+        case null =>
+          recordDrop(s"field increment: ${rawTokens.length} > $dataColumnSize",
+            line, fieldIncrementStrategy)
+          return None
         case t => t
       } else rawTokens
 
@@ -122,7 +153,10 @@ class RowDeserializer(
       catch {
         case e: Exception =>
           formatErrorStrategy match {
-            case DirtyDataStrategy.Skip | DirtyDataStrategy.SkipSilent => return None
+            case DirtyDataStrategy.Skip | DirtyDataStrategy.SkipSilent =>
+              recordDrop(s"format error at ${schema.fieldNames(index)}: ${e.getMessage}",
+                line, formatErrorStrategy)
+              return None
             case DirtyDataStrategy.Cut | DirtyDataStrategy.Null | DirtyDataStrategy.Pad =>
               values(index) = null
             case DirtyDataStrategy.Exception => throw new RuntimeException(e)
@@ -186,7 +220,7 @@ object RowDeserializer {
       schema: StructType,
       lengthCheck: String,
       encoding: String = "UTF-8",
-      fieldDelimiter: String = "",
+      fieldDelimiter: String = Delimiters.Soh,
       lineDelimiter: String = "\n",
       headerFields: Set[String] = Set.empty): RowDeserializer = {
     val (fmt, miss, incr) = lengthCheck.toUpperCase match {

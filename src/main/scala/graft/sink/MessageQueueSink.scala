@@ -25,6 +25,14 @@ object FlushMode {
  * parallelism. At 100 TB this is one shuffle to align producers to queues,
  * then pure sequential appends.
  *
+ * CAVEAT: the single-writer invariant assumes one live attempt per
+ * partition. With speculative execution (spark.speculation=true) or a
+ * zombie task racing its retry, two attempts of the same partition can
+ * append to the same queue file concurrently and interleave partial lines
+ * (corruption, not just duplication). Disable speculation on this path, or
+ * use the DSv2 writer (`df.write.format("graft-mq")`), whose per-attempt
+ * spill + commit-coordinated append is retry-safe.
+ *
  * Topic routing goes through a [[TopicSelector]] (constant or field-driven),
  * retries through [[graft.util.Retry]] with the reference's backoff.
  */
@@ -73,17 +81,22 @@ object MessageQueueSink {
   /**
    * Streaming sink: `df.writeStream.foreachBatch(MessageQueueSink.foreachBatch(...))`.
    *
-   * Exactly-once across RESTARTS: Structured Streaming replays an unfinished
-   * micro-batch with the SAME batchId after a crash, and the committed-batch
-   * marker file skips batchIds that already fully landed. This is the Spark
-   * shape of the reference's pendingOffsetsToCommit checkpoint bookkeeping
-   * (reference: legacy/RocketMQSourceFunction.java:150, RocketMQSink.java:60-150).
+   * AT-LEAST-ONCE with idempotent skip of fully-marked batches: Structured
+   * Streaming replays an unfinished micro-batch with the SAME batchId after
+   * a crash, and the committed-batch marker file skips batchIds whose marker
+   * landed. The marker is written AFTER the data, so a crash in the window
+   * between write() completing and markCommitted() running replays the whole
+   * batch — duplicates, not loss. (True exactly-once would need the data
+   * append and the marker to commit atomically, e.g. staging + rename.)
+   * This matches the reference's pendingOffsetsToCommit bookkeeping, which
+   * has the same at-least-once boundary (reference:
+   * legacy/RocketMQSourceFunction.java:150, RocketMQSink.java:60-150).
    *
-   * Within one batch the guarantee is at-least-once: a task retry or a crash
-   * mid-batch can re-append rows the earlier attempt already flushed, exactly
-   * like the reference's async sink. For task-retry atomicity use the DSv2
-   * writer (`df.write.format("graft-mq")`), whose per-task buffer only
-   * touches the log at the commit-coordinated commit().
+   * Within one batch the guarantee is also at-least-once: a task retry or a
+   * crash mid-batch can re-append rows the earlier attempt already flushed,
+   * exactly like the reference's async sink. For task-retry atomicity use
+   * the DSv2 writer (`df.write.format("graft-mq")`), whose per-task buffer
+   * only touches the log at the commit-coordinated commit().
    */
   def foreachBatch(
       rootDir: String,

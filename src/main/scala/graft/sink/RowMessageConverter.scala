@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.StructType
 class RowMessageConverter(
     schema: StructType,
     staticTag: String = "",
-    fieldDelimiter: String = "",
+    fieldDelimiter: String = graft.serde.Delimiters.Soh,
     keyColumns: Seq[String] = Nil,
     isDynamicTag: Boolean = false,
     dynamicTagColumn: String = null,

@@ -13,7 +13,7 @@ class GraftOptionsSpec extends AnyFunSuite {
     assert(o.topic === "t1" && o.consumerGroup === "g1" && o.rootDir === "/tmp/mq")
     assert(o.tag === "*")
     assert(o.encoding === "UTF-8")
-    assert(o.fieldDelimiter === "")
+    assert(o.fieldDelimiter === "\u0001")
     assert(o.lineDelimiter === "\n")
     assert(o.lengthCheck === "NONE")
     assert(o.retryTimes === 10)
@@ -41,7 +41,7 @@ class GraftOptionsSpec extends AnyFunSuite {
     val o = GraftOptions.parse(base ++ Map("fieldDelimiter" -> "\\t", "lineDelimiter" -> "\\r\\n"))
     assert(o.fieldDelimiter === "\t")
     assert(o.lineDelimiter === "\r\n")
-    assert(GraftOptions.unescape("\\u0001") === "")
+    assert(GraftOptions.unescape("\\u0001") === "\u0001")
     assert(GraftOptions.unescape("a\\\\b") === "a\\b")
   }
 

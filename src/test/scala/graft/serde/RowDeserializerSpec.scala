@@ -113,11 +113,36 @@ class RowDeserializerSpec extends AnyFunSuite {
     assert(d.deserialize("1,a,2.0".getBytes) === Seq(Row(null, null, null)))
   }
 
+  test("SKIP and SKIP_SILENT both count dropped rows (SKIP additionally logs)") {
+    val skip = RowDeserializer.withLengthCheck(schema, "SKIP", fieldDelimiter = ",")
+    assert(skip.droppedCount === 0)
+    assert(skip.deserialize("1,a".getBytes) === Seq.empty) // field missing
+    assert(skip.deserialize("1,a,2.0,junk".getBytes) === Seq.empty) // increment
+    assert(skip.deserialize("x,a,2.0".getBytes) === Seq.empty) // format error
+    assert(skip.droppedCount === 3)
+    assert(skip.deserialize("1,a,2.0".getBytes).size === 1) // clean row: no count
+    assert(skip.droppedCount === 3)
+
+    val silent = RowDeserializer.withLengthCheck(schema, "SKIP_SILENT", fieldDelimiter = ",")
+    assert(silent.deserialize("1,a".getBytes) === Seq.empty)
+    assert(silent.droppedCount === 1)
+  }
+
+  test("dropped rows feed a registered Spark accumulator") {
+    val spark = graft.SparkSpec.session
+    val acc = spark.sparkContext.longAccumulator("dirty-rows")
+    val d = RowDeserializer.withLengthCheck(schema, "SKIP", fieldDelimiter = ",")
+      .withDroppedAccumulator(acc)
+    d.deserialize("bad".getBytes)
+    d.deserialize("also,bad,row,extra".getBytes)
+    assert(acc.value === 2L)
+  }
+
   test("custom multi-char delimiters and \\u0001 default work") {
     val d = new RowDeserializer(schema, fieldDelimiter = "||",
       fieldMissingStrategy = DirtyDataStrategy.Pad)
     assert(d.deserialize("1||x||9.0".getBytes) === Seq(Row(1, "x", 9.0)))
-    val soh = new RowDeserializer(schema, fieldDelimiter = "")
-    assert(soh.deserialize("1y3.0".getBytes) === Seq(Row(1, "y", 3.0)))
+    val soh = new RowDeserializer(schema, fieldDelimiter = "\u0001")
+    assert(soh.deserialize("1\u0001y\u00013.0".getBytes) === Seq(Row(1, "y", 3.0)))
   }
 }

@@ -37,14 +37,14 @@ class MessageQueueSinkSpec extends SparkSpec {
 
   test("round-trip: sink then source returns the same rows") {
     val root = freshRoot()
-    val conv = new RowMessageConverter(schema, fieldDelimiter = "",
+    val conv = new RowMessageConverter(schema, fieldDelimiter = "\u0001",
       keyColumns = Seq("id"), writeKeysToBody = true)
     MessageQueueSink.write(sampleDf(50), root,
       new DefaultTopicSelector[Map[String, Any]]("rt"), conv, numQueues = 3)
     val back = spark.read.format("graft-mq")
       .option("topic", "rt").option("consumerGroup", "g").option("rootDir", root)
       .load()
-      .select(split(col("body"), "").as("f"))
+      .select(split(col("body"), "\u0001").as("f"))
       .select(
         element_at(col("f"), 1).cast("long").as("id"),
         element_at(col("f"), 2).as("name"),
@@ -160,7 +160,7 @@ class MessageQueueSinkSpec extends SparkSpec {
     val (_, m) = TopicLog.readRange(root, "dsv2", queues.head, 0, 1).next()
     assert(m.tag === "A" || m.tag === "B") // dynamic tag from category
     assert(m.key.nonEmpty) // id as message key
-    assert(m.body.split("").length === 1) // only name remains in body
+    assert(m.body.split("\u0001").length === 1) // only name remains in body
   }
 
   test("DSv2 write honors numQueues via required distribution") {
