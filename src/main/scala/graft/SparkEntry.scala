@@ -34,6 +34,8 @@ object SparkEntry {
     "q20_datetime" -> (Relational.q20Datetime _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
+    "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
+    "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "deser_documents" -> (Deser.deserDocuments _),
@@ -187,6 +189,23 @@ object SparkEntry {
     "events_dedup_stream" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // batch islands-and-gaps formulation of the streaming sessionizer
+    "sessionize_stream" ->
+      """WITH m AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 12 HOUR
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        | count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ts""".stripMargin,
+    "skew_join_salted" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

@@ -33,4 +33,20 @@ object SkewJoin {
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Query entry (oracle-checked): the salted orders⋈customer join must
+    * produce EXACTLY the rows of the plain equi-join — salting redistributes
+    * work, never changes the result. The salted path is forced onto a
+    * sort-merge join (broadcast disabled per-plan via hints is not needed:
+    * the replicated small side at 16× stays broadcastable, which is fine —
+    * the salt column still spreads the shuffle keys of the big side). */
+  def skewJoinSalted(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+    salted(orders, customer, "custkey")
+      .select("o_orderkey", "custkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -81,6 +81,62 @@ object StreamingQueries {
    * dropDuplicates on the key, then aggregated — must equal batch
    * count(DISTINCT) SQL. Exercises the dedup state store end-to-end.
    */
+  /**
+   * Gap-based sessionization through the real stateful streaming path
+   * ([[graft.streaming.Sessionize]], flatMapGroupsWithState + event-time
+   * timeout), checked against DuckDB's batch islands-and-gaps SQL.
+   *
+   * Append-mode custom state only EMITS a session when it closes; the last
+   * session of every user would stay open at end-of-stream (the watermark
+   * never passes its timeout in an AvailableNow drain). A sentinel event
+   * per user at max(ts) + 2×gap closes every real session through the
+   * gap-split path — the sentinels' own sessions stay open and are never
+   * emitted, so the output is exactly the batch answer.
+   */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{Sessionize, UserEvent}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapMs = 12 * 3600 * 1000L
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val schema = raw.schema
+    val streamDir = symlinkDir(dir, "graft-events-sess")
+    val sentinelFile = java.nio.file.Paths.get(streamDir, "sentinels.parquet")
+    if (!java.nio.file.Files.exists(sentinelFile)) {
+      val sentinelNs = raw.agg(max(col("ts"))).head().getLong(0) + 2 * gapMs * 1000000L
+      val sentinels = raw.select(col("user_id")).distinct().select(
+        (lit(-1L) - col("user_id")).as("event_id"),
+        lit(sentinelNs).as("ts"),
+        col("user_id"),
+        lit("__flush").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast(schema("props").dataType).as("props"))
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft-sess-sent")
+      sentinels.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+      val part = java.nio.file.Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, sentinelFile)
+    }
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select(col("user_id"), col("ts"), col("value"))
+    import spark.implicits._
+    val sessions = Sessionize.sessions(stream.as[UserEvent], gapMs)
+
+    val name = "events_sess_" + math.abs(dir.hashCode)
+    withStreamShuffle(spark, 8) {
+      val q = sessions.toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("user_id"), col("start_ts"), col("end_ts"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("start_ts"))
+  }
+
   def eventsDedupStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NOTE: measured here, the default HDFS-backed in-memory state store

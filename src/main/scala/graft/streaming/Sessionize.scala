@@ -16,6 +16,8 @@ final case class UserSession(
     n_events: Long,
     sum_value: Double)
 
+/** Session bounds in epoch MICROS — java.sql.Timestamp.getTime is
+  * millisecond-truncated, and event time carries microseconds. */
 private final case class SessionState(
     start: Long, last: Long, n: Long, sum: Double)
 
@@ -33,11 +35,23 @@ private final case class SessionState(
  */
 object Sessionize {
 
+  /** Timestamp → epoch micros (getTime carries millis; getNanos the full
+    * sub-second, so only its sub-milli part is added). */
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
+  }
+
   def sessions(
       events: Dataset[UserEvent],
       gapMs: Long,
       watermarkDelayMs: Long = 5000L): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", s"$watermarkDelayMs milliseconds")
       .groupByKey(_.user_id)
@@ -47,18 +61,18 @@ object Sessionize {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+            Iterator(UserSession(userId, toTimestamp(s.start), toTimestamp(s.last), s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
             var closed = List.empty[UserSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
-                  closed ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  closed ::= UserSession(userId, toTimestamp(s.start), toTimestamp(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -66,7 +80,7 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              state.setTimeoutTimestamp(s.last / 1000L + gapMs)
             }
             closed.reverseIterator
           }
