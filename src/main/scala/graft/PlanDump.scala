@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // plan dump wants the operator plans, not the eager recall-assertion jobs
+    sys.props("graft.bench") = "1"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -17,8 +19,8 @@ object PlanDump {
     val headline = Seq(
       "q1_pricing_summary", "q3_top_revenue", "q4_region_revenue", "q7_anti_join",
       "q11_semi_join", "q14_scalar_subquery", "dedup_exact", "dedup_minhash",
-      "ngram_jaccard", "ann_topk", "ann_lsh", "embed_neardup", "text_stats",
-      "mq_roundtrip_events")
+      "ngram_jaccard", "ann_topk", "ann_lsh", "ann_ivf", "embed_neardup",
+      "skew_join_salted", "text_stats", "mq_roundtrip_events")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
