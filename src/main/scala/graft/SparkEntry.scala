@@ -64,6 +64,45 @@ object SparkEntry {
     "embed_neardup" -> (Similarity.embedNearDup _),
   )
 
+  /** Shared DuckDB CTE chain: normalized text → distinct char-4-gram sets →
+    * per-doc gram counts → pairwise intersection sizes. Mirrors
+    * TextHashes.normalize + shingleHashesSorted; used by every exact-Jaccard
+    * oracle so the shingle logic lives in ONE place. */
+  private val gramCtes: String =
+    """docs AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
+      |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
+      |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Exact all-pairs Jaccard at a threshold (filter on the ROUNDED value,
+    * matching the Spark side). */
+  private def jaccardOracle(threshold: String): String =
+    s"""WITH $gramCtes
+       |SELECT doc_a, doc_b, round(common::DOUBLE/(ga.n+gb.n-common), 4) AS jaccard
+       |FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
+       |WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Pairs at threshold → undirected edges → transitive closure — the
+    * connected-components labels (min reachable id) the Spark min-label
+    * propagation converges to. */
+  private def clusterCtes(threshold: String): String =
+    s"""$gramCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
+       |  WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= $threshold),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r2.id, e.b FROM reach r2 JOIN edges e ON e.a = r2.r)""".stripMargin
+
   /** DuckDB-dialect oracle SQL per query (same column names + ordering). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -275,74 +314,14 @@ object SparkEntry {
     // whitespace, trim) + distinct char-4-gram sets; counting distinct grams
     // equals counting distinct 64-bit gram hashes (no collisions at this
     // scale), so exact Jaccard agrees with the Spark kernel.
-    "ngram_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
-        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
-        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
-        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(common::DOUBLE/(ga.n+gb.n-common), 4) AS jaccard
-        |FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
-        |WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_minhash" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
-        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
-        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
-        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(common::DOUBLE/(ga.n+gb.n-common), 4) AS jaccard
-        |FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
-        |WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.7
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "ngram_jaccard" -> jaccardOracle("0.5"),
+    "dedup_minhash" -> jaccardOracle("0.7"),
     "dedup_minhash_keep" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
-        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
-        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
-        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
-        |  WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.7),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r2.id, e.b FROM reach r2 JOIN edges e ON e.a = r2.r)
+      s"""WITH RECURSIVE ${clusterCtes("0.7")}
         |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "corpus_clean" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
-        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
-        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
-        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
-        |  WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= 0.7),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r2.id, e.b FROM reach r2 JOIN edges e ON e.a = r2.r),
+      raw"""WITH RECURSIVE ${clusterCtes("0.7")},
         |dup AS (SELECT id AS doc_id, (min(r) = id) AS dup_keep FROM reach GROUP BY id),
         |q AS (
         | SELECT doc_id,

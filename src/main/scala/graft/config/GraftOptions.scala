@@ -107,7 +107,11 @@ object GraftOptions {
     60000L, 120000L, 180000L, 240000L, 300000L, 360000L, 420000L, 480000L,
     540000L, 600000L, 1200000L, 1800000L, 3600000L, 7200000L)
 
-  def delayMs(level: Int): Long = DelayLevelMs(level)
+  def delayMs(level: Int): Long = {
+    require(level >= 0 && level < DelayLevelMs.length,
+      s"invalid msgDelayLevel: $level (expected 0-${DelayLevelMs.length - 1})")
+    DelayLevelMs(level)
+  }
 
   /** Java-style backslash-escape decoding for delimiter options ("\t", "\n",
     * SOH, …) — the reference unescapes delimiters the same way
@@ -173,7 +177,11 @@ object GraftOptions {
       partitionDiscoveryIntervalMs =
         opts.get(PartitionDiscoveryIntervalMs).map(_.toLong).getOrElse(30000L),
       encoding = opts.getOrElse(Encoding, "UTF-8"),
-      fieldDelimiter = unescape(opts.getOrElse(FieldDelimiter, graft.serde.Delimiters.Soh)),
+      // an explicit empty delimiter normalizes to the SOH default: the read
+      // path treats "" as never-split, so a writer honoring "" literally
+      // would produce multi-column bodies the reader cannot parse back
+      fieldDelimiter = Some(unescape(opts.getOrElse(FieldDelimiter, graft.serde.Delimiters.Soh)))
+        .filter(_.nonEmpty).getOrElse(graft.serde.Delimiters.Soh),
       lineDelimiter = unescape(opts.getOrElse(LineDelimiter, "\n")),
       columnErrorDebug = opts.get(ColumnErrorDebug).forall(_.toBoolean),
       lengthCheck = lengthCheck,

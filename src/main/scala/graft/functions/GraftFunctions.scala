@@ -87,19 +87,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
       s"cosine_sim needs array<float|double> args, got ${left.dataType}, ${right.dataType}")
   }
 
-  private def toDoubles(v: Any, dt: DataType): Array[Double] = dt match {
-    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
-    case _ =>
-      val fs = v.asInstanceOf[ArrayData].toFloatArray()
-      val out = new Array[Double](fs.length)
-      var i = 0
-      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
-      out
-  }
-
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = toDoubles(a, left.dataType)
-    val ys = toDoubles(b, right.dataType)
+    val xs = VectorKernels.toDoubles(a, left.dataType)
+    val ys = VectorKernels.toDoubles(b, right.dataType)
     if (xs.length != ys.length)
       throw new IllegalArgumentException(
         s"cosine_sim: dimension mismatch ${xs.length} vs ${ys.length} — " +
@@ -129,30 +119,20 @@ case class CosineSimExpr(left: Expression, right: Expression)
  */
 case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
-  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-
   override def dataType: DataType = LongType
 
-  private def toDoubles(v: Any): Array[Double] = child.dataType match {
-    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
-    case _ =>
-      val fs = v.asInstanceOf[ArrayData].toFloatArray()
-      val out = new Array[Double](fs.length)
-      var i = 0
-      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
-      out
-  }
-
   override def nullSafeEval(input: Any): Any = {
-    val xs = toDoubles(input)
+    val xs = VectorKernels.toDoubles(input, child.dataType)
     var bucket = 0L
     var p = 0
     while (p < planes.length) {
       val plane = planes(p)
+      if (plane.length != xs.length)
+        throw new IllegalArgumentException(
+          s"hyperplane_bucket: vector dim ${xs.length} != plane dim ${plane.length}")
       var dot = 0.0
-      val n = math.min(xs.length, plane.length)
       var i = 0
-      while (i < n) { dot += xs(i) * plane(i); i += 1 }
+      while (i < xs.length) { dot += xs(i) * plane(i); i += 1 }
       if (dot >= 0) bucket |= (1L << p)
       p += 1
     }
@@ -179,13 +159,18 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
  * Dim-free variant of [[HyperplaneBucketExpr]]: planes are generated lazily
  * from (numPlanes, dim, seed) when the first vector arrives, so the plan
  * needs no driver-side dimension probe (one fewer Spark job per query).
- * Deterministic: every task derives the identical planes from the seed, and
- * a corpus with mixed dimensions gets per-dim planes (each dim is its own
- * consistent LSH family).
+ * Deterministic: every task derives the identical planes from the seed.
+ *
+ * A corpus with mixed dimensions gets per-dim planes AND per-dim bucket
+ * ranges — the vector's dimension occupies the bucket id's high bits, so
+ * vectors of different dimensionality can never share a bucket (a cross-dim
+ * candidate pair would be meaningless and the cosine verify would throw).
+ * Supports numPlanes <= 44 and dim < 2^20.
  */
 case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
-  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+  require(numPlanes >= 1 && numPlanes <= 44,
+    s"numPlanes out of range [1, 44]: $numPlanes")
 
   override def dataType: DataType = LongType
 
@@ -194,20 +179,13 @@ case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long
   private def planesFor(dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent(dim, d => VectorKernels.hyperplanes(numPlanes, d, seed))
 
-  private def toDoubles(v: Any): Array[Double] = child.dataType match {
-    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
-    case _ =>
-      val fs = v.asInstanceOf[ArrayData].toFloatArray()
-      val out = new Array[Double](fs.length)
-      var i = 0
-      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
-      out
-  }
-
   override def nullSafeEval(input: Any): Any = {
-    val xs = toDoubles(input)
+    val xs = VectorKernels.toDoubles(input, child.dataType)
+    if (xs.length >= (1 << 20))
+      throw new IllegalArgumentException(
+        s"hyperplane_bucket_gen supports dim < 2^20, got ${xs.length}")
     val planes = planesFor(xs.length)
-    var bucket = 0L
+    var bucket = xs.length.toLong << 44
     var p = 0
     while (p < planes.length) {
       val plane = planes(p)
@@ -251,18 +229,8 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
     if (n == 0.0) 0.0 else 1.0 / n
   }
 
-  private def toDoubles(v: Any): Array[Double] = child.dataType match {
-    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
-    case _ =>
-      val fs = v.asInstanceOf[ArrayData].toFloatArray()
-      val out = new Array[Double](fs.length)
-      var i = 0
-      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
-      out
-  }
-
   override def nullSafeEval(input: Any): Any = {
-    val xs = toDoubles(input)
+    val xs = VectorKernels.toDoubles(input, child.dataType)
     // |x| is constant across centroids, so ranking by dot(x,c)/|c| is the
     // cosine ranking without ever computing |x|
     val k = centroids.length
@@ -280,7 +248,11 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
       var dot = 0.0
       var i = 0
       while (i < xs.length) { dot += xs(i) * cen(i); i += 1 }
-      val sim = dot * invNorms(c)
+      // a NaN similarity (NaN component in the vector) must not poison the
+      // selection — rank it like "no affinity" so the vector still lands in
+      // a real, searchable cell instead of leaking the Int.MaxValue sentinel
+      val raw = dot * invNorms(c)
+      val sim = if (java.lang.Double.isNaN(raw)) Double.NegativeInfinity else raw
       // insertion into the running top-n (descending sim, then ascending cid)
       if (sim > topSim(n - 1) || (sim == topSim(n - 1) && c < topCid(n - 1))) {
         var pos = n - 1
@@ -314,6 +286,8 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
 
 /** Deterministic vector-hash helpers shared by the LSH expressions. */
 object VectorKernels {
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
   /** Pseudo-gaussian hyperplanes (sum of 4 seeded uniforms) — the same
     * generator for every (numPlanes, dim, seed), wherever it is evaluated. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
@@ -324,6 +298,18 @@ object VectorKernels {
     }
     Array.fill(numPlanes)(Array.fill(dim)(
       nextUniform() + nextUniform() + nextUniform() + nextUniform()))
+  }
+
+  /** ArrayData of float or double → Array[Double] — the one conversion all
+    * vector expressions share (float inputs widen element-wise). */
+  def toDoubles(v: Any, dt: DataType): Array[Double] = dt match {
+    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
+    case _ =>
+      val fs = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Double](fs.length)
+      var i = 0
+      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+      out
   }
 }
 

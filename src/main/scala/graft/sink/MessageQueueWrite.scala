@@ -101,14 +101,15 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
     val born = delayMs +
       (if (bornIdx >= 0 && !row.isNullAt(bornIdx)) row.getLong(bornIdx) / 1000L
        else System.currentTimeMillis())
-    val body = bodyIdx.map(str(row, _))
-      .mkString(if (opts.fieldDelimiter.isEmpty) graft.serde.Delimiters.Soh else opts.fieldDelimiter)
+    // GraftOptions.parse normalizes an empty delimiter to SOH, so writer
+    // and reader always agree on the body layout
+    val body = bodyIdx.map(str(row, _)).mkString(opts.fieldDelimiter)
     val line = TopicLog.renderLine(
       Message(born, key, if (tag == "*") "" else tag, Map.empty, body))
     spill.write(line)
     spill.newLine()
     rows += 1L
-    bytes += line.length + 1L
+    bytes += graft.source.Metrics.utf8Length(line) + 1L
   }
 
   override def currentMetricsValues()

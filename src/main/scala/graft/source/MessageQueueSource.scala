@@ -222,7 +222,7 @@ class QueuePartitionReader(rootDir: String, tagFilter: String,
       // materialized (reference: example/PropertyFilterExamples.java:33)
       val propsOk = propertyFilter.isEmpty ||
         propertyFilter.forall { case (k, v) => m.properties.get(k).contains(v) }
-      bytesRead += m.body.length
+      bytesRead += Metrics.utf8Length(m.body)
       if (tagOk && propsOk) {
         messagesRead += 1
         current = toRow(offset, m)
@@ -352,18 +352,25 @@ class MessageQueueMicroBatchStream(opts: GraftOptions,
   /** Persist the group's progress so external tooling sees lag, mirroring
     * the reference's commit-on-checkpoint-complete
     * (legacy/RocketMQSourceFunction.java:340-437). Restart correctness does
-    * NOT depend on this — the streaming checkpoint wins (restore-wins). */
+    * NOT depend on this — the streaming checkpoint wins (restore-wins) — so
+    * a failing offset write must never kill a healthy data path: log and
+    * continue. */
   override def commit(end: Offset): Unit =
-    OffsetStore.commitOffsets(opts.rootDir, opts.topic, opts.consumerGroup,
-      end.asInstanceOf[QueueOffsets].offsets)
+    tryCommit(end.asInstanceOf[QueueOffsets].offsets)
 
   /** Flush the final batch's end offsets (see [[lastPlannedEnd]]). If the
     * run died mid-batch this may over-report the group position by one
     * batch — acceptable for a monitoring-only surface; the streaming
     * checkpoint remains the authority for restarts (restore-wins). */
-  override def stop(): Unit = lastPlannedEnd.foreach { e =>
-    OffsetStore.commitOffsets(opts.rootDir, opts.topic, opts.consumerGroup, e)
-  }
+  override def stop(): Unit = lastPlannedEnd.foreach(tryCommit)
+
+  private def tryCommit(offsets: Map[Int, Long]): Unit =
+    try OffsetStore.commitOffsets(opts.rootDir, opts.topic, opts.consumerGroup, offsets)
+    catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"could not persist consumer-group offsets for ${opts.consumerGroup}: $e")
+    }
 }
 
 object MessageQueueSource {

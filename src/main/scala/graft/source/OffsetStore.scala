@@ -68,14 +68,22 @@ object OffsetStore {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Last committed offsets for a group (empty if it never committed). */
+  /** Last committed offsets for a group (empty if it never committed).
+    * Malformed lines are skipped, not fatal — this is a monitoring API and
+    * the file is plain text anyone may have touched. */
   def committedOffsets(rootDir: String, topic: String, group: String): Map[Int, Long] = {
     val file = offsetsFile(rootDir, topic, group)
     if (!java.nio.file.Files.exists(file)) Map.empty
     else scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(file)).asScala
-      .filter(_.nonEmpty)
-      .map { line => val Array(q, o) = line.split("\t"); q.toInt -> o.toLong }
+      .flatMap { line =>
+        line.split("\t") match {
+          case Array(q, o) if q.trim.nonEmpty =>
+            try Some(q.trim.toInt -> o.trim.toLong)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
       .toMap
   }
 

@@ -49,7 +49,10 @@ class SimilaritySpec extends SparkSpec {
       numTables = 4, bitsPerTable = 8)
     val rows = b.select("vec_id", "table", "bucket").collect()
     assert(rows.length === 200) // 50 vectors × 4 tables
-    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 256))
+    // bucket id = (dim << 44) | sign bits: the dimension occupies the high
+    // bits so mixed-dim vectors can never collide into one bucket
+    val base = dim.toLong << 44
+    assert(rows.forall(r => r.getLong(2) >= base && r.getLong(2) < base + 256))
     val again = Similarity.lshBuckets(embeddings.limit(50), "emb",
       numTables = 4, bitsPerTable = 8).select("vec_id", "table", "bucket").collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
