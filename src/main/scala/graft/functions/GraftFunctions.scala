@@ -68,13 +68,52 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
  * one flat fused loop for dot product and both norms. The higher-order
  * `aggregate(zip_with(...))` formulation interprets ~4 boxed lambda calls
  * per element per row; this is the hot inner kernel of every similarity
- * operator, so it gets a real loop.
+ * operator, so it gets a real loop AND real codegen: unlike the heavy text
+ * kernels (where one virtual call per row is noise), a 64-dim cosine is
+ * light enough that staying inside whole-stage codegen matters when an
+ * exact verify evaluates it millions of times.
  */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
   override def dataType: DataType = DoubleType
+
+  private def elemGetter(dt: DataType, arr: String, idx: String): String = dt match {
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($idx)"
+    case _ => s"(double) $arr.getFloat($idx)"
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("cosine_sim: dimension mismatch " +
+         |    $n + " vs " + $b.numElements() +
+         |    " - a silent min-length similarity would be plausible but wrong");
+         |}
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${elemGetter(left.dataType, a, i)};
+         |  double $y = ${elemGetter(right.dataType, b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {

@@ -189,16 +189,32 @@ object Relational {
   /** Sketch aggregates (rows-only: sketch outputs are engine-specific):
    *  HLL distinct-count estimate + approximate percentiles per event type.
    *  At 100 TB these replace exact distinct/percentile shuffles with
-   *  mergeable fixed-size state — the only way those stats stay cheap. */
+   *  mergeable fixed-size state — the only way those stats stay cheap.
+   *  The driver's check is rows-only, so the entry eagerly asserts the
+   *  sketch error bounds against the exact answers (HLL within 5% at
+   *  rsd=0.02; approx p50 within the 1/accuracy rank guarantee ±10%). */
   def q17Sketches(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+    val events = Tables.events(spark, dir)
+    val sketched = events
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
         round(percentile_approx(col("value"), lit(0.5), lit(10000)), 2).as("p50_value"),
         round(percentile_approx(col("value"), lit(0.99), lit(10000)), 2).as("p99_value"))
-      .orderBy(col("event_type"))
+    if (Tables.eagerAssertionsEnabled) {
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          expr("percentile(value, 0.5)").as("exact_p50"))
+      val bad = sketched.join(exact, "event_type")
+        .filter(
+          abs(col("hll_users") - col("exact_users")) > col("exact_users") * 0.05 ||
+          abs(col("approx_users") - col("exact_users")) > col("exact_users") * 0.05 ||
+          abs(col("p50_value") - col("exact_p50")) > abs(col("exact_p50")) * 0.1 + 0.01)
+        .count()
+      require(bad == 0, s"q17 sketch estimates outside error bounds for $bad group(s)")
+    }
+    sketched.orderBy(col("event_type"))
   }
 
   /** Exact interpolated percentiles per group (the sketch-free counterpart

@@ -57,6 +57,36 @@ class ConnectorSurfaceSpec extends SparkSpec {
     assert(OffsetStore.consumerLag(root, "oc", "g1") === Map(0 -> 0L, 1 -> 0L))
   }
 
+  test("a queue created after the first run is discovered and drained from 0") {
+    // the micro-batch stream re-lists queues on every latestOffset() tick,
+    // so new queues join the scan with start offset 0 — the Spark shape of
+    // the reference's partitionDiscoveryIntervalMs rediscovery
+    val root = freshRoot()
+    seed(root, "qd", queues = 2, perQueue = 4)
+    val ckpt = Files.createTempDirectory("graft-qd-ckpt").toString
+    val out = Files.createTempDirectory("graft-qd-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", "qd").option("consumerGroup", "g").option("rootDir", root)
+        .option("offsetResetTo", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 8)
+    // a third queue appears with its own messages
+    TopicLog.append(root, "qd", 2,
+      (0 until 6).iterator.map(i => Message(7000L + i, s"k2-$i", "even", Map.empty, s"late-$i")))
+    drain()
+    val byQueue = spark.read.parquet(out).groupBy("queue_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byQueue === Map(0 -> 4L, 1 -> 4L, 2 -> 6L))
+  }
+
   test("batch scan reports custom read metrics (read + filtered + bytes)") {
     val root = freshRoot()
     seed(root, "met", queues = 2, perQueue = 10)
