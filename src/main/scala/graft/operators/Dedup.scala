@@ -106,14 +106,17 @@ object Dedup {
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
     val left = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
     val right = bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+    // distinct BEFORE attaching signatures: a pair colliding in k bands
+    // appears k times out of the band join, and the wide sig join must only
+    // see it once (ids are two longs; signatures are 64)
     left.join(right, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
       .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard",
         graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-      .distinct()
   }
 
   /**
@@ -234,14 +237,17 @@ object Dedup {
     // cheap signature prefilter (slightly below threshold to keep estimate
     // noise from dropping borderline pairs) before the wide shingle-set join
     val est = graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b"))
+    // distinct before the sig joins: band-collision duplicates (up to
+    // numBands per pair) must not multiply the wide signature shuffle
     val candidates = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
       .join(bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
       .join(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(est >= math.max(0.0, threshold - 0.15))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
     candidates
       .join(sh.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shs").as("shs_b")), "doc_b")
