@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Bucketed co-located joins: pay the partitioning shuffle ONCE at write
+ * time, then every equi-join on the bucket key runs with zero exchange on
+ * either side. At 100 TB this is the difference between re-shuffling the
+ * fact table per query and never shuffling it again — the Spark-native
+ * analog of the broker's fixed queue partitioning (messages hash-routed to
+ * queues once, every consumer reads aligned splits; reference:
+ * legacy/common/selector/DefaultTopicSelector.java + queue assignment).
+ *
+ * Spark bucketing requires a saved table (the bucket spec lives in the
+ * catalog), so these helpers wrap saveAsTable/table rather than plain
+ * parquet paths.
+ */
+object Bucketed {
+
+  /** Persist `df` bucketed by `key` into `numBuckets` catalog buckets. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, numBuckets: Int,
+      sortByKey: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, key)
+    (if (sortByKey) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /**
+   * Join two tables bucketed on the same key with the same bucket count —
+   * plans as a sort-merge join with NO Exchange on either side (assert it
+   * in tests; a silent bucket-count mismatch would quietly reintroduce the
+   * shuffle). Broadcast is disabled for this join via hint-free sizing:
+   * callers joining a genuinely small side should broadcast instead.
+   */
+  def bucketedJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}
