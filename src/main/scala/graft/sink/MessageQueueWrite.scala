@@ -60,6 +60,27 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
     extends DataWriter[InternalRow] {
 
   private val fieldNames = schema.fieldNames
+
+  /** A message-shaped input (every column is one of the source's own
+    * message/metadata columns, and there is a string `body`) maps columns
+    * by ROLE — body→body, msg_key→key, tag→tag, born_ts→born,
+    * properties→properties; topic/queue_id/offset are broker-assigned and
+    * ignored. This is what makes `INSERT INTO <graft-mq table> SELECT ...`
+    * round-trip: reading a queue and inserting the rows back writes the
+    * same messages, not delimiter-joined column soup. Any other schema
+    * takes the generic delimited-body path below. */
+  private val messageShaped: Boolean = {
+    val msgCols = graft.source.MessageQueueTable.Schema.fieldNames.toSet
+    fieldNames.forall(msgCols.contains) &&
+      schema.fields.exists(f => f.name == "body" &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+  }
+  private def idxOf(name: String): Int = schema.fields.indexWhere(_.name == name)
+  private val msgBodyIdx = if (messageShaped) idxOf("body") else -1
+  private val msgKeyIdx = if (messageShaped) idxOf("msg_key") else -1
+  private val msgTagIdx = if (messageShaped) idxOf("tag") else -1
+  private val msgPropsIdx = if (messageShaped) idxOf("properties") else -1
+
   private val tagIdx =
     if (opts.isDynamicTag && opts.dynamicTagColumn != null)
       schema.fieldIndex(opts.dynamicTagColumn)
@@ -96,16 +117,34 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
   private val delayMs = graft.config.GraftOptions.delayMs(opts.msgDelayLevel)
 
   override def write(row: InternalRow): Unit = {
-    val key = keyIdx.map(str(row, _)).mkString(",")
-    val tag = if (tagIdx >= 0) str(row, tagIdx) else opts.tag
     val born = delayMs +
       (if (bornIdx >= 0 && !row.isNullAt(bornIdx)) row.getLong(bornIdx) / 1000L
        else System.currentTimeMillis())
-    // GraftOptions.parse normalizes an empty delimiter to SOH, so writer
-    // and reader always agree on the body layout
-    val body = bodyIdx.map(str(row, _)).mkString(opts.fieldDelimiter)
-    val line = TopicLog.renderLine(
-      Message(born, key, if (tag == "*") "" else tag, Map.empty, body))
+    val m =
+      if (messageShaped) {
+        val props =
+          if (msgPropsIdx < 0 || row.isNullAt(msgPropsIdx)) Map.empty[String, String]
+          else {
+            val md = row.getMap(msgPropsIdx)
+            val ks = md.keyArray(); val vs = md.valueArray()
+            (0 until md.numElements()).map(i =>
+              ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString).toMap
+          }
+        val tag = if (msgTagIdx >= 0) str(row, msgTagIdx) else opts.tag
+        Message(born,
+          if (msgKeyIdx >= 0) str(row, msgKeyIdx) else "",
+          if (tag == "*") "" else tag,
+          props,
+          str(row, msgBodyIdx))
+      } else {
+        val key = keyIdx.map(str(row, _)).mkString(",")
+        val tag = if (tagIdx >= 0) str(row, tagIdx) else opts.tag
+        // GraftOptions.parse normalizes an empty delimiter to SOH, so writer
+        // and reader always agree on the body layout
+        val body = bodyIdx.map(str(row, _)).mkString(opts.fieldDelimiter)
+        Message(born, key, if (tag == "*") "" else tag, Map.empty, body)
+      }
+    val line = TopicLog.renderLine(m)
     spill.write(line)
     spill.newLine()
     rows += 1L

@@ -37,9 +37,17 @@ class MessageQueueProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val opts = GraftOptions.parse(
-      scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
-    new MessageQueueTable(opts)
+    val all = scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap
+    // a catalog-created table (CREATE TABLE ... USING graft-mq OPTIONS (...))
+    // carries its OPTIONS under an "option." prefix plus catalog bookkeeping
+    // keys (owner/path/provider/...) — strip the prefix, drop the rest, and
+    // keep strict validation for everything the user actually wrote
+    val optPrefixed = all.collect {
+      case (k, v) if k.toLowerCase.startsWith("option.") => k.substring("option.".length) -> v
+    }
+    val known = GraftOptions.RequiredKeys ++ GraftOptions.OptionalKeys
+    val bare = all.filter { case (k, _) => known.contains(k.toLowerCase) }
+    new MessageQueueTable(GraftOptions.parse(bare ++ optPrefixed))
   }
 }
 

@@ -87,6 +87,32 @@ class ConnectorSurfaceSpec extends SparkSpec {
     assert(byQueue === Map(0 -> 4L, 1 -> 4L, 2 -> 6L))
   }
 
+  test("SQL DDL surface: CREATE TABLE USING graft-mq, SELECT and INSERT INTO") {
+    // the Spark analog of the reference's table factories
+    // (source/table/RocketMQDynamicTableSourceFactory.java): declare the
+    // connector in DDL, then read and write it with plain SQL
+    val root = freshRoot()
+    seed(root, "ddl", queues = 2, perQueue = 3)
+    spark.sql(
+      s"""CREATE TABLE graft_ddl USING `graft-mq` OPTIONS (
+         | topic 'ddl', consumerGroup 'g', rootDir '$root')""".stripMargin)
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_ddl").head().getLong(0) === 6)
+      assert(spark.sql(
+        "SELECT body FROM graft_ddl WHERE tag = 'even' AND queue_id = 1 AND offset = 0")
+        .head().getString(0) === "body-1-0")
+      spark.sql(
+        """INSERT INTO graft_ddl
+          |SELECT 'ddl' AS topic, 0 AS queue_id, 99 AS offset,
+          | TIMESTAMP '2024-01-01 00:00:00' AS born_ts,
+          | 'k-new' AS msg_key, 'odd' AS tag,
+          | map('p', 'x') AS properties, 'inserted-via-sql' AS body""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM graft_ddl").head().getLong(0) === 7)
+      assert(spark.sql("SELECT body FROM graft_ddl WHERE msg_key = 'k-new'")
+        .head().getString(0).contains("inserted-via-sql"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl")
+  }
+
   test("batch scan reports custom read metrics (read + filtered + bytes)") {
     val root = freshRoot()
     seed(root, "met", queues = 2, perQueue = 10)
