@@ -23,6 +23,8 @@ class MessageQueueWriteBuilder(opts: GraftOptions, schema: StructType)
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
     override def toBatch: BatchWrite = new MessageQueueBatchWrite(opts, schema)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new MessageQueueStreamingWrite(opts, schema)
     // task = queue, so the requested partition count IS the queue count;
     // 0 lets the incoming partitioning stand. Clustering key: the message
     // key columns (keeps one key's messages ordered within one queue, the
@@ -46,6 +48,32 @@ class MessageQueueBatchWrite(opts: GraftOptions, schema: StructType) extends Bat
     new QueueDataWriterFactory(opts, schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/**
+ * DSv2 streaming sink: `df.writeStream.format("graft-mq")...start()` —
+ * the native counterpart of the reference's streaming sink
+ * (legacy/RocketMQSink.java). Each micro-batch epoch runs the same
+ * spill-then-append writers as the batch path (task = queue, single writer
+ * per queue, no partial lines from failed attempts). Delivery is
+ * at-least-once at the epoch boundary: a crash between the epoch's task
+ * commits and the checkpoint advancing replays the epoch. Use
+ * foreachBatch + the committed-batch marker for idempotent batch skip.
+ */
+class MessageQueueStreamingWrite(opts: GraftOptions, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new QueueStreamingWriterFactory(opts, schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class QueueStreamingWriterFactory(opts: GraftOptions, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new QueueDataWriter(opts, schema, partitionId)
 }
 
 class QueueDataWriterFactory(opts: GraftOptions, schema: StructType)

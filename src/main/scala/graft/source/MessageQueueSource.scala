@@ -71,7 +71,8 @@ class MessageQueueTable(opts: GraftOptions) extends Table
   override def schema(): StructType = MessageQueueTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MessageQueueScanBuilder(opts)

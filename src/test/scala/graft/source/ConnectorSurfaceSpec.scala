@@ -113,6 +113,32 @@ class ConnectorSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ddl")
   }
 
+  test("queue-to-queue streaming: readStream + writeStream both on graft-mq") {
+    // the reference's whole deployment shape — consume one topic, produce
+    // another — as a native DSv2 stream on both ends
+    val root = freshRoot()
+    seed(root, "src", queues = 2, perQueue = 5)
+    val ckpt = Files.createTempDirectory("graft-q2q-ckpt").toString
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", "src").option("consumerGroup", "g").option("rootDir", root)
+      .option("offsetResetTo", "earliest")
+      .load()
+      .writeStream.format("graft-mq")
+      .option("topic", "dst").option("consumerGroup", "g").option("rootDir", root)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.format("graft-mq")
+      .option("topic", "dst").option("consumerGroup", "g").option("rootDir", root)
+      .load()
+    assert(out.count() === 10)
+    // message-shaped write maps columns by role: bodies and tags survive
+    assert(out.filter(col("tag") === "even").count() === 6)
+    assert(out.select("body").collect().map(_.getString(0)).sorted.toSeq ===
+      (0 until 2).flatMap(q => (0 until 5).map(i => s"body-$q-$i")).sorted)
+  }
+
   test("batch scan reports custom read metrics (read + filtered + bytes)") {
     val root = freshRoot()
     seed(root, "met", queues = 2, perQueue = 10)
