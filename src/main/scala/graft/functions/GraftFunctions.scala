@@ -106,6 +106,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "cosine_sim: null element at index " + $i);
+         |  }
          |  double $x = ${elemGetter(left.dataType, a, i)};
          |  double $y = ${elemGetter(right.dataType, b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
@@ -340,15 +344,25 @@ object VectorKernels {
   }
 
   /** ArrayData of float or double → Array[Double] — the one conversion all
-    * vector expressions share (float inputs widen element-wise). */
-  def toDoubles(v: Any, dt: DataType): Array[Double] = dt match {
-    case ArrayType(DoubleType, _) => v.asInstanceOf[ArrayData].toDoubleArray()
-    case _ =>
-      val fs = v.asInstanceOf[ArrayData].toFloatArray()
-      val out = new Array[Double](fs.length)
-      var i = 0
-      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
-      out
+    * vector expressions share (float inputs widen element-wise). Null
+    * elements throw the same error interpreted and codegen'd — a silent 0.0
+    * would skew every similarity downstream. */
+  def toDoubles(v: Any, dt: DataType): Array[Double] = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isDouble = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(s"null element at index $i in vector")
+      out(i) = if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+      i += 1
+    }
+    out
   }
 }
 

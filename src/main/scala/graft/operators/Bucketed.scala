@@ -28,13 +28,14 @@ object Bucketed {
 
   /**
    * Join two tables bucketed on the same key with the same bucket count —
-   * plans as a sort-merge join with NO Exchange on either side (assert it
-   * in tests; a silent bucket-count mismatch would quietly reintroduce the
-   * shuffle). Broadcast is disabled for this join via hint-free sizing:
-   * callers joining a genuinely small side should broadcast instead.
+   * the MERGE hint pins a sort-merge join, which with aligned buckets plans
+   * with NO Exchange on either side (asserted in the suite). Without the
+   * hint a small side could flip to broadcast — also shuffle-free but not
+   * the co-location this helper promises, and a silent bucket-count
+   * mismatch would quietly reintroduce the shuffle under it.
    */
   def bucketedJoin(
       spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), key)
+    spark.table(leftTable).hint("merge").join(spark.table(rightTable), key)
 }

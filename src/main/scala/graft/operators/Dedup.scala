@@ -117,6 +117,10 @@ object Dedup {
         graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      // final distinct guards against duplicate doc_id rows in dirty input
+      // (duplicate signatures re-multiply pairs through the sig joins);
+      // cheap — it runs on the thresholded result
+      .distinct()
   }
 
   /**
@@ -258,6 +262,9 @@ object Dedup {
           (size(col("shs_a")) + size(col("shs_b")) - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      // guards against duplicate doc_id rows re-multiplying pairs through
+      // the signature/shingle joins; cheap on the thresholded result
+      .distinct()
   }
 
   /**

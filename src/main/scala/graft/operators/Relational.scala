@@ -191,8 +191,11 @@ object Relational {
    *  At 100 TB these replace exact distinct/percentile shuffles with
    *  mergeable fixed-size state — the only way those stats stay cheap.
    *  The driver's check is rows-only, so the entry eagerly asserts the
-   *  sketch error bounds against the exact answers (HLL within 5% at
-   *  rsd=0.02; approx p50 within the 1/accuracy rank guarantee ±10%). */
+   *  sketches' OWN guarantees against exact answers: HLL within 10% (5
+   *  sigma at rsd=0.02, so it cannot flake), and approx p50 inside the
+   *  exact [p49, p51] RANK band — percentile_approx guarantees rank error
+   *  (1/accuracy), not value error, so a value-distance bound would
+   *  false-alarm on clustered distributions. */
   def q17Sketches(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
     val sketched = events
@@ -205,12 +208,14 @@ object Relational {
     if (Tables.eagerAssertionsEnabled) {
       val exact = events.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          expr("percentile(value, 0.5)").as("exact_p50"))
+          expr("percentile(value, 0.49)").as("exact_p49"),
+          expr("percentile(value, 0.51)").as("exact_p51"))
       val bad = sketched.join(exact, "event_type")
         .filter(
-          abs(col("hll_users") - col("exact_users")) > col("exact_users") * 0.05 ||
-          abs(col("approx_users") - col("exact_users")) > col("exact_users") * 0.05 ||
-          abs(col("p50_value") - col("exact_p50")) > abs(col("exact_p50")) * 0.1 + 0.01)
+          abs(col("hll_users") - col("exact_users")) > col("exact_users") * 0.1 ||
+          abs(col("approx_users") - col("exact_users")) > col("exact_users") * 0.1 ||
+          col("p50_value") < col("exact_p49") - 0.01 ||
+          col("p50_value") > col("exact_p51") + 0.01)
         .count()
       require(bad == 0, s"q17 sketch estimates outside error bounds for $bad group(s)")
     }

@@ -90,20 +90,26 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
   private val fieldNames = schema.fieldNames
 
   /** A message-shaped input (every column is one of the source's own
-    * message/metadata columns, and there is a string `body`) maps columns
-    * by ROLE — body→body, msg_key→key, tag→tag, born_ts→born,
-    * properties→properties; topic/queue_id/offset are broker-assigned and
-    * ignored. This is what makes `INSERT INTO <graft-mq table> SELECT ...`
-    * round-trip: reading a queue and inserting the rows back writes the
-    * same messages, not delimiter-joined column soup. Any other schema
-    * takes the generic delimited-body path below. */
+    * message/metadata columns, case-insensitively, and there is a string
+    * `body`) maps columns by ROLE — body→body, msg_key→key, tag→tag,
+    * born_ts→born, properties→properties; topic/queue_id/offset are
+    * broker-assigned and ignored. This is what makes
+    * `INSERT INTO <graft-mq table> SELECT ... AS body, ...` round-trip:
+    * reading a queue and inserting the rows back writes the same messages,
+    * not delimiter-joined column soup. (Positional `INSERT ... VALUES`
+    * arrives as col1..colN under ACCEPT_ANY_SCHEMA and takes the generic
+    * path — alias the columns.) Any explicit body-shaping option
+    * (keyColumns / dynamic tag / writeKeysToBody) disables the mapping so
+    * an existing delimited-body pipeline never changes format silently. */
   private val messageShaped: Boolean = {
-    val msgCols = graft.source.MessageQueueTable.Schema.fieldNames.toSet
-    fieldNames.forall(msgCols.contains) &&
-      schema.fields.exists(f => f.name == "body" &&
+    val msgCols = graft.source.MessageQueueTable.Schema.fieldNames.map(_.toLowerCase).toSet
+    opts.keyColumns.isEmpty && !opts.isDynamicTag && !opts.writeKeysToBody &&
+      fieldNames.forall(f => msgCols.contains(f.toLowerCase)) &&
+      schema.fields.exists(f => f.name.equalsIgnoreCase("body") &&
         f.dataType == org.apache.spark.sql.types.StringType)
   }
-  private def idxOf(name: String): Int = schema.fields.indexWhere(_.name == name)
+  private def idxOf(name: String): Int =
+    schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
   private val msgBodyIdx = if (messageShaped) idxOf("body") else -1
   private val msgKeyIdx = if (messageShaped) idxOf("msg_key") else -1
   private val msgTagIdx = if (messageShaped) idxOf("tag") else -1
@@ -155,8 +161,11 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
           else {
             val md = row.getMap(msgPropsIdx)
             val ks = md.keyArray(); val vs = md.valueArray()
-            (0 until md.numElements()).map(i =>
-              ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString).toMap
+            (0 until md.numElements()).map { i =>
+              // map values are nullable in SQL; a property is never null
+              val v = vs.getUTF8String(i)
+              ks.getUTF8String(i).toString -> (if (v == null) "" else v.toString)
+            }.toMap
           }
         val tag = if (msgTagIdx >= 0) str(row, msgTagIdx) else opts.tag
         Message(born,

@@ -37,17 +37,29 @@ class MessageQueueProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val all = scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap
+    val raw = scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap
+    // the streaming engine injects its own keys into the options map
+    // (DataStreamWriter adds checkpointLocation); they are not user options
+    val all = raw.filter { case (k, _) => k.toLowerCase != "checkpointlocation" }
     // a catalog-created table (CREATE TABLE ... USING graft-mq OPTIONS (...))
     // carries its OPTIONS under an "option." prefix plus catalog bookkeeping
-    // keys (owner/path/provider/...) — strip the prefix, drop the rest, and
-    // keep strict validation for everything the user actually wrote
-    val optPrefixed = all.collect {
-      case (k, v) if k.toLowerCase.startsWith("option.") => k.substring("option.".length) -> v
-    }
-    val known = GraftOptions.RequiredKeys ++ GraftOptions.OptionalKeys
-    val bare = all.filter { case (k, _) => known.contains(k.toLowerCase) }
-    new MessageQueueTable(GraftOptions.parse(bare ++ optPrefixed))
+    // keys (owner/path/provider/...) — strip the prefix and drop the
+    // bookkeeping. ONLY on that path: a DataFrameReader/Writer options map
+    // has no catalog keys and must reach parse verbatim so its strict
+    // unknown-key validation still catches typos.
+    val isCatalogTable = all.contains("provider") ||
+      all.keysIterator.exists(_.toLowerCase.startsWith("option."))
+    val forParse =
+      if (!isCatalogTable) all
+      else {
+        val optPrefixed = all.collect {
+          case (k, v) if k.toLowerCase.startsWith("option.") =>
+            k.substring("option.".length) -> v
+        }
+        val known = GraftOptions.RequiredKeys ++ GraftOptions.OptionalKeys
+        all.filter { case (k, _) => known.contains(k.toLowerCase) } ++ optPrefixed
+      }
+    new MessageQueueTable(GraftOptions.parse(forParse))
   }
 }
 
