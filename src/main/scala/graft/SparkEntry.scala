@@ -36,6 +36,7 @@ object SparkEntry {
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
+    "asof_join_events" -> (AsOfJoin.asofJoinEvents _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "deser_documents" -> (Deser.deserDocuments _),
@@ -245,6 +246,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey AS custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "asof_join_events" ->
+      """WITH l AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, event_type AS prior_type, value AS prior_value
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT l.user_id, l.ts, purchase_id, purchase_value, prior_type, prior_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY purchase_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
