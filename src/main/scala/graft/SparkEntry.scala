@@ -37,6 +37,7 @@ object SparkEntry {
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
     "asof_join_events" -> (AsOfJoin.asofJoinEvents _),
+    "range_join_events" -> (RangeJoin.rangeJoinEvents _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "deser_documents" -> (Deser.deserDocuments _),
@@ -254,6 +255,13 @@ object SparkEntry {
         |SELECT l.user_id, l.ts, purchase_id, purchase_value, prior_type, prior_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY purchase_id""".stripMargin,
+    "range_join_events" ->
+      """WITH e AS (SELECT user_id, event_id, ts FROM events)
+        |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts - a.ts <= INTERVAL 6 HOUR
+        |ORDER BY event_a, event_b""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
