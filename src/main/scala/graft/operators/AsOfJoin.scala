@@ -52,7 +52,7 @@ object AsOfJoin {
       .select(
         Seq(col(key), col(ts)) ++
           leftOnly.map(col) ++
-          rightOnly.map(c => col(s"_last_r.$c").as(c)): _*)
+          rightOnly.map(c => col("_last_r").getField(c).as(c)): _*)
   }
 
   /** Query entry (oracle-checked vs DuckDB's native ASOF JOIN): every

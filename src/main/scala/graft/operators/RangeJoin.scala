@@ -23,7 +23,9 @@ object RangeJoin {
     val wUs = windowMs * 1000L
     val binned = df.select(
       Seq(col(key), col(idCol), unix_micros(col(ts)).as("_us")) ++ payload.map(col): _*)
-      .withColumn("_bin", floor(col("_us") / wUs))
+      // integral DIV, not floor(a/b): the double quotient of large epoch
+      // micros can round across an integer boundary and misbin a row
+      .withColumn("_bin", expr(s"_us DIV ${wUs}L"))
     val probe = binned.select(
       Seq(col(key), col(idCol).as("id_a"), col("_us").as("us_a")) ++
         payload.map(c => col(c).as(s"${c}_a")) :+
