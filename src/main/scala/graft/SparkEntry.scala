@@ -52,6 +52,7 @@ object SparkEntry {
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
+    "ngram_jaccard_inverted" -> (Dedup.ngramJaccardInvertedQuery _),
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
     "corpus_clean" -> (Dedup.corpusClean _),
     "ann_ivf" -> (Similarity.annIvf _), // exhaustive nprobe: must equal brute force
@@ -332,6 +333,25 @@ object SparkEntry {
     // equals counting distinct 64-bit gram hashes (no collisions at this
     // scale), so exact Jaccard agrees with the Spark kernel.
     "ngram_jaccard" -> jaccardOracle("0.5"),
+    // inverted-index estimate: `common` counts only shingles with
+    // 2 <= df <= 50 (the df cap), denominators count ALL distinct shingles —
+    // the documented low-bias formula, reproduced verbatim. Top-100 under
+    // the total order (estimate desc, doc_a, doc_b): the synthetic corpus's
+    // template shingles all exceed the cap, so a fixed threshold is vacuous
+    // and the candidate RANKING is the checked surface.
+    "ngram_jaccard_inverted" ->
+      s"""WITH $gramCtes,
+         |df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+         |rare AS (SELECT g FROM df WHERE df >= 2 AND df <= 50),
+         |rg AS (SELECT doc_id, g FROM grams JOIN rare USING (g)),
+         |i2 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(common::DOUBLE/(ga.n+gb.n-common), 4) AS jaccard
+         |FROM i2 JOIN gc ga ON ga.doc_id = doc_a JOIN gc gb ON gb.doc_id = doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b
+         |LIMIT 100""".stripMargin,
     "dedup_minhash" -> jaccardOracle("0.7"),
     "dedup_minhash_keep" ->
       s"""WITH RECURSIVE ${clusterCtes("0.7")}

@@ -195,15 +195,16 @@ object Dedup {
   /** Query entry (rows-only + recall assertion): SimHash bits are
     * engine-specific so the pair set has no SQL oracle; instead the entry
     * eagerly measures recall against the exact char-4-gram Jaccard>=0.9
-    * ground truth and throws below the floor. Hamming<=3 on unigram-token
-    * SimHash is a precision-first filter: a single substituted token flips
-    * several bits, so the measured recall vs CHAR-gram truth is 0.40-0.48
-    * on the planted near-dups (banding recall of the Hamming<=3 ball itself
-    * is 1.0 by pigeonhole) — floor 0.35. maxHamming=7 (8x8-bit bands)
-    * lifts char-gram recall to 0.83-0.92 where the use case wants it. */
+    * ground truth and throws below the floor. The entry runs maxHamming=7
+    * (8x8-bit bands): Hamming<=3, the 64-bit web-dedup convention, is
+    * precision-first to a fault on unigram-token SimHash — one substituted
+    * token flips several bits and measured char-gram recall was 0.40-0.48 —
+    * while the Hamming<=7 ball catches 0.83-0.92 of the true near-dups
+    * (banding recall of the Hamming ball itself is 1.0 by pigeonhole at
+    * either setting). Floor 0.75. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val simPairs = simHashNearDups(docs)
+    val simPairs = simHashNearDups(docs, maxHamming = 7)
     if (Tables.eagerAssertionsEnabled) {
       val truth = ngramJaccard(docs, threshold = 0.9, numBands = 16)
         .select("doc_a", "doc_b").cache()
@@ -212,8 +213,8 @@ object Dedup {
         Seq("doc_a", "doc_b"), "left_semi").count()
       truth.unpersist()
       val recall = if (total == 0) 1.0 else caught.toDouble / total
-      require(recall >= 0.35,
-        f"dedup_simhash recall $recall%.3f below floor 0.35 ($caught/$total)")
+      require(recall >= 0.75,
+        f"dedup_simhash recall $recall%.3f below floor 0.75 ($caught/$total)")
     }
     simPairs.orderBy(col("doc_a"), col("doc_b"))
   }
@@ -303,6 +304,20 @@ object Dedup {
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Query entry (oracle-checked): the df-capped inverted-index estimate is
+    * deterministic — same cap, same formula — so DuckDB reproduces it
+    * exactly, documented low bias included (only sub-cap shingles count
+    * toward `common`; denominators count all shingles). The synthetic
+    * corpus's template shingles all exceed the df cap, so absolute
+    * estimates stay far below any fixed near-dup threshold (max 0.12 at
+    * sf0.01, 0.012 at sf0.1) — the useful surface is the RANKING, so the
+    * entry returns the top-100 candidate pairs under the total order
+    * (estimate desc, doc_a, doc_b), non-vacuous at every SF. */
+  def ngramJaccardInvertedQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardInverted(Tables.documents(spark, dir), threshold = 0.0)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
 
   // ---- cluster + keep decisions ----
 

@@ -95,6 +95,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF half-probe recall too low: $recall")
   }
 
+  test("one Lloyd iteration holds or improves pruned-IVF recall at nprobe=8") {
+    val probes = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(embeddings, probes, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(lloydIters: Int): Double = {
+      val got = Similarity.ivfTopK(embeddings, probes, 10,
+        numCentroids = 16, nprobe = 8, lloydIters = lloydIters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val sampled = recall(0)
+    val refined = recall(1)
+    assert(refined >= sampled,
+      s"Lloyd refinement lowered recall: $refined < $sampled")
+    // refined centroids are actual cell means, not corpus points
+    val start = Similarity.sampleCentroids(embeddings, 8)
+    val moved = Similarity.lloydRefine(embeddings, "emb", start, iters = 1)
+    assert(moved.length === start.length)
+    assert(moved.zip(start).exists { case (a, b) => !a.sameElements(b) })
+  }
+
   test("IVF plan: probes broadcast onto a cell equi-join, no cartesian") {
     val probes = embeddings.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
