@@ -36,7 +36,8 @@ final case class GraftOptions(
     writeKeysToBody: Boolean = false,
     propertyFilter: Map[String, String] = Map.empty,
     numQueues: Int = 0,
-    msgDelayLevel: Int = 0) {
+    msgDelayLevel: Int = 0,
+    maxRowsPerTrigger: Long = -1L) {
 
   def startMode: StartMode =
     if (startMessageOffset >= 0) StartMode.Offset(startMessageOffset)
@@ -86,6 +87,7 @@ object GraftOptions {
   val PropertyFilter = "propertyfilter"
   val NumQueues = "numqueues"
   val MsgDelayLevel = "msgdelaylevel"
+  val MaxRowsPerTrigger = "maxrowspertrigger"
 
   val RequiredKeys: Set[String] = Set(Topic, ConsumerGroup, RootDir)
   val OptionalKeys: Set[String] = Set(
@@ -93,7 +95,7 @@ object GraftOptions {
     Encoding, FieldDelimiter, LineDelimiter, ColumnErrorDebug, LengthCheck,
     RetryTimes, SleepTimeMs, OffsetResetTo, IsDynamicTag, DynamicTagColumn,
     DynamicTagColumnWriteIncluded, KeyColumns, WriteKeysToBody, PropertyFilter,
-    NumQueues, MsgDelayLevel)
+    NumQueues, MsgDelayLevel, MaxRowsPerTrigger)
 
   /** Broker-convention delay ladder, level 1-18 (reference:
     * legacy/common/RocketMQConfig.java MSG_DELAY_LEVEL00-18 — "1s 5s 10s 30s
@@ -165,6 +167,10 @@ object GraftOptions {
     if (delayLevel < 0 || delayLevel >= DelayLevelMs.length)
       throw new IllegalArgumentException(
         s"invalid msgDelayLevel: $delayLevel (expected 0-${DelayLevelMs.length - 1})")
+    val maxRows = opts.get(MaxRowsPerTrigger).map(_.toLong).getOrElse(-1L)
+    if (opts.contains(MaxRowsPerTrigger) && maxRows <= 0)
+      throw new IllegalArgumentException(
+        s"invalid maxRowsPerTrigger: $maxRows (expected a positive row count)")
 
     GraftOptions(
       topic = opts(Topic),
@@ -202,7 +208,8 @@ object GraftOptions {
         kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
       }.toMap).getOrElse(Map.empty),
       numQueues = opts.get(NumQueues).map(_.toInt).getOrElse(0),
-      msgDelayLevel = delayLevel)
+      msgDelayLevel = delayLevel,
+      maxRowsPerTrigger = maxRows)
   }
 
   /** The three dirty-data strategies implied by `lengthCheck`. */

@@ -338,13 +338,67 @@ class MessageQueueMicroBatchStream(opts: GraftOptions,
     case None => QueueOffsets(currentMax)
   }
 
+  /** Honor the engine's ReadLimit: a maxRows limit (from the
+    * `maxRowsPerTrigger` option via [[getDefaultReadLimit]]) caps how far
+    * offsets advance this micro-batch, so a backlogged topic drains in
+    * bounded batches instead of one giant first batch — the graft analog of
+    * the reference's pull-batch throttling (legacy/RocketMQConfig.java
+    * CONSUMER_BATCH_SIZE / DEFAULT_CONSUMER_BATCH_SIZE). The budget is
+    * split across queues proportionally to their lag (each queue gets at
+    * least its floor share; leftover goes to the lowest queue ids), the
+    * per-queue analog of Kafka's rate-limited offset range. Under
+    * Trigger.AvailableNow the cap still applies per batch; the engine keeps
+    * issuing batches until the prepared target is reached. */
   override def latestOffset(
       start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[QueueOffsets].offsets
+    maxRowsOf(limit) match {
+      case Some(maxRows) =>
+        QueueOffsets(capAdvance(start.asInstanceOf[QueueOffsets].offsets, target, maxRows))
+      case None => QueueOffsets(target)
+    }
+  }
+
+  /** Extract a maxRows bound from a ReadLimit (possibly composite). */
+  private def maxRowsOf(
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Option[Long] = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows}
+    limit match {
+      case m: ReadMaxRows => Some(m.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.collectFirst { case m: ReadMaxRows => m.maxRows() }
+      case _ => None
+    }
+  }
+
+  /** Cap the total offset advance at `maxRows`, allocating the budget
+    * across queues proportionally to available lag. Deterministic: floor
+    * shares first, remainder to the lowest queue ids with headroom. */
+  private[source] def capAdvance(
+      start: Map[Int, Long], target: Map[Int, Long], maxRows: Long): Map[Int, Long] = {
+    val avail = target.map { case (q, e) => q -> math.max(0L, e - start.getOrElse(q, 0L)) }
+    val total = avail.values.sum
+    if (total <= maxRows) target
+    else {
+      var alloc = avail.map { case (q, a) => q -> maxRows * a / total }
+      var rem = maxRows - alloc.values.sum
+      for (q <- avail.keys.toSeq.sorted if rem > 0) {
+        val extra = math.min(rem, avail(q) - alloc(q))
+        alloc += q -> (alloc(q) + extra)
+        rem -= extra
+      }
+      target.map { case (q, e) =>
+        q -> math.min(e, start.getOrElse(q, 0L) + alloc.getOrElse(q, 0L))
+      }
+    }
+  }
 
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    if (opts.maxRowsPerTrigger > 0)
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(opts.maxRowsPerTrigger)
+    else
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def reportLatestOffset(): Offset = QueueOffsets(currentMax)
 

@@ -52,6 +52,15 @@ class GraftOptionsSpec extends AnyFunSuite {
       GraftOptions.parse(base + ("offsetResetTo" -> "middle")))
   }
 
+  test("maxRowsPerTrigger parses and must be positive when set") {
+    assert(GraftOptions.parse(base).maxRowsPerTrigger === -1L)
+    assert(GraftOptions.parse(base + ("maxRowsPerTrigger" -> "500")).maxRowsPerTrigger === 500L)
+    assertThrows[IllegalArgumentException](
+      GraftOptions.parse(base + ("maxRowsPerTrigger" -> "0")))
+    assertThrows[IllegalArgumentException](
+      GraftOptions.parse(base + ("maxRowsPerTrigger" -> "-3")))
+  }
+
   test("startMode precedence: explicit offset > timestamp > offsetResetTo") {
     assert(GraftOptions.parse(base + ("startMessageOffset" -> "5")).startMode ===
       StartMode.Offset(5))

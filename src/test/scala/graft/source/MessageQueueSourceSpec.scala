@@ -228,6 +228,50 @@ class MessageQueueSourceSpec extends SparkSpec {
     assert(all.filter(col("body") === "late").count() === 2)
   }
 
+  test("maxRowsPerTrigger drains a backlog in bounded micro-batches, no loss or dups") {
+    val root = freshRoot()
+    seed(root, "cap1", queues = 2, perQueue = 50) // 100-row backlog
+    val outName = "mq_cap_" + System.nanoTime()
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", "cap1").option("consumerGroup", "g").option("rootDir", root)
+      .option("offsetResetTo", "earliest")
+      .option("maxRowsPerTrigger", "20")
+      .load()
+      .writeStream.format("memory").queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length === 5, // 100 rows / 20 per trigger
+      s"expected 5 bounded batches, got ${progress.map(_.numInputRows).mkString(",")}")
+    assert(progress.forall(_.numInputRows <= 20))
+    // every message arrives exactly once
+    val out = spark.table(outName)
+    assert(out.count() === 100)
+    assert(out.select("queue_id", "offset").distinct().count() === 100)
+  }
+
+  test("capAdvance splits the budget across queues proportionally to lag") {
+    val stream = new MessageQueueMicroBatchStream(
+      graft.config.GraftOptions("t", "g", freshRoot()))
+    // queue 0 has 4x the lag of queue 1: a 50-row budget advances q0 by 40
+    // and q1 by 10 — proportional, neither queue starved
+    val capped = stream.capAdvance(
+      start = Map(0 -> 0L, 1 -> 0L), target = Map(0 -> 80L, 1 -> 20L), maxRows = 50L)
+    assert(capped === Map(0 -> 40L, 1 -> 10L))
+    // remainder (floors lose 2 here) goes to the lowest queue ids with headroom
+    val odd = stream.capAdvance(
+      start = Map(0 -> 0L, 1 -> 0L, 2 -> 0L),
+      target = Map(0 -> 7L, 1 -> 7L, 2 -> 7L), maxRows = 20L)
+    assert(odd.values.sum === 20L)
+    assert(odd === Map(0 -> 7L, 1 -> 7L, 2 -> 6L))
+    // budget >= total lag: untouched target
+    assert(stream.capAdvance(Map(0 -> 5L), Map(0 -> 9L), 100L) === Map(0 -> 9L))
+    // a queue already past target (shrunk log) never goes backwards from target
+    val neg = stream.capAdvance(Map(0 -> 10L, 1 -> 0L), Map(0 -> 8L, 1 -> 100L), 10L)
+    assert(neg(1) === 10L && neg(0) === 8L)
+  }
+
   test("live tail: a running stream picks up appends across micro-batches") {
     val root = freshRoot()
     seed(root, "tail1", queues = 2, perQueue = 3)
