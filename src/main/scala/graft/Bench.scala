@@ -41,7 +41,12 @@ object Bench {
     // sorted by name, the stateful streaming entries last.
     val (streaming, batch) =
       SparkEntry.queries.toSeq.sortBy(_._1).partition(q => streamingEntries(q._1))
-    val results = (batch ++ streaming).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (isolated
+    // measurement during perf work); unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = (batch ++ streaming).filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // min over iterations: single-shot timings at this scale are dominated
       // by JIT/first-listing noise, and min is the stable estimator
       val times = (1 to iters).map { _ =>

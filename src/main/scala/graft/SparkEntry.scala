@@ -36,6 +36,7 @@ object SparkEntry {
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
+    "bucketed_join" -> (Bucketed.bucketedJoinQuery _),
     "asof_join_events" -> (AsOfJoin.asofJoinEvents _),
     "range_join_events" -> (RangeJoin.rangeJoinEvents _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "ann_ivf" -> (Similarity.annIvf _), // exhaustive nprobe: must equal brute force
     "embed_neardup_exact" -> (Similarity.embedNearDupExact _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
+    "multimodal_frames" -> (Multimodal.multimodalFrames _),
     // rows-only WITH an eager in-query recall assertion against the exact
     // baseline (the output itself is engine-specific: SimHash bits / pruned
     // approximate search on Gaussian test embeddings).
@@ -248,6 +250,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey AS custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // the co-located bucketed path must return the same rows as a plain join
+    "bucketed_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "asof_join_events" ->
       """WITH l AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),
@@ -410,6 +417,26 @@ object SparkEntry {
         | (12 + least((doc_id % 64 + 16)*(doc_id % 48 + 16)*(doc_id % 3 + 1), 4096))::BIGINT AS n_bytes,
         | 8::INT AS emb_dim
         |FROM documents ORDER BY media_id""".stripMargin,
+    // resize(32x32) → sampleFrames(256, every 2nd) over the stub codec:
+    // payload byte j of a w×h×c image is ((j*31 + w) % 251); resize keeps
+    // outLen = min(1024*c, plen) bytes sampled at i*plen/outLen (integer
+    // div); frames drop the 12-byte header first. Pure integer arithmetic,
+    // reproduced term for term.
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |  (doc_id % 64 + 16)::BIGINT AS w, (doc_id % 48 + 16)::BIGINT AS h,
+        |  (doc_id % 3 + 1)::BIGINT AS c FROM documents),
+        |p AS (SELECT media_id, w, least(w*h*c, 4096) AS plen,
+        |  least(1024*c, least(w*h*c, 4096)) AS outlen FROM d),
+        |i AS (SELECT media_id, w, plen, outlen,
+        |  unnest(generate_series(0, outlen - 1)) AS i FROM p),
+        |f AS (SELECT media_id, (i // 256)::INT AS frame_idx,
+        |  ((i * plen // outlen) * 31 + w) % 251 AS b FROM i),
+        |k AS (SELECT media_id, frame_idx, count(*)::INT AS frame_len,
+        |  sum(b)::BIGINT AS frame_sum
+        |  FROM f WHERE frame_idx % 2 = 0 GROUP BY 1, 2)
+        |SELECT media_id, frame_idx, frame_len, frame_sum FROM k
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // exhaustive IVF (nprobe = numCentroids) partitions the corpus and
     // searches every cell — identical, by construction, to brute force
     "ann_ivf" ->

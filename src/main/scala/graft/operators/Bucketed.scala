@@ -38,4 +38,25 @@ object Bucketed {
       spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).hint("merge").join(spark.table(rightTable), key)
+
+  /**
+   * Query entry (oracle-checked): orders ⋈ customer through the bucketed
+   * path — both sides persisted bucketed-by-custkey, then the co-located
+   * merge join. The result must equal the plain-join oracle row for row
+   * (same SQL as `skew_join_salted`), proving co-location changes the PLAN
+   * (zero Exchange, asserted in the suite) and not the ANSWER.
+   */
+  def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+    writeBucketed(orders, "graft_bkt_orders", "custkey", numBuckets = 8)
+    writeBucketed(customer, "graft_bkt_customer", "custkey", numBuckets = 8)
+    bucketedJoin(spark, "graft_bkt_orders", "graft_bkt_customer", "custkey")
+      .select(col("o_orderkey"), col("custkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -121,7 +121,19 @@ object Multimodal {
    */
   def multimodalPipeline(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val media = Tables.documents(spark, dir)
+    val decoded = embedContent(withDecodedMeta(stubMedia(spark, dir)))
+    decoded.select(
+      col("media_id"), col("modality"),
+      col("meta.width"), col("meta.height"), col("meta.channels"), col("meta.n_bytes"),
+      size(col("embedding")).as("emb_dim"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Deterministic stub media table: one image per document, dims keyed off
+    * doc_id (so every byte is reproducible in plain SQL). */
+  private def stubMedia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"), lit("image").as("modality"), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -133,12 +145,38 @@ object Multimodal {
         StructField("media_id", LongType),
         StructField("modality", StringType),
         StructField("content", BinaryType)))))
-    val decoded = embedContent(withDecodedMeta(media))
-    decoded.select(
-      col("media_id"), col("modality"),
-      col("meta.width"), col("meta.height"), col("meta.channels"), col("meta.n_bytes"),
-      size(col("embedding")).as("emb_dim"))
-      .orderBy(col("media_id"))
+  }
+
+  /**
+   * Query entry (oracle-checked): the remaining two multimodal transforms —
+   * [[resize]] to 32x32 then [[sampleFrames]] (256-byte frames, keep every
+   * 2nd) — reduced per frame to (length, unsigned byte sum). The stub codec
+   * is pure integer arithmetic on (doc_id-derived) dims, so DuckDB
+   * reproduces every byte and the whole resize→frame-sample path is
+   * hash-checked, not just suite-asserted. All three stages are narrow
+   * per-partition maps — the scan stage never shuffles.
+   */
+  def multimodalFrames(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frames = sampleFrames(resize(stubMedia(spark, dir), 32, 32),
+      frameSize = 256, everyN = 2)
+    val idIdx = frames.schema.fieldIndex("media_id")
+    val frameIdx = frames.schema.fieldIndex("frame_idx")
+    val frameCol = frames.schema.fieldIndex("frame")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_len", IntegerType),
+      StructField("frame_sum", LongType)))
+    frames.mapPartitions { rows =>
+      rows.map { r =>
+        val f = r.getAs[Array[Byte]](frameCol)
+        var s = 0L; var i = 0
+        while (i < f.length) { s += (f(i) & 0xFF); i += 1 }
+        Row(r.getLong(idIdx), r.getInt(frameIdx), f.length, s)
+      }
+    }(Encoders.row(outSchema))
+      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   /**

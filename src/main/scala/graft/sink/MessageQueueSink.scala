@@ -25,11 +25,11 @@ object FlushMode {
  * parallelism. At 100 TB this is one shuffle to align producers to queues,
  * then pure sequential appends.
  *
- * CAVEAT: the single-writer invariant assumes one live attempt per
- * partition. With speculative execution (spark.speculation=true) or a
- * zombie task racing its retry, two attempts of the same partition can
- * append to the same queue file concurrently and interleave partial lines
- * (corruption, not just duplication). Disable speculation on this path, or
+ * The single-writer invariant assumes one live attempt per partition. With
+ * speculative execution (spark.speculation=true) or a zombie task racing
+ * its retry, two attempts of the same partition can append to the same
+ * queue file concurrently and interleave partial lines (corruption, not
+ * just duplication) — so `write` REFUSES to run with speculation enabled;
  * use the DSv2 writer (`df.write.format("graft-mq")`), whose per-attempt
  * spill + commit-coordinated append is retry-safe.
  *
@@ -45,6 +45,7 @@ object MessageQueueSink {
       converter: RowMessageConverter,
       numQueues: Int = 8,
       flushMode: FlushMode = FlushMode.Batch(32)): Unit = {
+    assertNoSpeculation(df.sparkSession.sparkContext.getConf)
     val schema = df.schema
     val fieldNames = schema.fieldNames
     df.repartition(numQueues).foreachPartition { (rows: Iterator[Row]) =>

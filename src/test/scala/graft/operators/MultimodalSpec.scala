@@ -69,6 +69,17 @@ class MultimodalSpec extends SparkSpec {
     assert(embs.toSeq === again.toSeq)
   }
 
+  test("multimodalFrames entry: even frame indices only, bounded lengths, stable") {
+    val rows = Multimodal.multimodalFrames(spark, sfDir).limit(60).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) % 2 === 0) // sampleFrames keeps every 2nd frame
+      assert(r.getInt(2) > 0 && r.getInt(2) <= 256)
+      // unsigned byte sum of a frame is bounded by 250 * len (stub bytes < 251)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 250L * r.getInt(2))
+    }
+  }
+
   test("full pipeline: decode -> resize -> embed keeps schema contract") {
     val out = Multimodal.embedContent(
       Multimodal.withDecodedMeta(
