@@ -31,10 +31,17 @@ object Bench {
     // noop-sink write materializes EVERY output column and keeps sorts:
     // count() let Catalyst prune projections, so scan-stage queries were
     // timed as bare parquet scans and orderBys were optimized away
-    def once(fn: (SparkSession, String) => DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case e: Throwable =>
+          // -1.0 is the sentinel the driver records; WHY it failed must
+          // still reach the log or the failure costs a debugging round
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.getStackTrace.take(5).foreach(f => System.err.println(s"[bench]   at $f"))
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Deterministic order (Map hash order varied run to run): batch queries
@@ -50,7 +57,7 @@ object Bench {
       // min over iterations: single-shot timings at this scale are dominated
       // by JIT/first-listing noise, and min is the stable estimator
       val times = (1 to iters).map { _ =>
-        val t = once(fn)
+        val t = once(name, fn)
         // unload state-store providers + stop the maintenance thread so a
         // stateful query never bills the one benched after it
         if (streamingEntries(name)) StateStore.stop()

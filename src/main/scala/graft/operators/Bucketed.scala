@@ -21,9 +21,30 @@ object Bucketed {
   def writeBucketed(
       df: DataFrame, table: String, key: String, numBuckets: Int,
       sortByKey: Boolean = true): Unit = {
+    dropStale(df.sparkSession, table)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, key)
     (if (sortByKey) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /**
+   * Drop `table` AND remove its default warehouse location. The catalog is
+   * per-session but `spark-warehouse/<table>` survives the JVM (it's
+   * gitignored), so a fresh session whose catalog has never heard of the
+   * table still dies with LOCATION_ALREADY_EXISTS on saveAsTable — drop
+   * alone doesn't cover the orphaned-directory case.
+   */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (warehouse.getScheme == null) warehouse.toString else warehouse.getPath,
+      table.toLowerCase)
+    if (dir.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /**

@@ -38,6 +38,22 @@ object FlushMode {
  */
 object MessageQueueSink {
 
+  /**
+   * Refuses to run the legacy append path when speculative execution is on:
+   * two live attempts of one partition would both hold the same queue file
+   * and interleave partial lines. The DSv2 writer tolerates speculation
+   * because attempts spill privately and only the commit-coordinated winner
+   * appends (reference: legacy/RocketMQSink.java:60-150 single-writer
+   * semantics).
+   */
+  private[sink] def assertNoSpeculation(conf: org.apache.spark.SparkConf): Unit =
+    require(
+      !conf.getBoolean("spark.speculation", defaultValue = false),
+      "MessageQueueSink.write appends one queue file per partition and is not " +
+        "safe under speculative execution (two attempts of a partition would " +
+        "interleave appends). Disable spark.speculation or use the retry-safe " +
+        "DSv2 writer: df.write.format(\"graft-mq\")")
+
   def write(
       df: DataFrame,
       rootDir: String,
