@@ -51,6 +51,29 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+case class SimHash128Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashes.simHash128(input.asInstanceOf[UTF8String].toString))
+  override def prettyName: String = "graft_simhash128"
+  override protected def withNewChildInternal(newChild: Expression): SimHash128Expr =
+    copy(child = newChild)
+}
+
+/** Band keys for simhash banding — see [[TextHashes.simHashBandKeys128]]. */
+case class SimHashBandKeys128Expr(left: Expression, right: Expression, rotations: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(w0: Any, w1: Any): Any =
+    new GenericArrayData(TextHashes.simHashBandKeys128(
+      w0.asInstanceOf[Long], w1.asInstanceOf[Long], rotations))
+  override def prettyName: String = "graft_simhash_band_keys128"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHashBandKeys128Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
@@ -406,6 +429,13 @@ object GraftFunctions {
   def simHash64(text: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(text)))
 
+  def simHash128(text: Column): Column =
+    ExpressionUtils.column(SimHash128Expr(ExpressionUtils.expression(text)))
+
+  def simHashBandKeys128(w0: Column, w1: Column, rotations: Int): Column =
+    ExpressionUtils.column(SimHashBandKeys128Expr(
+      ExpressionUtils.expression(w0), ExpressionUtils.expression(w1), rotations))
+
   def sigEqualFraction(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SigEqualFractionExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -448,6 +478,13 @@ object GraftFunctions {
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64Expr(args(0))),
+    ("graft_simhash128",
+      new ExpressionInfo(classOf[SimHash128Expr].getName, "graft_simhash128"),
+      (args: Seq[Expression]) => SimHash128Expr(args(0))),
+    ("graft_simhash_band_keys128",
+      new ExpressionInfo(classOf[SimHashBandKeys128Expr].getName, "graft_simhash_band_keys128"),
+      (args: Seq[Expression]) => SimHashBandKeys128Expr(args(0), args(1),
+        intLit(args(2), "rotations"))),
     ("graft_cosine_sim",
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine_sim"),
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))

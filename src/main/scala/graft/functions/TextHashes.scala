@@ -149,6 +149,89 @@ object TextHashes {
     out
   }
 
+  /** splitmix64 finalizer — decorrelates the high word's votes from the
+    * low word's so the 128 SimHash bits are 128 distinct coin flips. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * 128-bit SimHash as two longs `[w0, w1]` over distinct char n-gram
+   * features: each gram contributes `(h, mix64(h))` and every bit votes ±1,
+   * sign wins. Char grams, NOT the unigram tokens of [[simHash64]], on
+   * purpose: over a small shared vocabulary most documents contain nearly
+   * every distinct token, so token-voted hashes collapse onto a handful of
+   * values and any banding scheme degenerates to all-pairs. Char-gram
+   * feature sets differ wherever the texts differ (they are the same
+   * feature space as the n-gram-Jaccard ground truth), measured here:
+   * unrelated docs at Hamming 33-54 of 128, near-dups (gram-Jaccard>=0.9)
+   * at <=14 — populations a 32-bit band key separates cleanly.
+   */
+  def simHash128(text: String, gramN: Int = 4): Array[Long] = {
+    val s = normalize(text)
+    val out = new Array[Long](2)
+    val count = s.length - gramN + 1
+    if (count <= 0) return out
+    val weights = new Array[Int](128)
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < count) {
+      val h = hashWindow(s, i, gramN)
+      if (seen.add(h)) {
+        val h2 = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) weights(64 + b) += 1 else weights(64 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var b = 0
+    while (b < 128) {
+      if (weights(b) > 0) out(b >>> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    out
+  }
+
+  /**
+   * Banding keys for a 128-bit SimHash: `rotations` layouts (r = 0..rot-1),
+   * each of 4 contiguous 32-bit bands, layout r offset by r*32/rotations
+   * bits around the 128-bit ring (offsets spread evenly in [0,32), so every
+   * layout's band boundaries differ — offset 32 would reproduce layout 0's
+   * bit ranges shifted by one band). Key = globalBandId << 32 | bandBits,
+   * so one long equi-join column covers band identity and content. One
+   * error-free band catches a pair; more rotations = more catch chances
+   * (the multi-probe recall knob) at linear cost in candidate volume.
+   * 32-bit content per key is the scale choice: measured on the documents
+   * corpus, 16-bit bands admit ~3% of ALL pairs as candidates (a constant
+   * fraction — still quadratic growth, 99x across a 10x corpus), while
+   * 32-bit bands admit ~5e-5 of pairs (11.7x across the same 10x — linear).
+   */
+  def simHashBandKeys128(w0: Long, w1: Long, rotations: Int): Array[Long] = {
+    require(rotations >= 1 && rotations <= 32, s"rotations out of range: $rotations")
+    val out = new Array[Long](rotations * 4)
+    var k = 0
+    while (k < out.length) {
+      val lo = ((k % 4) * 32 + (k / 4) * 32 / rotations) % 128
+      var v = 0L
+      var i = 0
+      while (i < 32) {
+        val bit = (lo + i) % 128
+        if ((((if (bit < 64) w0 else w1) >>> (bit & 63)) & 1L) == 1L) v |= (1L << i)
+        i += 1
+      }
+      out(k) = (k.toLong << 32) | v
+      k += 1
+    }
+    out
+  }
+
   /** Fraction of equal components between two equal-length signatures —
     * the MinHash Jaccard estimate. Throws on length mismatch: comparing
     * signatures from different numHashes configurations would produce a

@@ -55,6 +55,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(TextHashes.simHash64("   ") === 0L)
   }
 
+  test("simHash128: deterministic char-gram hash; near text close, unrelated text far") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the sleepy dog again and again"
+    val far = "completely unrelated words about distributed query planning"
+    val ht = TextHashes.simHash128(t)
+    def ham(a: Array[Long], b: Array[Long]) =
+      java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
+    assert(ht sameElements TextHashes.simHash128(t)) // deterministic
+    assert(ham(ht, TextHashes.simHash128(near)) < ham(ht, TextHashes.simHash128(far)))
+    assert(TextHashes.simHash128("  x ") sameElements Array(0L, 0L)) // shorter than gramN
+  }
+
+  test("simHashBandKeys128: rotations x 4 keys, band id above 32 content bits, equal hash = equal keys") {
+    val h = TextHashes.simHash128("some document text with enough characters to vote on properly")
+    val keys = TextHashes.simHashBandKeys128(h(0), h(1), 2)
+    assert(keys.length === 8)
+    assert(keys.map(_ >>> 32).toSeq === (0 until 8).map(_.toLong)) // distinct band ids
+    assert(keys sameElements TextHashes.simHashBandKeys128(h(0), h(1), 2))
+    // layout 0's band 0 is bits [0,32) verbatim
+    assert((keys(0) & 0xffffffffL) === (h(0) & 0xffffffffL))
+    // a one-bit flip changes at most one band per rotation layout
+    val flipped = TextHashes.simHashBandKeys128(h(0) ^ 1L, h(1), 2)
+    assert(keys.zip(flipped).count { case (a, b) => a != b } <= 2)
+    assertThrows[IllegalArgumentException](TextHashes.simHashBandKeys128(h(0), h(1), 0))
+  }
+
   test("sortedIntersectSize is exact set intersection") {
     assert(TextHashes.sortedIntersectSize(Array(1L, 3L, 5L), Array(2L, 3L, 5L, 9L)) === 2)
     assert(TextHashes.sortedIntersectSize(Array.emptyLongArray, Array(1L)) === 0)

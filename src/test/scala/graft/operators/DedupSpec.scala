@@ -88,6 +88,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a < b })
   }
 
+  test("simhash128 near-dups include the exact pair at hamming 0, exclude unrelated") {
+    val pairs = Dedup.simHashNearDups128(planted, maxHamming = 14, rotations = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).intersect(Set(3L, 5L)).nonEmpty })
+  }
+
+  test("simhash128 candidate volume grows ~linearly with corpus size") {
+    // sum over band_key of c*(c-1)/2 IS the band-join output size — the
+    // cost the round-5 8-bit-band pigeonhole blew up quadratically. With
+    // 16-bit keys the ratio across a 10x corpus (500 -> 5000 docs) must
+    // track the row ratio, not its square (100x); 3x slack for real dup
+    // clusters in the bigger corpus.
+    def candidates(dir: String): Long =
+      Dedup.simHashBanded128(Tables.documents(spark, dir), rotations = 2)
+        .groupBy("band_key").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getDouble(0).toLong
+    val small = candidates("/root/testdata/sf0.001") // 500 docs
+    val big = candidates("/root/testdata/sf0.1") // 5000 docs
+    assert(small > 0 && big > 0)
+    assert(big.toDouble / small <= 30.0,
+      s"candidate growth ${big.toDouble / small}x across a 10x corpus (small=$small big=$big) — quadratic blowup")
+  }
+
   test("ngram jaccard: exact pair scores 1.0; unrelated pairs filtered") {
     val pairs = Dedup.ngramJaccard(planted, threshold = 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
