@@ -98,35 +98,132 @@ object MessageQueueSink {
   /**
    * Streaming sink: `df.writeStream.foreachBatch(MessageQueueSink.foreachBatch(...))`.
    *
-   * AT-LEAST-ONCE with idempotent skip of fully-marked batches: Structured
-   * Streaming replays an unfinished micro-batch with the SAME batchId after
-   * a crash, and the committed-batch marker file skips batchIds whose marker
-   * landed. The marker is written AFTER the data, so a crash in the window
-   * between write() completing and markCommitted() running replays the whole
-   * batch — duplicates, not loss. (True exactly-once would need the data
-   * append and the marker to commit atomically, e.g. staging + rename.)
-   * This matches the reference's pendingOffsetsToCommit bookkeeping, which
-   * has the same at-least-once boundary (reference:
+   * EXACTLY-ONCE via the [[graft.source.EpochLedger]] protocol (default):
+   * each task renders its queue's rows to a private spill, then per topic —
+   * if the topic's ledger already covers this batchId the task appends
+   * nothing (post-commit replay); otherwise it truncate-repairs the queue
+   * to the committed high-water mark (discarding whatever a crashed attempt
+   * left) and appends the spill. The driver then publishes the new marks +
+   * batchId per topic in one atomic rename. Readers only see lines below
+   * the mark, so every crash window either replays onto a repaired file or
+   * skips a covered batch — no duplicates, no loss. This upgrades the
+   * reference's pendingOffsetsToCommit bookkeeping, which is at-least-once
+   * at the marker boundary (reference:
    * legacy/RocketMQSourceFunction.java:150, RocketMQSink.java:60-150).
    *
-   * Within one batch the guarantee is also at-least-once: a task retry or a
-   * crash mid-batch can re-append rows the earlier attempt already flushed,
-   * exactly like the reference's async sink. For task-retry atomicity use
-   * the DSv2 writer (`df.write.format("graft-mq")`), whose per-task buffer
-   * only touches the log at the commit-coordinated commit().
+   * The repair step makes the same single-live-attempt assumption as
+   * `write` (two racing attempts of one queue could interleave), so this
+   * path also refuses `spark.speculation=true`.
+   *
+   * `exactlyOnce = false` keeps the legacy behavior: whole-batch append +
+   * committed-batch marker, at-least-once across the data/marker window and
+   * within a batch under task retry.
    */
   def foreachBatch(
       rootDir: String,
       selector: TopicSelector[Map[String, Any]],
       converter: RowMessageConverter,
       numQueues: Int = 8,
-      flushMode: FlushMode = FlushMode.Batch(32)): (Dataset[Row], Long) => Unit =
+      flushMode: FlushMode = FlushMode.Batch(32),
+      exactlyOnce: Boolean = true): (Dataset[Row], Long) => Unit =
     (batch: Dataset[Row], batchId: Long) => {
-      if (!isCommitted(rootDir, batchId)) {
+      if (exactlyOnce) {
+        assertNoSpeculation(batch.sparkSession.sparkContext.getConf)
+        writeEpoch(batch.toDF(), batchId, rootDir, selector, converter, numQueues)
+      } else if (!isCommitted(rootDir, batchId)) {
         write(batch.toDF(), rootDir, selector, converter, numQueues, flushMode)
         markCommitted(rootDir, batchId)
       }
     }
+
+  /** One exactly-once epoch append: tasks spill → repair → append and
+    * report absolute (topic, queue, lines, bytes); the driver merges and
+    * atomically publishes each topic's ledger. Data never moves through the
+    * driver — only O(topics x queues) counters do. */
+  private[sink] def writeEpoch(
+      df: DataFrame,
+      epochId: Long,
+      rootDir: String,
+      selector: TopicSelector[Map[String, Any]],
+      converter: RowMessageConverter,
+      numQueues: Int): Unit = {
+    import graft.source.{EpochLedger, Message, TopicLog}
+    val schema = df.schema
+    val fieldNames = schema.fieldNames
+    val session = df.sparkSession
+    import session.implicits._
+    val stats: Array[(String, Int, Long, Long)] =
+      df.repartition(numQueues).mapPartitions { (rows: Iterator[Row]) =>
+        val queueId = org.apache.spark.TaskContext.getPartitionId()
+        val spills = scala.collection.mutable.Map.empty[String, java.io.BufferedWriter]
+        val paths = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+        rows.foreach { row =>
+          val asMap = fieldNames.zip(row.toSeq).toMap
+          val topic = selector.getTopic(asMap)
+          val tag = selector.getTag(asMap)
+          val m0 = converter.convert(row)
+          val m = if (m0.tag.isEmpty && tag.nonEmpty) m0.copy(tag = tag) else m0
+          val w = spills.getOrElseUpdate(topic, {
+            val p = java.nio.file.Files.createTempFile(s"graft-epoch-$queueId-", ".spill")
+            paths(topic) = p
+            new java.io.BufferedWriter(new java.io.FileWriter(
+              p.toFile, java.nio.charset.StandardCharsets.UTF_8))
+          })
+          w.write(TopicLog.renderLine(m)); w.newLine()
+        }
+        val out = paths.keys.toSeq.sorted.flatMap { topic =>
+          spills(topic).close()
+          val p = paths(topic)
+          val ledger = EpochLedger.read(rootDir, topic)
+          val res =
+            if (ledger.exists(_.isCommitted(epochId))) None // replayed batch
+            else {
+              val (cl, cb) = ledger.map(_.committed(queueId))
+                .getOrElse(TopicLog.sizeInfo(rootDir, topic, queueId)) // adopt raw
+              EpochLedger.truncateQueue(rootDir, topic, queueId, cb)
+              val spillBytes = java.nio.file.Files.size(p)
+              TopicLog.appendRendered(rootDir, topic, queueId, p)
+              Some((topic, queueId, cl + countLines(p), cb + spillBytes))
+            }
+          java.nio.file.Files.deleteIfExists(p)
+          res
+        }
+        out.iterator
+      }.collect()
+    stats.groupBy(_._1).foreach { case (topic, entries) =>
+      val prior = graft.source.EpochLedger.read(rootDir, topic)
+      if (!prior.exists(_.isCommitted(epochId))) {
+        val updated = prior.map(_.queues).getOrElse(Map.empty) ++
+          entries.map { case (_, q, lines, bytes) => q -> (lines, bytes) }
+        graft.source.EpochLedger.publish(rootDir, topic,
+          graft.source.EpochLedger.State(epochId, updated))
+      }
+    }
+  }
+
+  /** Test hook: land rows past the high-water mark WITHOUT the ledger
+    * publish — the on-disk state a driver crash leaves between a task's
+    * append and the atomic ledger rename. */
+  private[sink] def writeEpochTaskOnlyForTest(
+      df: DataFrame, rootDir: String, topic: String,
+      converter: RowMessageConverter): Unit =
+    graft.source.TopicLog.append(rootDir, topic, 0,
+      df.collect().iterator.map(r => converter.convert(r)))
+
+  private def countLines(p: java.nio.file.Path): Long = {
+    val in = new java.io.FileInputStream(p.toFile)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var lines = 0L
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) { if (buf(i) == '\n') lines += 1; i += 1 }
+        n = in.read(buf)
+      }
+      lines
+    } finally in.close()
+  }
 
   private def commitsFile(rootDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(rootDir, "_committed_batches")

@@ -46,7 +46,16 @@ class MessageQueueWriteBuilder(opts: GraftOptions, schema: StructType)
 class MessageQueueBatchWrite(opts: GraftOptions, schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new QueueDataWriterFactory(opts, schema)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** A batch append into a ledger-managed topic must advance the committed
+    * lengths or its rows would sit invisibly past the high-water mark (and
+    * be reclaimed by the next epoch's repair). Raw topics need nothing. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    graft.source.EpochLedger.read(opts.rootDir, opts.topic).foreach { st =>
+      val updated = st.queues ++ messages.collect {
+        case QueueCommit(q, lines, bytes) => q -> (lines, bytes)
+      }
+      graft.source.EpochLedger.publish(opts.rootDir, opts.topic, st.copy(queues = updated))
+    }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -55,17 +64,32 @@ class MessageQueueBatchWrite(opts: GraftOptions, schema: StructType) extends Bat
  * the native counterpart of the reference's streaming sink
  * (legacy/RocketMQSink.java). Each micro-batch epoch runs the same
  * spill-then-append writers as the batch path (task = queue, single writer
- * per queue, no partial lines from failed attempts). Delivery is
- * at-least-once at the epoch boundary: a crash between the epoch's task
- * commits and the checkpoint advancing replays the epoch. Use
- * foreachBatch + the committed-batch marker for idempotent batch skip.
+ * per queue, no partial lines from failed attempts).
+ *
+ * Delivery is EXACTLY-ONCE via the [[graft.source.EpochLedger]] protocol:
+ * task commits truncate-repair their queue to the committed high-water mark
+ * before appending, the driver publishes the new marks + epoch id in one
+ * atomic rename, readers only see lines below the mark, and a replayed
+ * epoch whose id the ledger already covers appends nothing. The reference's
+ * pendingOffsetsToCommit bookkeeping (legacy/RocketMQSourceFunction.java:150,
+ * RocketMQSink.java:60-150) is at-least-once at this boundary; the ledger
+ * closes it.
  */
 class MessageQueueStreamingWrite(opts: GraftOptions, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new QueueStreamingWriterFactory(opts, schema)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val prior = graft.source.EpochLedger.read(opts.rootDir, opts.topic)
+    if (!prior.exists(_.isCommitted(epochId))) {
+      val updated = prior.map(_.queues).getOrElse(Map.empty) ++ messages.collect {
+        case QueueCommit(q, lines, bytes) => q -> (lines, bytes)
+      }
+      graft.source.EpochLedger.publish(opts.rootDir, opts.topic,
+        graft.source.EpochLedger.State(epochId, updated))
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -73,7 +97,7 @@ class QueueStreamingWriterFactory(opts: GraftOptions, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new QueueDataWriter(opts, schema, partitionId)
+    new QueueDataWriter(opts, schema, partitionId, epochId)
 }
 
 class QueueDataWriterFactory(opts: GraftOptions, schema: StructType)
@@ -82,9 +106,11 @@ class QueueDataWriterFactory(opts: GraftOptions, schema: StructType)
     new QueueDataWriter(opts, schema, partitionId)
 }
 
-private final case class QueueCommit(queueId: Int, rows: Long) extends WriterCommitMessage
+private final case class QueueCommit(queueId: Int, lines: Long, bytes: Long)
+    extends WriterCommitMessage
 
-class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
+class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int,
+                      epochId: Long = -1L)
     extends DataWriter[InternalRow] {
 
   private val fieldNames = schema.fieldNames
@@ -194,15 +220,39 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int)
       graft.source.Metrics.Value(graft.source.Metrics.BytesWritten, bytes))
 
   /** The queue log is only touched here, after every row spilled cleanly —
-    * an attempt that dies mid-write leaves just an orphan temp file. A crash
-    * DURING this append can still leave a partial tail (single-file appends
-    * are not atomic); Spark's commit coordinator prevents the double-commit
-    * case. */
+    * an attempt that dies mid-write leaves just an orphan temp file.
+    *
+    * Exactly-once protocol ([[graft.source.EpochLedger]]): a streaming
+    * epoch the ledger already covers appends NOTHING (post-commit replay);
+    * otherwise a ledger-managed queue is truncated back to its committed
+    * byte length first, so the tail a crashed attempt left mid-append is
+    * discarded before this attempt's spill lands. A crash DURING this
+    * append leaves a tail past the high-water mark that readers never see
+    * and the replay reclaims. The first managed write of a pre-existing raw
+    * log adopts its complete lines as committed. Spark's commit coordinator
+    * prevents the double-commit case within an epoch. */
   override def commit(): WriterCommitMessage = {
     spill.close()
-    TopicLog.appendRendered(opts.rootDir, opts.topic, partitionId, spillPath)
-    java.nio.file.Files.deleteIfExists(spillPath)
-    QueueCommit(partitionId, rows)
+    val ledger = graft.source.EpochLedger.read(opts.rootDir, opts.topic)
+    if (epochId >= 0 && ledger.exists(_.isCommitted(epochId))) {
+      java.nio.file.Files.deleteIfExists(spillPath)
+      // values are never published: the driver skips committed epochs too
+      QueueCommit(partitionId, 0L, 0L)
+    } else {
+      val (committedLines, committedBytes) = ledger match {
+        case Some(st) => st.committed(partitionId)
+        case None if epochId >= 0 => // first managed write adopts raw content
+          graft.source.TopicLog.sizeInfo(opts.rootDir, opts.topic, partitionId)
+        case None => (0L, 0L)
+      }
+      if (ledger.isDefined || epochId >= 0)
+        graft.source.EpochLedger.truncateQueue(
+          opts.rootDir, opts.topic, partitionId, committedBytes)
+      val spillBytes = java.nio.file.Files.size(spillPath)
+      TopicLog.appendRendered(opts.rootDir, opts.topic, partitionId, spillPath)
+      java.nio.file.Files.deleteIfExists(spillPath)
+      QueueCommit(partitionId, committedLines + rows, committedBytes + spillBytes)
+    }
   }
 
   override def abort(): Unit = {

@@ -172,9 +172,21 @@ object TopicLog {
   private val lineCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  /** One past the last offset = count of COMPLETE (newline-terminated)
-    * lines — a partial tail from a concurrent append is not yet readable. */
+  private[graft] def invalidateCache(file: File): Unit = {
+    lineCountCache.remove(file.getAbsolutePath); ()
+  }
+
+  /** One past the last offset. For a ledger-managed topic this is the
+    * COMMITTED line count straight from [[EpochLedger]] — O(1), no scan,
+    * and an uncommitted tail past the high-water mark is invisible (the
+    * exactly-once reader boundary). Otherwise it is the count of COMPLETE
+    * (newline-terminated) lines — a partial tail from a concurrent append
+    * is not yet readable. */
   def maxOffset(root: String, topic: String, queueId: Int): Long = {
+    EpochLedger.read(root, topic) match {
+      case Some(state) => return state.committed(queueId)._1
+      case None =>
+    }
     val file = queueFile(root, topic, queueId)
     if (!file.exists()) return 0L
     val key = file.getAbsolutePath
@@ -203,6 +215,32 @@ object TopicLog {
       }
       lineCountCache.put(key, (lastNl, lines))
       lines
+    } finally in.close()
+  }
+
+  /** (complete lines, bytes up to the last newline) of a queue log by full
+    * scan — what the first ledger-managed write uses to ADOPT pre-existing
+    * raw content as committed instead of shadowing it. */
+  private[graft] def sizeInfo(root: String, topic: String, queueId: Int): (Long, Long) = {
+    val file = queueFile(root, topic, queueId)
+    if (!file.exists()) return (0L, 0L)
+    val in = new java.io.FileInputStream(file)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var lines = 0L
+      var pos = 0L
+      var lastNl = 0L
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') { lines += 1; lastNl = pos + i + 1 }
+          i += 1
+        }
+        pos += n
+        n = in.read(buf)
+      }
+      (lines, lastNl)
     } finally in.close()
   }
 
