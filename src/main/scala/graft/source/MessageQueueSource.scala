@@ -374,14 +374,18 @@ class MessageQueueMicroBatchStream(opts: GraftOptions,
 
   /** Cap the total offset advance at `maxRows`, allocating the budget
     * across queues proportionally to available lag. Deterministic: floor
-    * shares first, remainder to the lowest queue ids with headroom. */
+    * shares first, remainder to the lowest queue ids with headroom.
+    * Totals and shares go through BigInt: `maxRows * avail` overflows a
+    * Long for maxRows past ~2^32 with real lag (and the lag sum itself can
+    * wrap with pathological option values); O(queues) BigInt ops per tick
+    * are noise next to the log IO. */
   private[source] def capAdvance(
       start: Map[Int, Long], target: Map[Int, Long], maxRows: Long): Map[Int, Long] = {
     val avail = target.map { case (q, e) => q -> math.max(0L, e - start.getOrElse(q, 0L)) }
-    val total = avail.values.sum
-    if (total <= maxRows) target
+    val total = avail.values.foldLeft(BigInt(0))(_ + _)
+    if (total <= BigInt(maxRows)) target
     else {
-      var alloc = avail.map { case (q, a) => q -> maxRows * a / total }
+      var alloc = avail.map { case (q, a) => q -> (BigInt(maxRows) * a / total).toLong }
       var rem = maxRows - alloc.values.sum
       for (q <- avail.keys.toSeq.sorted if rem > 0) {
         val extra = math.min(rem, avail(q) - alloc(q))

@@ -270,6 +270,17 @@ class MessageQueueSourceSpec extends SparkSpec {
     // a queue already past target (shrunk log) never goes backwards from target
     val neg = stream.capAdvance(Map(0 -> 10L, 1 -> 0L), Map(0 -> 8L, 1 -> 100L), 10L)
     assert(neg(1) === 10L && neg(0) === 8L)
+    // pathological values: maxRows * avail would overflow a Long, and the
+    // lag sum wraps past Long.MaxValue — shares must stay exact
+    val big = Long.MaxValue / 2 // lag per queue; total lag = Long.MaxValue + 1
+    val huge = stream.capAdvance(
+      start = Map(0 -> 0L, 1 -> 0L), target = Map(0 -> big, 1 -> (big + 2)),
+      maxRows = big)
+    assert(huge.values.sum === big) // full budget spent, no wrap
+    assert(huge.values.forall(v => v >= 0L && v <= big + 2))
+    val nearMax = stream.capAdvance(
+      start = Map(0 -> 0L), target = Map(0 -> Long.MaxValue), maxRows = Long.MaxValue - 1)
+    assert(nearMax === Map(0 -> (Long.MaxValue - 1)))
   }
 
   test("live tail: a running stream picks up appends across micro-batches") {
