@@ -19,10 +19,11 @@ object PlanDump {
     val headline = Seq(
       "q1_pricing_summary", "q3_top_revenue", "q4_region_revenue", "q7_anti_join",
       "q11_semi_join", "q14_scalar_subquery", "dedup_exact", "dedup_minhash",
-      "ngram_jaccard", "ann_topk", "ann_lsh", "ann_ivf", "embed_neardup",
-      "skew_join_salted", "text_stats", "mq_roundtrip_events")
+      "dedup_simhash", "ngram_jaccard", "ngram_jaccard_inverted", "ann_topk",
+      "ann_lsh", "ann_ivf", "embed_neardup", "skew_join_salted", "bucketed_join",
+      "multimodal_frames", "text_stats", "mq_roundtrip_events")
     val sb = new StringBuilder
-    sb.append("# PLANS — physical plans of headline queries (sf0.01)\n\n")
+    sb.append("# PLANS — physical plans of headline queries (sf0.01, round 6)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
     sb.append("pruning), `BroadcastHashJoin` for dim/probe sides, no\n")
     sb.append("`CartesianProduct` anywhere. Two queries intentionally use\n")
@@ -30,7 +31,12 @@ object PlanDump {
     sb.append("q14 (single-row scalar-subquery aggregate, non-equi predicate)\n")
     sb.append("and ann_topk (brute-force baseline: probe set broadcast so the\n")
     sb.append("corpus streams once with no shuffle). Every LSH operator joins\n")
-    sb.append("on bucket equality — hash joins only.\n")
+    sb.append("on bucket equality — hash joins only. Round-6 additions:\n")
+    sb.append("`bucketed_join` must show a SortMergeJoin with ZERO Exchange\n")
+    sb.append("(both sides pre-bucketed); `multimodal_frames` must be all-narrow\n")
+    sb.append("(no Exchange at all); `ngram_jaccard_inverted` joins df-capped\n")
+    sb.append("postings on shingle hash; `dedup_simhash` self-joins 32-bit band\n")
+    sb.append("keys of the 128-bit char-gram SimHash.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")
