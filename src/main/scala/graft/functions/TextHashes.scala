@@ -67,6 +67,18 @@ object TextHashes {
 
   private val Prime = 2147483647L // 2^31 - 1: a*x+b stays inside a long
 
+  /** Exact `v mod (2^31-1)` by Mersenne shift-fold — bit-identical to
+    * `v % Prime` for 0 <= v < 2^62 but with no hardware division, which
+    * matters because the MinHash kernel runs numHashes × shingles of these
+    * per row (~20k divs/row otherwise, the single hottest op in the dedup
+    * family's scan stage). Two folds bring v under 2^31 + 1; one
+    * conditional subtract finishes. */
+  @inline private def modPrime(v: Long): Long = {
+    var r = (v & Prime) + (v >>> 31)
+    r = (r & Prime) + (r >>> 31)
+    if (r >= Prime) r - Prime else r
+  }
+
   private val coeffCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
 
@@ -106,7 +118,8 @@ object TextHashes {
       val x = java.lang.Math.floorMod(hashWindow(s, i, shingleN), Prime)
       var j = 0
       while (j < numHashes) {
-        val v = (as(j) * x + bs(j)) % Prime
+        // a <= p-1, x <= p-1, b <= p-1 → a*x+b < 2^62: modPrime stays exact
+        val v = modPrime(as(j) * x + bs(j))
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -172,9 +185,60 @@ object TextHashes {
    */
   def simHash128(text: String, gramN: Int = 4): Array[Long] = {
     val s = normalize(text)
-    val out = new Array[Long](2)
     val count = s.length - gramN + 1
-    if (count <= 0) return out
+    if (count <= 0) return new Array[Long](2)
+    // 16-bit ones-count lanes hold up to 65535 grams; anything bigger
+    // (normalized text past ~64 KB) takes the plain per-bit loop
+    if (count < 60000) simHash128Packed(s, gramN, count)
+    else simHash128Loop(s, gramN, count)
+  }
+
+  /** For nibble value 0..15: its 4 bits spread into 4 16-bit lanes. */
+  private val NibbleSpread: Array[Long] = Array.tabulate(16) { nib =>
+    ((nib & 1).toLong) | ((nib >> 1) & 1).toLong << 16 |
+      ((nib >> 2) & 1).toLong << 32 | ((nib >> 3) & 1).toLong << 48
+  }
+
+  /** Packed-counter kernel: instead of 128 per-bit votes per gram, add 32
+    * nibble-indexed table entries, each carrying 4 ones-counters in 16-bit
+    * lanes (lanes can't overflow below 65536 grams, and ones-counts are
+    * non-negative so no cross-lane borrow exists). sign(weight) comes out
+    * as `2*ones > grams`. ~4x fewer kernel ops per gram than the loop —
+    * this is the per-row scan cost at corpus scale. Bit-identical to
+    * [[simHash128Loop]] (suite-asserted). */
+  private def simHash128Packed(s: String, gramN: Int, count: Int): Array[Long] = {
+    val ones = new Array[Long](32)
+    val seen = new java.util.HashSet[Long]()
+    var grams = 0
+    var i = 0
+    while (i < count) {
+      val h = hashWindow(s, i, gramN)
+      if (seen.add(h)) {
+        grams += 1
+        val h2 = mix64(h)
+        var n = 0
+        while (n < 16) {
+          ones(n) += NibbleSpread(((h >>> (n * 4)) & 15L).toInt)
+          ones(16 + n) += NibbleSpread(((h2 >>> (n * 4)) & 15L).toInt)
+          n += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](2)
+    var b = 0
+    while (b < 128) {
+      val lane = (ones(b >>> 2) >>> ((b & 3) * 16)) & 0xffffL
+      if (2 * lane > grams) out(b >>> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    out
+  }
+
+  /** Plain per-bit voting loop — the reference semantics of the packed
+    * kernel and the fallback for huge documents. */
+  private[functions] def simHash128Loop(s: String, gramN: Int, count: Int): Array[Long] = {
+    val out = new Array[Long](2)
     val weights = new Array[Int](128)
     val seen = new java.util.HashSet[Long]()
     var i = 0
@@ -197,6 +261,13 @@ object TextHashes {
       b += 1
     }
     out
+  }
+
+  /** Test hook: run the loop kernel on raw text (normalize included). */
+  private[functions] def simHash128ViaLoop(text: String, gramN: Int = 4): Array[Long] = {
+    val s = normalize(text)
+    val count = s.length - gramN + 1
+    if (count <= 0) new Array[Long](2) else simHash128Loop(s, gramN, count)
   }
 
   /**

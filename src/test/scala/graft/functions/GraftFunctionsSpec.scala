@@ -81,6 +81,35 @@ class GraftFunctionsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](TextHashes.simHashBandKeys128(h(0), h(1), 0))
   }
 
+  test("packed simHash128 kernel is bit-identical to the per-bit voting loop") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("spark", "join", "scan", "merge", "agg", "row", "data", "key",
+      "batch", "stream", "window", "filter", "x", "yy", "zzz")
+    (0 until 200).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(80) + 1)(words(rnd.nextInt(words.length)))
+        .mkString(" ")
+      val fast = TextHashes.simHash128(text)
+      val slow = TextHashes.simHash128ViaLoop(text)
+      assert(fast sameElements slow, s"kernel divergence on: $text")
+    }
+  }
+
+  test("Mersenne-fold MinHash kernel matches the BigInt mod definition") {
+    val text = "the quick brown fox jumps over the lazy dog and a cat watches nearby"
+    val numHashes = 64
+    val seed = 42L
+    val sig = TextHashes.minHashSig(text, 4, numHashes, seed)
+    val (as, bs) = TextHashes.coefficients(numHashes, seed)
+    val p = BigInt(2147483647L)
+    // min over distinct shingles equals min over all windows
+    val xs = TextHashes.shingleHashesSorted(text, 4)
+      .map(h => BigInt(java.lang.Math.floorMod(h, 2147483647L)))
+    val expected = (0 until numHashes).map { j =>
+      xs.map(x => ((BigInt(as(j)) * x + BigInt(bs(j))) mod p).toLong).min
+    }
+    assert(sig.toSeq === expected)
+  }
+
   test("sortedIntersectSize is exact set intersection") {
     assert(TextHashes.sortedIntersectSize(Array(1L, 3L, 5L), Array(2L, 3L, 5L, 9L)) === 2)
     assert(TextHashes.sortedIntersectSize(Array.emptyLongArray, Array(1L)) === 0)
