@@ -245,21 +245,25 @@ object TopicLog {
   }
 
   /** First offset whose bornTs >= ts; maxOffset if none (logs are
-    * time-ordered per queue, like broker commit logs). */
+    * time-ordered per queue, like broker commit logs). Capped at
+    * maxOffset: the raw scan sees lines past a ledgered topic's committed
+    * high-water mark (and a torn tail line), and an endTimeMs-bounded read
+    * using this as its stop offset must not expose either. */
   def searchOffset(root: String, topic: String, queueId: Int, ts: Long): Long = {
     val file = queueFile(root, topic, queueId)
     if (!file.exists()) return 0L
     val in = new BufferedReader(new FileReader(file, StandardCharsets.UTF_8))
-    try {
+    val found = try {
       var offset = 0L
       var line = in.readLine()
-      while (line != null) {
-        if (line.substring(0, line.indexOf('\t')).toLong >= ts) return offset
-        offset += 1
-        line = in.readLine()
+      var res = -1L
+      while (line != null && res < 0) {
+        if (line.substring(0, line.indexOf('\t')).toLong >= ts) res = offset
+        else { offset += 1; line = in.readLine() }
       }
-      offset
+      if (res < 0) offset else res
     } finally in.close()
+    math.min(found, maxOffset(root, topic, queueId))
   }
 
   /** Iterator over a queue range that can be closed before exhaustion

@@ -131,6 +131,18 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(got === Seq("x", "y"))
   }
 
+  test("timestamp search never exposes offsets past the committed hwm") {
+    val root = Files.createTempDirectory("graft-eo-ts").toString
+    epoch(root, 0, Seq("committed"))
+    val w = writer(root, 0, 1)
+    w.write(row("uncommitted"))
+    w.commit() // no publish: one raw line sits past the hwm
+    // a "search to the end of time" stop offset must cap at the hwm, or an
+    // endTimeMs-bounded scan would read the uncommitted line
+    assert(TopicLog.searchOffset(root, "eo", 0, Long.MaxValue) === 1L)
+    assert(TopicLog.searchOffset(root, "eo", 0, 0L) === 0L)
+  }
+
   test("ledger publish is atomic and round-trips state") {
     val root = Files.createTempDirectory("graft-eo-led").toString
     val st = EpochLedger.State(7L, Map(0 -> (10L, 100L), 3 -> (2L, 20L)))
