@@ -48,6 +48,9 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangId _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "ann_topk" -> (Similarity.annTopK _),
+    "corpus_sample" -> (CorpusPipeline.corpusSample _),
+    "vocab_topk" -> (CorpusPipeline.vocabTopk _),
+    "decontaminate" -> (CorpusPipeline.corpusDecontaminate _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -284,6 +287,30 @@ object SparkEntry {
     "mq_roundtrip_events" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    "corpus_sample" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      raw"""SELECT token, count(*) AS n FROM (
+        | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        | FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "decontaminate" ->
+      raw"""WITH norm AS (
+        | SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, substring(t, i, 8) AS g
+        | FROM norm, unnest(generate_series(1, length(t) - 7)) AS u(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        |SELECT h.doc_id, count(*) AS shared_grams
+        |FROM hits h JOIN bench b USING (g)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         | CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("stratified sample is deterministic and respects per-language rates") {
+    val once = CorpusPipeline.corpusSample(spark, sfDir).collect()
+    val again = CorpusPipeline.corpusSample(spark, sfDir).collect()
+    assert(once.toSeq === again.toSeq) // reproducible
+    val total = docs.count().toDouble
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = once.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // en keeps ~50%, others ~10-25%: loose bounds, the corpus is small
+    assert(kept("en").toDouble / byLang("en") > 0.35)
+    assert(kept("en").toDouble / byLang("en") < 0.65)
+    assert(once.length < total) // something was dropped
+    // every bucket is below the language threshold
+    once.foreach { r =>
+      val cap = r.getString(1) match { case "en" => 500; case "de" => 250; case _ => 100 }
+      assert(r.getLong(2) < cap)
+    }
+  }
+
+  test("vocab_topk is a deterministic total order with exact counts") {
+    val top = CorpusPipeline.vocabTopk(spark, sfDir).collect()
+    // the synthetic corpus has a ~30-word vocabulary; k caps, not pads
+    assert(top.length > 10 && top.length <= 100)
+    val ns = top.map(_.getLong(1))
+    assert(ns.toSeq === ns.sorted(Ordering[Long].reverse).toSeq)
+    // spot-check one token count against a direct filter
+    val t0 = top.head.getString(0)
+    val direct = docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") === t0).count()
+    assert(direct === top.head.getLong(1))
+  }
+
+  test("decontaminate flags exactly the docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((1000L, "the secret benchmark passage lives here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words about join planning"),
+      (2L, "a doc quoting the secret benchmark passage lives on"), // contaminated
+      (3L, "short")).toDF("doc_id", "text")
+    val flagged = CorpusPipeline.decontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet === Set(2L))
+    assert(flagged(2L) > 0)
+  }
+
+  test("decontaminate plan broadcasts the benchmark side (no exploded-corpus shuffle)") {
+    val docs97 = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench97 = docs.filter(col("doc_id") % 97 === 0)
+    val plan = CorpusPipeline.decontaminate(docs97, bench97)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ would shuffle exploded corpus rows:\n$plan")
+  }
+}
