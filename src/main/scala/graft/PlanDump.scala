@@ -21,7 +21,8 @@ object PlanDump {
       "q11_semi_join", "q14_scalar_subquery", "dedup_exact", "dedup_minhash",
       "dedup_simhash", "ngram_jaccard", "ngram_jaccard_inverted", "ann_topk",
       "ann_lsh", "ann_ivf", "embed_neardup", "skew_join_salted", "bucketed_join",
-      "multimodal_frames", "text_stats", "mq_roundtrip_events")
+      "multimodal_frames", "text_stats", "mq_roundtrip_events",
+      "corpus_sample", "vocab_topk", "decontaminate")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 6)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
