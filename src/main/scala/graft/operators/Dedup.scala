@@ -284,9 +284,6 @@ object Dedup {
       shingleN: Int = 4, threshold: Double = 0.5,
       numHashes: Int = 64, numBands: Int = -1, seed: Long = 42L): DataFrame = {
     val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
-    val sh = docs
-      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
-      .filter(size(col("shs")) > 0)
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
     val bands = lshBands(sigs, idCol, b, numHashes)
     // cheap signature prefilter (slightly below threshold to keep estimate
@@ -302,7 +299,17 @@ object Dedup {
       .join(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(est >= math.max(0.0, threshold - 0.15))
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").cache()
+    // shingle sets materialize ONLY for docs that survived est-prefilter:
+    // at production scale candidates cover a small fraction of the corpus,
+    // so the semi-join saves two full-corpus shingle+sort kernel passes
+    // (the kernel is the scan cost that multiplies at 100 TB; the extra
+    // id-only shuffle is candidate-sized)
+    val candIds = candidates.select(col("doc_a").as(idCol))
+      .union(candidates.select(col("doc_b").as(idCol))).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
+      .filter(size(col("shs")) > 0)
     candidates
       .join(sh.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shs").as("shs_b")), "doc_b")
