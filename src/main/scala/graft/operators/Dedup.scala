@@ -442,10 +442,13 @@ object Dedup {
     val keepSet = nearDupKeepDecisions(
       minHashNearDupsVerified(docs, textCol, idCol, threshold = nearDupThreshold))
       .select(col("doc_id").as(idCol), col("keep").as("dup_keep"))
-    val scored = docs.select(
-      col(idCol),
-      TA.qualityScore(col(textCol)).as("quality"),
-      TA.langId(col(textCol)).as("pred_lang"))
+    val scored = docs
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        graft.functions.TextSignals.signals(col(textCol)).as("sig"))
+      .select(
+        col(idCol),
+        TA.signalQuality(col("sig"), col("n_chars")).as("quality"),
+        TA.signalLangId(col("sig"), col("n_chars")).as("pred_lang"))
     scored
       .join(keepSet, Seq(idCol), "left")
       .withColumn("dup_keep", coalesce(col("dup_keep"), lit(true)))

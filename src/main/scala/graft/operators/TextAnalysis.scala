@@ -90,40 +90,75 @@ object TextAnalysis {
     md5(regexp_replace(lower(text), "\\s+", " "))
 
   // ---- query entries (oracle-checked) ----
+  //
+  // All four entries project from graft.functions.TextSignals — ONE
+  // character pass + one token pass per row instead of up to seven regex
+  // scans (the Column formulations above remain the executable spec; the
+  // suite asserts kernel-vs-Column equality field by field on the real
+  // corpus). Ratios, rounding, and the langid decision chain stay in
+  // Catalyst so the DuckDB-oracle arithmetic is reproduced exactly.
+
+  private def withSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      graft.functions.TextSignals.signals(col("text")).as("sig"))
+
+  private def ratioOf(num: Column, den: Column): Column =
+    round(num.cast("double") / nullif(den.cast("double"), lit(0.0)), 4)
+
+  /** [[qualityScore]] over a signals struct — same arithmetic, one text pass. */
+  def signalQuality(sig: Column, nChars: Column): Column =
+    round(
+      least(sig.getField("ws_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
+        coalesce(ratioOf(sig.getField("alpha"), nChars), lit(0.0)) * 0.4 +
+        least(coalesce(ratioOf(sig.getField("stop_en"), sig.getField("ws_tokens")),
+          lit(0.0)) * 4.0, lit(1.0)) * 0.3,
+      4)
+
+  /** [[langId]] over a signals struct — same decision chain, one text pass. */
+  def signalLangId(sig: Column, nChars: Column): Column = {
+    val (en, de, fr, es) = (sig.getField("stop_en"), sig.getField("stop_de"),
+      sig.getField("stop_fr"), sig.getField("stop_es"))
+    when(sig.getField("cjk") * 2 > nChars, lit("zh"))
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
 
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    withSignals(Tables.documents(spark, dir)).select(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      punctRatio(col("text")).as("punct_ratio"),
-      upperRatio(col("text")).as("upper_ratio"),
-      alphaRatio(col("text")).as("alpha_ratio"),
-      stopwordHits(col("text"), stopwordsEn).cast("long").as("stopword_hits"))
+      col("n_chars"),
+      col("sig.ws_tokens").cast("long").as("n_tokens"),
+      ratioOf(col("sig.punct"), col("n_chars")).as("punct_ratio"),
+      ratioOf(col("sig.upper"), col("n_chars")).as("upper_ratio"),
+      ratioOf(col("sig.alpha"), col("n_chars")).as("alpha_ratio"),
+      col("sig.stop_en").cast("long").as("stopword_hits"))
       .orderBy(col("doc_id"))
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    withSignals(Tables.documents(spark, dir)).select(
       col("doc_id"),
-      qualityScore(col("text")).as("quality"))
+      signalQuality(col("sig"), col("n_chars")).as("quality"))
       .orderBy(col("doc_id"))
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    withSignals(Tables.documents(spark, dir)).select(
       col("doc_id"),
       col("lang"),
-      langId(col("text")).as("pred_lang"))
+      signalLangId(col("sig"), col("n_chars")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
   /** Two tokenizations side by side: whitespace tokens and a BPE-ish regex
     * (word pieces, numbers, single punctuation — the GPT-2 pre-tokenizer
-    * shape) — both pure codegen'd Column expressions. */
+    * shape). */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    withSignals(Tables.documents(spark, dir)).select(
       col("doc_id"),
-      tokenCount(col("text")).cast("long").as("ws_tokens"),
-      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
-        .as("bpe_tokens"))
+      col("sig.ws_tokens").cast("long").as("ws_tokens"),
+      col("sig.bpe_tokens").cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
