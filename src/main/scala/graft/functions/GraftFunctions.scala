@@ -487,7 +487,10 @@ object GraftFunctions {
         intLit(args(2), "rotations"))),
     ("graft_cosine_sim",
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine_sim"),
-      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+    ("graft_text_signals",
+      new ExpressionInfo(classOf[TextSignalsExpr].getName, "graft_text_signals"),
+      (args: Seq[Expression]) => TextSignalsExpr(args(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

@@ -135,10 +135,12 @@ class GraftFunctionsSpec extends SparkSpec {
       """SELECT graft_sorted_intersect_size(
         |  graft_shingle_hashes('the quick brown fox', 4),
         |  graft_shingle_hashes('the quick brown fox', 4)) AS n,
-        |  size(graft_minhash_sig('the quick brown fox', 4, 32, 42)) AS k""".stripMargin)
+        |  size(graft_minhash_sig('the quick brown fox', 4, 32, 42)) AS k,
+        |  graft_text_signals('the quick brown fox').ws_tokens AS toks""".stripMargin)
       .collect().head
     assert(r.getInt(0) > 0)
     assert(r.getInt(1) === 32)
+    assert(r.getInt(2) === 4)
   }
 
   test("GraftExtensions injects functions at session build") {
