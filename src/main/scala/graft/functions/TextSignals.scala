@@ -87,35 +87,56 @@ object TextSignals {
     var prevKind = 0 // 1 = letter run, 2 = digit run, 0 = neither
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':') punct += 1
-      if (c >= 'A' && c <= 'Z') upper += 1
-      if (isLetter(c)) alpha += 1
-      if (c >= '\u4e00' && c <= '\u9fff') cjk += 1
-      val kind = if (isLetter(c)) 1 else if (isDigit(c)) 2 else 0
-      if (kind != 0) { if (kind != prevKind) bpe += 1 }
-      else if (!isWs(c)) bpe += 1
-      prevKind = kind
-      i += 1
+      // a surrogate PAIR is one code point to the regex spec: one symbol
+      // match for [^A-Za-z0-9\s], not two
+      if (Character.isHighSurrogate(c) && i + 1 < n &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        bpe += 1
+        prevKind = 0
+        i += 2
+      } else {
+        if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':') punct += 1
+        if (c >= 'A' && c <= 'Z') upper += 1
+        if (isLetter(c)) alpha += 1
+        if (c >= '\u4e00' && c <= '\u9fff') cjk += 1
+        val kind = if (isLetter(c)) 1 else if (isDigit(c)) 2 else 0
+        if (kind != 0) { if (kind != prevKind) bpe += 1 }
+        else if (!isWs(c)) bpe += 1
+        prevKind = kind
+        i += 1
+      }
     }
-    // token pass over the trimmed text: runs of non-\s chars
+    // Token pass replicating size(split(lower(trim(text)), "\s+")) exactly:
+    // Spark trim() strips ASCII SPACES only, and split() with its default
+    // limit -1 KEEPS leading and trailing empty tokens \u2014 so text whose
+    // space-trimmed edges are other \s chars (tab, newline) counts one
+    // phantom empty token per such edge. Real tokens are the non-\s runs.
     var wsTokens = 0
     var stopEn = 0; var stopDe = 0; var stopFr = 0; var stopEs = 0
-    var start = 0
-    while (start < n) {
-      if (isWs(s.charAt(start))) start += 1
-      else {
-        var end = start
-        while (end < n && !isWs(s.charAt(end))) end += 1
-        wsTokens += 1
-        val tok = s.substring(start, end).toLowerCase(java.util.Locale.ROOT)
-        val mask = stopMask.getOrDefault(tok, 0)
-        if (mask != 0) {
-          if ((mask & 1) != 0) stopEn += 1
-          if ((mask & 2) != 0) stopDe += 1
-          if ((mask & 4) != 0) stopFr += 1
-          if ((mask & 8) != 0) stopEs += 1
+    var b0 = 0
+    var e0 = n
+    while (b0 < e0 && s.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && s.charAt(e0 - 1) == ' ') e0 -= 1
+    if (e0 > b0) {
+      if (isWs(s.charAt(b0))) wsTokens += 1 // phantom leading "" token
+      if (isWs(s.charAt(e0 - 1))) wsTokens += 1 // phantom trailing "" token
+      var start = b0
+      while (start < e0) {
+        if (isWs(s.charAt(start))) start += 1
+        else {
+          var end = start
+          while (end < e0 && !isWs(s.charAt(end))) end += 1
+          wsTokens += 1
+          val tok = s.substring(start, end).toLowerCase(java.util.Locale.ROOT)
+          val mask = stopMask.getOrDefault(tok, 0)
+          if (mask != 0) {
+            if ((mask & 1) != 0) stopEn += 1
+            if ((mask & 2) != 0) stopDe += 1
+            if ((mask & 4) != 0) stopFr += 1
+            if ((mask & 8) != 0) stopEs += 1
+          }
+          start = end
         }
-        start = end
       }
     }
     InternalRow(n, wsTokens, bpe, punct, upper, alpha, cjk,

@@ -100,7 +100,12 @@ object Dedup {
       numHashes: Int = 64, numBands: Int = -1, shingleN: Int = 4,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
-    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
+    // localCheckpoint, not cache(): each call would otherwise pin a plan in
+    // the session CacheManager forever (never unpersisted — a lazy
+    // DataFrame-returning operator has no afterwards to unpersist in);
+    // checkpoint blocks are context-cleaned once the frame is unreferenced
+    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
+      .localCheckpoint()
     val bands = lshBands(sigs, idCol, b, numHashes)
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
@@ -216,6 +221,16 @@ object Dedup {
     val hashes = docs
       .select(col(idCol), graft.functions.GraftFunctions.simHash128(col(textCol)).as("sh"))
       .select(col(idCol), element_at(col("sh"), 1).as("sh0"), element_at(col("sh"), 2).as("sh1"))
+      // docs shorter than the gram width all hash to [0,0]: they carry no
+      // gram signal (their shingle sets are empty, so gram-Jaccard can't
+      // call them near-dups either) and, left in, they band-collide on
+      // every key — an n² clique of false hamming-0 "duplicates"
+      .filter(col("sh0") =!= 0 || col("sh1") =!= 0)
+      // localCheckpoint: the kernel is the dominant per-row scan cost and
+      // this frame feeds BOTH sides of the band self-join — without it the
+      // corpus is scanned and hashed twice. (checkpoint, not cache: blocks
+      // are context-cleaned when the frame is collected, no session leak)
+      .localCheckpoint()
     hashes.select(col(idCol), col("sh0"), col("sh1"),
       explode(graft.functions.GraftFunctions.simHashBandKeys128(
         col("sh0"), col("sh1"), rotations)).as("band_key"))
@@ -284,7 +299,12 @@ object Dedup {
       shingleN: Int = 4, threshold: Double = 0.5,
       numHashes: Int = 64, numBands: Int = -1, seed: Long = 42L): DataFrame = {
     val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
-    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed).cache()
+    // localCheckpoint, not cache(): each call would otherwise pin a plan in
+    // the session CacheManager forever (never unpersisted — a lazy
+    // DataFrame-returning operator has no afterwards to unpersist in);
+    // checkpoint blocks are context-cleaned once the frame is unreferenced
+    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
+      .localCheckpoint()
     val bands = lshBands(sigs, idCol, b, numHashes)
     // cheap signature prefilter (slightly below threshold to keep estimate
     // noise from dropping borderline pairs) before the wide shingle-set join
@@ -299,7 +319,7 @@ object Dedup {
       .join(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(est >= math.max(0.0, threshold - 0.15))
-      .select("doc_a", "doc_b").cache()
+      .select("doc_a", "doc_b").localCheckpoint()
     // shingle sets materialize ONLY for docs that survived est-prefilter:
     // at production scale candidates cover a small fraction of the corpus,
     // so the semi-join saves two full-corpus shingle+sort kernel passes

@@ -113,7 +113,21 @@ object MessageQueueSink {
    *
    * The repair step makes the same single-live-attempt assumption as
    * `write` (two racing attempts of one queue could interleave), so this
-   * path also refuses `spark.speculation=true`.
+   * path also refuses `spark.speculation=true`. `writerId` is the ledger's
+   * transaction identity: keep it stable across restarts of the same
+   * pipeline (the default is fine for one pipeline per destination), and
+   * give each pipeline its own id if several ever write the same topic
+   * root — a new id takes over committed marks without skipping batches.
+   * `flushMode` only applies to the legacy `exactlyOnce = false` path (the
+   * epoch path always spills per task and appends once on commit).
+   *
+   * A batchId already recorded in the legacy committed-batch marker is
+   * skipped on the exactly-once path UNTIL the first ledger exists under
+   * the root — that closes the one-time replay window when an existing
+   * marker-based pipeline upgrades to the ledger protocol mid-stream (its
+   * last marked batch would otherwise be adopted as committed AND
+   * re-appended), without letting a stale marker from a retired pipeline
+   * swallow a new pipeline's early batches forever.
    *
    * `exactlyOnce = false` keeps the legacy behavior: whole-batch append +
    * committed-batch marker, at-least-once across the data/marker window and
@@ -125,11 +139,15 @@ object MessageQueueSink {
       converter: RowMessageConverter,
       numQueues: Int = 8,
       flushMode: FlushMode = FlushMode.Batch(32),
-      exactlyOnce: Boolean = true): (Dataset[Row], Long) => Unit =
+      exactlyOnce: Boolean = true,
+      writerId: String = "foreachBatch"): (Dataset[Row], Long) => Unit =
     (batch: Dataset[Row], batchId: Long) => {
       if (exactlyOnce) {
         assertNoSpeculation(batch.sparkSession.sparkContext.getConf)
-        writeEpoch(batch.toDF(), batchId, rootDir, selector, converter, numQueues)
+        val preUpgradeReplay = !anyLedger(rootDir) && isCommitted(rootDir, batchId)
+        if (!preUpgradeReplay)
+          writeEpoch(batch.toDF(), batchId, rootDir, selector, converter, numQueues,
+            writerId)
       } else if (!isCommitted(rootDir, batchId)) {
         write(batch.toDF(), rootDir, selector, converter, numQueues, flushMode)
         markCommitted(rootDir, batchId)
@@ -146,7 +164,8 @@ object MessageQueueSink {
       rootDir: String,
       selector: TopicSelector[Map[String, Any]],
       converter: RowMessageConverter,
-      numQueues: Int): Unit = {
+      numQueues: Int,
+      writerId: String = "foreachBatch"): Unit = {
     import graft.source.{EpochLedger, Message, TopicLog}
     val schema = df.schema
     val fieldNames = schema.fieldNames
@@ -176,10 +195,13 @@ object MessageQueueSink {
           val p = paths(topic)
           val ledger = EpochLedger.read(rootDir, topic)
           val res =
-            if (ledger.exists(_.isCommitted(epochId))) None // replayed batch
+            if (ledger.exists(_.isCommitted(writerId, epochId))) None // replayed batch
             else {
-              val (cl, cb) = ledger.map(_.committed(queueId))
-                .getOrElse(TopicLog.sizeInfo(rootDir, topic, queueId)) // adopt raw
+              val (cl, cb) = ledger match {
+                // adopt raw complete lines when this queue was never managed
+                case Some(st) if st.queues.contains(queueId) => st.committed(queueId)
+                case _ => TopicLog.sizeInfo(rootDir, topic, queueId)
+              }
               EpochLedger.truncateQueue(rootDir, topic, queueId, cb)
               val spillBytes = java.nio.file.Files.size(p)
               TopicLog.appendRendered(rootDir, topic, queueId, p)
@@ -192,11 +214,15 @@ object MessageQueueSink {
       }.collect()
     stats.groupBy(_._1).foreach { case (topic, entries) =>
       val prior = graft.source.EpochLedger.read(rootDir, topic)
-      if (!prior.exists(_.isCommitted(epochId))) {
-        val updated = prior.map(_.queues).getOrElse(Map.empty) ++
+      if (!prior.exists(_.isCommitted(writerId, epochId))) {
+        // base = prior marks, or full raw adoption on first management so
+        // queues this epoch didn't touch keep their data readable
+        val base = prior.map(_.queues)
+          .getOrElse(graft.source.EpochLedger.adoptionState(rootDir, topic))
+        val updated = base ++
           entries.map { case (_, q, lines, bytes) => q -> (lines, bytes) }
         graft.source.EpochLedger.publish(rootDir, topic,
-          graft.source.EpochLedger.State(epochId, updated))
+          graft.source.EpochLedger.State(writerId, epochId, updated))
       }
     }
   }
@@ -209,6 +235,11 @@ object MessageQueueSink {
       converter: RowMessageConverter): Unit =
     graft.source.TopicLog.append(rootDir, topic, 0,
       df.collect().iterator.map(r => converter.convert(r)))
+
+  /** True once any topic under the root is ledger-managed. */
+  private def anyLedger(rootDir: String): Boolean =
+    graft.source.TopicLog.listTopics(rootDir).exists(t =>
+      java.nio.file.Files.exists(graft.source.EpochLedger.file(rootDir, t)))
 
   private def countLines(p: java.nio.file.Path): Long = {
     val in = new java.io.FileInputStream(p.toFile)

@@ -17,14 +17,17 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  * delimited message bodies via the same exclusion rules as
  * [[RowMessageConverter]]; a `born_ts`-typed column can drive message time.
  */
-class MessageQueueWriteBuilder(opts: GraftOptions, schema: StructType)
+class MessageQueueWriteBuilder(opts: GraftOptions, schema: StructType,
+                               queryId: String = "")
     extends WriteBuilder {
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
     override def toBatch: BatchWrite = new MessageQueueBatchWrite(opts, schema)
+    // the streaming queryId is stable across restarts (checkpoint metadata)
+    // — exactly the writer identity the epoch ledger needs
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new MessageQueueStreamingWrite(opts, schema)
+      new MessageQueueStreamingWrite(opts, schema, queryId)
     // task = queue, so the requested partition count IS the queue count;
     // 0 lets the incoming partitioning stand. Clustering key: the message
     // key columns (keeps one key's messages ordered within one queue, the
@@ -48,7 +51,11 @@ class MessageQueueBatchWrite(opts: GraftOptions, schema: StructType) extends Bat
     new QueueDataWriterFactory(opts, schema)
   /** A batch append into a ledger-managed topic must advance the committed
     * lengths or its rows would sit invisibly past the high-water mark (and
-    * be reclaimed by the next epoch's repair). Raw topics need nothing. */
+    * be reclaimed by the next epoch's repair). Raw topics need nothing.
+    * NOTE: ledger commits are read-modify-write of one file — a topic
+    * admits ONE writing job at a time (the broker's single-writer-per-queue
+    * invariant extended to jobs); interleave a batch append with a live
+    * streaming query and one side's marks can be lost. */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     graft.source.EpochLedger.read(opts.rootDir, opts.topic).foreach { st =>
       val updated = st.queues ++ messages.collect {
@@ -75,29 +82,34 @@ class MessageQueueBatchWrite(opts: GraftOptions, schema: StructType) extends Bat
  * RocketMQSink.java:60-150) is at-least-once at this boundary; the ledger
  * closes it.
  */
-class MessageQueueStreamingWrite(opts: GraftOptions, schema: StructType)
+class MessageQueueStreamingWrite(opts: GraftOptions, schema: StructType,
+                                 writerId: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new QueueStreamingWriterFactory(opts, schema)
+    new QueueStreamingWriterFactory(opts, schema, writerId)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val prior = graft.source.EpochLedger.read(opts.rootDir, opts.topic)
-    if (!prior.exists(_.isCommitted(epochId))) {
-      val updated = prior.map(_.queues).getOrElse(Map.empty) ++ messages.collect {
+    if (!prior.exists(_.isCommitted(writerId, epochId))) {
+      // base = prior marks, or full raw adoption on first management so
+      // queues this epoch didn't touch keep their data readable
+      val base = prior.map(_.queues)
+        .getOrElse(graft.source.EpochLedger.adoptionState(opts.rootDir, opts.topic))
+      val updated = base ++ messages.collect {
         case QueueCommit(q, lines, bytes) => q -> (lines, bytes)
       }
       graft.source.EpochLedger.publish(opts.rootDir, opts.topic,
-        graft.source.EpochLedger.State(epochId, updated))
+        graft.source.EpochLedger.State(writerId, epochId, updated))
     }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class QueueStreamingWriterFactory(opts: GraftOptions, schema: StructType)
+class QueueStreamingWriterFactory(opts: GraftOptions, schema: StructType, writerId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new QueueDataWriter(opts, schema, partitionId, epochId)
+    new QueueDataWriter(opts, schema, partitionId, epochId, writerId)
 }
 
 class QueueDataWriterFactory(opts: GraftOptions, schema: StructType)
@@ -110,7 +122,7 @@ private final case class QueueCommit(queueId: Int, lines: Long, bytes: Long)
     extends WriterCommitMessage
 
 class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int,
-                      epochId: Long = -1L)
+                      epochId: Long = -1L, writerId: String = "")
     extends DataWriter[InternalRow] {
 
   private val fieldNames = schema.fieldNames
@@ -234,16 +246,18 @@ class QueueDataWriter(opts: GraftOptions, schema: StructType, partitionId: Int,
   override def commit(): WriterCommitMessage = {
     spill.close()
     val ledger = graft.source.EpochLedger.read(opts.rootDir, opts.topic)
-    if (epochId >= 0 && ledger.exists(_.isCommitted(epochId))) {
+    if (epochId >= 0 && ledger.exists(_.isCommitted(writerId, epochId))) {
       java.nio.file.Files.deleteIfExists(spillPath)
       // values are never published: the driver skips committed epochs too
       QueueCommit(partitionId, 0L, 0L)
     } else {
       val (committedLines, committedBytes) = ledger match {
-        case Some(st) => st.committed(partitionId)
-        case None if epochId >= 0 => // first managed write adopts raw content
+        case Some(st) if st.queues.contains(partitionId) => st.committed(partitionId)
+        case None if epochId < 0 => (0L, 0L) // raw batch append, no repair
+        case _ =>
+          // first managed write of this queue (no ledger yet, or a ledger
+          // that never saw this queue): adopt its raw complete lines
           graft.source.TopicLog.sizeInfo(opts.rootDir, opts.topic, partitionId)
-        case None => (0L, 0L)
       }
       if (ledger.isDefined || epochId >= 0)
         graft.source.EpochLedger.truncateQueue(

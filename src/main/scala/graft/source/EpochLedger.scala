@@ -45,10 +45,28 @@ import scala.jdk.CollectionConverters._
  */
 object EpochLedger {
 
-  /** Committed state: last epoch + per-queue (lines, bytes) prefix. */
-  final case class State(maxEpoch: Long, queues: Map[Int, (Long, Long)]) {
+  /**
+   * Committed state: the writer that owns the epoch counter, its last
+   * committed epoch, and per-queue (lines, bytes) prefixes.
+   *
+   * `writerId` is the Delta-style transaction identity: epoch numbers only
+   * mean "already committed" relative to the writer that issued them. A new
+   * writer (fresh checkpoint, different streaming query, rebuilt
+   * foreachBatch pipeline) starts its batchIds at 0 again — without the
+   * identity check its first maxEpoch+1 batches of NEW data would all be
+   * skipped as replays. A different writerId is therefore never
+   * "committed"; it takes over the committed marks (data survives) and the
+   * counter restarts under the new identity. The post-publish replay
+   * window is still closed for the SAME writer restarting (the DSv2 path
+   * uses the streaming queryId, stable across restarts via the
+   * checkpoint); concurrent interleaved writers remain unsupported — the
+   * broker invariant is single writer per queue, extended here to one
+   * writing job per topic at a time.
+   */
+  final case class State(writerId: String, maxEpoch: Long, queues: Map[Int, (Long, Long)]) {
     def committed(queueId: Int): (Long, Long) = queues.getOrElse(queueId, (0L, 0L))
-    def isCommitted(epochId: Long): Boolean = maxEpoch >= epochId
+    def isCommitted(writer: String, epochId: Long): Boolean =
+      writerId == writer && maxEpoch >= epochId
   }
 
   val FileName = "_epochs"
@@ -61,12 +79,21 @@ object EpochLedger {
     if (!Files.exists(f)) return None
     val lines = Files.readAllLines(f).asScala
     val header = lines.head.split(' ')
-    require(header(0) == "v1", s"unknown ledger version in $f: ${lines.head}")
+    require(header(0) == "v2", s"unknown ledger version in $f: ${lines.head}")
     val queues = lines.tail.filter(_.nonEmpty).map { l =>
       val Array(q, ln, b) = l.split(' ')
       q.toInt -> (ln.toLong, b.toLong)
     }.toMap
-    Some(State(header(1).toLong, queues))
+    Some(State(unescapeId(header(2)), header(1).toLong, queues))
+  }
+
+  // writer ids are URL-encoded in the header so spaces/newlines can't
+  // corrupt the line format
+  private def escapeId(id: String): String =
+    java.net.URLEncoder.encode(if (id.isEmpty) "-" else id, "UTF-8")
+  private def unescapeId(s: String): String = {
+    val d = java.net.URLDecoder.decode(s, "UTF-8")
+    if (d == "-") "" else d
   }
 
   /** Atomically replace the ledger (write temp, fsync, ATOMIC_MOVE). */
@@ -74,7 +101,7 @@ object EpochLedger {
     val target = file(root, topic)
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".$FileName.tmp")
-    val body = (s"v1 ${state.maxEpoch}" +:
+    val body = (s"v2 ${state.maxEpoch} ${escapeId(state.writerId)}" +:
       state.queues.toSeq.sorted.map { case (q, (ln, b)) => s"$q $ln $b" })
       .mkString("", "\n", "\n")
     val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
@@ -87,8 +114,19 @@ object EpochLedger {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def isCommitted(root: String, topic: String, epochId: Long): Boolean =
-    read(root, topic).exists(_.isCommitted(epochId))
+  def isCommitted(root: String, topic: String, writer: String, epochId: Long): Boolean =
+    read(root, topic).exists(_.isCommitted(writer, epochId))
+
+  /**
+   * Committed marks a publisher must base a NEW ledger on: every queue file
+   * already on disk is adopted at its current complete-line prefix, so the
+   * first managed epoch never shadows (and its successors never truncate)
+   * raw data in queues that epoch didn't happen to touch. O(existing
+   * queues) driver-side scan, paid once per topic adoption.
+   */
+  def adoptionState(root: String, topic: String): Map[Int, (Long, Long)] =
+    TopicLog.listQueues(root, topic)
+      .map(q => q -> TopicLog.sizeInfo(root, topic, q)).toMap
 
   /** Truncate a queue log back to its committed byte length — the repair
     * step that discards an uncommitted tail before a replay re-appends. */

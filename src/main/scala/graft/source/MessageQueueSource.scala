@@ -91,7 +91,7 @@ class MessageQueueTable(opts: GraftOptions) extends Table
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new graft.sink.MessageQueueWriteBuilder(opts, info.schema())
+    new graft.sink.MessageQueueWriteBuilder(opts, info.schema(), info.queryId())
 }
 
 /**

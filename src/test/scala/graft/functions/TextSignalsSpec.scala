@@ -32,7 +32,16 @@ class TextSignalsSpec extends SparkSpec {
       "UPPER lower MiXeD 42",
       "中文文本带一些 ascii words the",
       "a  b   c    d", // runs of spaces
-      "word"
+      "word",
+      // whitespace-edge cases: Spark trim() strips spaces ONLY and split()
+      // keeps leading/trailing empty tokens — phantom-token territory
+      "word\n",
+      "\tword",
+      "\t",
+      " \t leading space then tab",
+      "tab\tseparated\ttokens\n",
+      "emoji 😀 and 🚀go", // surrogate pairs
+      "😀" // emoji only
     ).toDF("text")
   }
 

@@ -96,6 +96,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).intersect(Set(3L, 5L)).nonEmpty })
   }
 
+  test("simhash128: sub-gram-width docs are dropped, not an all-pairs hamming-0 clique") {
+    import spark.implicits._
+    // 50 tiny docs that all hash to [0,0] plus one real near-dup pair
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((0 until 50).map(i => (i.toLong, "ok")) ++
+      Seq((100L, base), (101L, base))).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups128(docs, maxHamming = 14, rotations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L))) // no tiny-doc clique (would be 1225 pairs)
+  }
+
   test("simhash128 candidate volume grows ~linearly with corpus size") {
     // sum over band_key of c*(c-1)/2 IS the band-join output size — the
     // cost the round-5 8-bit-band pigeonhole blew up quadratically. With

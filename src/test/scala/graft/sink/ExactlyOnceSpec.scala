@@ -145,12 +145,56 @@ class ExactlyOnceSpec extends SparkSpec {
 
   test("ledger publish is atomic and round-trips state") {
     val root = Files.createTempDirectory("graft-eo-led").toString
-    val st = EpochLedger.State(7L, Map(0 -> (10L, 100L), 3 -> (2L, 20L)))
+    val st = EpochLedger.State("query id with spaces", 7L,
+      Map(0 -> (10L, 100L), 3 -> (2L, 20L)))
     EpochLedger.publish(root, "t", st)
     assert(EpochLedger.read(root, "t") === Some(st))
-    assert(EpochLedger.isCommitted(root, "t", 7L))
-    assert(!EpochLedger.isCommitted(root, "t", 8L))
+    assert(EpochLedger.isCommitted(root, "t", "query id with spaces", 7L))
+    assert(!EpochLedger.isCommitted(root, "t", "query id with spaces", 8L))
+    assert(!EpochLedger.isCommitted(root, "t", "someone else", 7L)) // identity-scoped
     assert(!Files.exists(EpochLedger.file(root, "t").resolveSibling("._epochs.tmp")))
+  }
+
+  test("a new writer's restarted epoch numbers are not mistaken for replays") {
+    val root = Files.createTempDirectory("graft-eo-wid").toString
+    def epochAs(writer: String, id: Long, lines: Seq[String]): Unit = {
+      val opts = GraftOptions.parse(Map(
+        "topic" -> "eo", "consumerGroup" -> "g", "rootDir" -> root))
+      val w = new QueueDataWriter(opts, bodySchema, 0, id, writer)
+      lines.foreach(l => w.write(row(l)))
+      val msg = w.commit()
+      new MessageQueueStreamingWrite(opts, bodySchema, writer).commit(id, Array(msg))
+    }
+    // writer A commits epochs 0..2
+    epochAs("query-A", 0, Seq("a0"))
+    epochAs("query-A", 1, Seq("a1"))
+    epochAs("query-A", 2, Seq("a2"))
+    // a NEW query (fresh checkpoint) restarts at epoch 0 with NEW data —
+    // it must append, not be skipped as a replay of A's epoch 0
+    epochAs("query-B", 0, Seq("b0"))
+    assert(bodies(root) === Seq("a0", "a1", "a2", "b0"))
+    // and B's own replay of ITS epoch 0 still appends nothing
+    epochAs("query-B", 0, Seq("b0"))
+    assert(bodies(root) === Seq("a0", "a1", "a2", "b0"))
+  }
+
+  test("first managed epoch adopts raw data in queues it does not touch") {
+    val root = Files.createTempDirectory("graft-eo-adopt").toString
+    // raw data in queues 0 and 2
+    TopicLog.append(root, "eo", 0, Iterator(
+      graft.source.Message(1L, "k", "t", Map.empty, "raw-q0")))
+    TopicLog.append(root, "eo", 2, Iterator(
+      graft.source.Message(1L, "k", "t", Map.empty, "raw-q2")))
+    // first managed epoch only writes queue 0
+    epoch(root, 0, Seq("managed-q0"))
+    // queue 2's raw line must stay visible...
+    assert(bodies(root, "eo", 2) === Seq("raw-q2"))
+    assert(bodies(root, "eo", 0) === Seq("raw-q0", "managed-q0"))
+    // ...and a later epoch touching queue 2 must append, not truncate it
+    val w = writer(root, 2, 1)
+    w.write(row("managed-q2"))
+    streamingWrite(root).commit(1, Array(w.commit()))
+    assert(bodies(root, "eo", 2) === Seq("raw-q2", "managed-q2"))
   }
 
   test("real writeStream to graft-mq sink is exactly-once across a restart") {
