@@ -51,6 +51,9 @@ object SparkEntry {
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
     "decontaminate" -> (CorpusPipeline.corpusDecontaminate _),
+    "text_repetition" -> (TextAnalysis.textRepetition _),
+    "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
+    "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -311,6 +314,64 @@ object SparkEntry {
         |SELECT h.doc_id, count(*) AS shared_grams
         |FROM hits h JOIN bench b USING (g)
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "text_repetition" ->
+      raw"""WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        | FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS big
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |bgc AS (SELECT doc_id, big, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bgs AS (SELECT doc_id, max(c) AS topb FROM bgc GROUP BY 1)
+        |SELECT t.doc_id,
+        | len(toks)::BIGINT AS n_tokens,
+        | round(1.0 - n_distinct::DOUBLE / nullif(len(toks), 0), 4) AS dup_word_frac,
+        | round(top::DOUBLE / nullif(len(toks), 0), 4) AS top_word_frac,
+        | round(topb::DOUBLE / nullif(len(toks) - 1, 0), 4) AS top_bigram_frac
+        |FROM t LEFT JOIN ws ON ws.doc_id = t.doc_id LEFT JOIN bgs ON bgs.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH t0 AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, lang,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.3
+        |    + coalesce(alpha_ratio, 0.0) * 0.4
+        |    + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality
+        | FROM t0),
+        |h AS (SELECT lang, quality, count(*) AS c FROM t GROUP BY 1, 2),
+        |k AS (SELECT lang, quality FROM (
+        | SELECT lang, quality,
+        |  coalesce(sum(c) OVER (PARTITION BY lang ORDER BY quality DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gt,
+        |  sum(c) OVER (PARTITION BY lang) AS tot
+        | FROM h) WHERE gt * 2 < tot)
+        |SELECT t.doc_id, t.lang, t.quality FROM t JOIN k USING (lang, quality)
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      raw"""WITH t AS (
+        | SELECT doc_id, source,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+        | FROM t)
+        |SELECT doc_id, source, n_tokens, prev // 2048 AS seq_id, prev % 2048 AS seq_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         | CASE WHEN length(trim(text)) = 0 THEN 0

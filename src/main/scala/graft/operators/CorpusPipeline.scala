@@ -97,4 +97,79 @@ object CorpusPipeline {
       docs.filter(col("doc_id") % 97 === 0))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * Per-language median quality gate: keep every document whose (4-dp
+   * rounded) quality value lies in the top half of its language BY VALUE —
+   * a value v survives iff fewer than half the language's docs score
+   * strictly above v. Value-threshold (not rank-threshold) semantics make
+   * the kept set a pure function of the quality histogram, so the decision
+   * needs NO per-language global sort of documents: the histogram is at
+   * most 10001 distinct 4-dp values per language regardless of corpus
+   * size, its cumulative window is driver-trivial, and the verdict
+   * broadcasts back onto the scan as a semi-join. The same shape computes
+   * any quantile cut (p90 boilerplate trim, p99 spam cut) at 100 TB for
+   * the price of one histogram aggregate.
+   */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.docQuality(docs)
+    val hist = q.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
+    val byQualityDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality").desc)
+    val strictlyAbove = coalesce(
+      sum("c").over(byQualityDesc.rowsBetween(Long.MinValue, -1)), lit(0L))
+    val langTotal = sum("c").over(
+      org.apache.spark.sql.expressions.Window.partitionBy("lang"))
+    val keepValues = hist
+      .select(col("lang"), col("quality"),
+        strictlyAbove.as("gt"), langTotal.as("tot"))
+      .filter(col("gt") * 2 < col("tot"))
+      .select("lang", "quality")
+    q.join(broadcast(keepValues), Seq("lang", "quality"), "left_semi")
+      .select("doc_id", "lang", "quality")
+  }
+
+  def corpusQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilter(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /**
+   * Contiguous token-budget packing: within each source stratum in doc_id
+   * order, documents fill training sequences of `budget` tokens; a doc
+   * belongs to the sequence where its first token lands (seq_id =
+   * exclusive-running-token-count DIV budget). The naive formulation is
+   * one window per source — a full per-source sort, dead at 100 TB. This
+   * one is two-pass: (1) per-(source, shard) token totals (shard = doc_id
+   * DIV `shardDocs`, monotone in doc_id, so shard order == doc order),
+   * cumulated over the SHARD table (corpus/shardDocs rows) into per-shard
+   * base offsets; (2) the running sum restarts inside each bounded shard
+   * partition and adds the broadcast base. Window partitions never exceed
+   * `shardDocs` rows however large the corpus; tune shardDocs so the
+   * shard table stays broadcastable (corpus/1e5 at 100 TB).
+   */
+  def packSequences(docs: DataFrame, budget: Int = 2048,
+      shardDocs: Int = 4096): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextSignals.signals(col("text"))
+          .getField("ws_tokens").cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id DIV $shardDocs"))
+    val shardTotals = d.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("shard")
+    val base = shardTotals.select(col("source"), col("shard"),
+      coalesce(sum("shard_tokens").over(byShard.rowsBetween(Long.MinValue, -1)),
+        lit(0L)).as("base"))
+    val inShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "shard").orderBy("doc_id")
+    d.join(broadcast(base), Seq("source", "shard"))
+      .withColumn("prev", col("base") +
+        coalesce(sum("n_tokens").over(inShard.rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"prev DIV $budget").as("seq_id"),
+        (col("prev") % budget).as("seq_offset"))
+  }
+
+  def corpusPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -89,6 +89,61 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  // ---- repetition signals (the Gopher/MassiveText repetition filters:
+  // duplicate-word fraction, top-word share, top-bigram share) ----
+
+  /** Longest run length in a sorted array == max element multiplicity.
+    * A single fold over the array (no explode, no per-doc groupBy, no
+    * shuffle): at 100 TB the repetition signals stay inside the scan
+    * stage like every other text_* signal. */
+  private def maxRunSorted(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Consecutive-token word bigrams "a b". */
+  private def wordBigrams(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /**
+   * Per-document repetition profile: fraction of tokens that are repeats
+   * (1 - distinct/total), most-frequent-word share, most-frequent-bigram
+   * share. High values flag boilerplate/spam documents that the quality
+   * score alone misses. NULL where undefined (empty text; single-token
+   * docs have no bigram).
+   */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        tokenCount(col("text")).as("n"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n"),
+            4)).as("dup_word_frac"),
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            maxRunSorted(array_sort(col("toks"))).cast("double") / col("n"),
+            4)).as("top_word_frac"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            maxRunSorted(array_sort(wordBigrams(col("toks")))).cast("double")
+              / (col("n") - 1),
+            4)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
   // ---- query entries (oracle-checked) ----
   //
   // All four entries project from graft.functions.TextSignals — ONE
@@ -137,6 +192,12 @@ object TextAnalysis {
       ratioOf(col("sig.alpha"), col("n_chars")).as("alpha_ratio"),
       col("sig.stop_en").cast("long").as("stopword_hits"))
       .orderBy(col("doc_id"))
+
+  /** (doc_id, lang, quality) per document — shared input of
+    * [[CorpusPipeline.qualityFilter]]. */
+  def docQuality(docs: DataFrame): DataFrame =
+    withSignals(docs).select(col("doc_id"), col("lang"),
+      signalQuality(col("sig"), col("n_chars")).as("quality"))
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     withSignals(Tables.documents(spark, dir)).select(

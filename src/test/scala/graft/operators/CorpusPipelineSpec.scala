@@ -52,6 +52,50 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(flagged(2L) > 0)
   }
 
+  test("quality_filter keeps exactly the top-half-by-value per language") {
+    val q = TextAnalysis.docQuality(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // expected keep set recomputed naively: value v survives iff fewer than
+    // half the language's docs score strictly above v
+    val expected = q.groupBy(_._2).flatMap { case (_, rows) =>
+      val tot = rows.length
+      rows.toSeq.filter { case (_, _, v) => rows.count(_._3 > v) * 2 < tot }
+    }.map(_._1).toSet
+    val kept = CorpusPipeline.qualityFilter(docs).collect().map(_.getLong(0)).toSet
+    assert(kept === expected)
+    // value-threshold semantics: every kept quality >= every dropped quality
+    // within a language, and the kept half is at least half the corpus
+    q.groupBy(_._2).foreach { case (lang, rows) =>
+      val (in, out) = rows.partition(r => kept(r._1))
+      assert(in.nonEmpty)
+      out.foreach(o => assert(in.forall(_._3 >= o._3), s"$lang kept < dropped"))
+      if (out.nonEmpty) assert(in.length * 2 >= rows.length)
+    }
+  }
+
+  test("pack_sequences matches the naive per-source running sum and is shard-invariant") {
+    val out = CorpusPipeline.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // naive single-pass recomputation from the same token counts
+    val naive = out.groupBy(_._2).flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(_._1).map { case (id, src, n, _, _) =>
+        val prev = cum; cum += n
+        (id, src, n, prev / 2048, prev % 2048)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq === naive)
+    out.foreach { case (_, _, _, seqId, off) =>
+      assert(off >= 0 && off < 2048 && seqId >= 0)
+    }
+    // the two-pass shard decomposition is invariant to the shard size
+    val odd = CorpusPipeline.packSequences(docs, shardDocs = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(odd.toSeq === out.toSeq)
+  }
+
   test("decontaminate plan broadcasts the benchmark side (no exploded-corpus shuffle)") {
     val docs97 = docs.filter(col("doc_id") % 97 =!= 0)
     val bench97 = docs.filter(col("doc_id") % 97 === 0)
