@@ -22,7 +22,8 @@ object PlanDump {
       "dedup_simhash", "ngram_jaccard", "ngram_jaccard_inverted", "ann_topk",
       "ann_lsh", "ann_ivf", "embed_neardup", "skew_join_salted", "bucketed_join",
       "multimodal_frames", "text_stats", "mq_roundtrip_events",
-      "corpus_sample", "vocab_topk", "decontaminate")
+      "corpus_sample", "vocab_topk", "decontaminate",
+      "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 6)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -37,7 +38,11 @@ object PlanDump {
     sb.append("(both sides pre-bucketed); `multimodal_frames` must be all-narrow\n")
     sb.append("(no Exchange at all); `ngram_jaccard_inverted` joins df-capped\n")
     sb.append("postings on shingle hash; `dedup_simhash` self-joins 32-bit band\n")
-    sb.append("keys of the 128-bit char-gram SimHash.\n")
+    sb.append("keys of the 128-bit char-gram SimHash. `text_repetition` must be\n")
+    sb.append("scan-stage (fold kernel, no explode/groupBy exchange);\n")
+    sb.append("`quality_filter` re-attaches the histogram verdict via a\n")
+    sb.append("BroadcastHashJoin semi-join; `pack_sequences` windows only inside\n")
+    sb.append("bounded (source, shard) partitions with broadcast base offsets.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

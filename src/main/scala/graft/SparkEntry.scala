@@ -64,6 +64,7 @@ object SparkEntry {
     "corpus_clean" -> (Dedup.corpusClean _),
     "ann_ivf" -> (Similarity.annIvf _), // exhaustive nprobe: must equal brute force
     "embed_neardup_exact" -> (Similarity.embedNearDupExact _),
+    "semantic_dedup" -> (Similarity.semanticDedupQuery _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
     // rows-only WITH an eager in-query recall assertion against the exact
@@ -498,6 +499,20 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |p AS (SELECT vec_a, vec_b FROM s WHERE sim >= 0.4),
+        |edges AS (SELECT vec_a AS a, vec_b AS b FROM p UNION SELECT vec_b, vec_a FROM p),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT r2.id, ed.b FROM reach r2 JOIN edges ed ON ed.a = r2.r)
+        |SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "multimodal_pipeline" ->
       """SELECT doc_id AS media_id, 'image' AS modality,
         | (doc_id % 64 + 16)::INT AS width, (doc_id % 48 + 16)::INT AS height,

@@ -399,12 +399,15 @@ object Dedup {
   // ---- cluster + keep decisions ----
 
   /**
-   * Connected components over near-dup pairs via min-label propagation:
-   * every doc's cluster id converges to the smallest doc id reachable from
-   * it. Join-per-iteration with localCheckpoint to cut lineage; iteration
-   * count is bounded by cluster diameter (near-dup clusters are shallow —
-   * dup chains longer than `maxIter` hops are pathological).
-   * Returns (doc_id, cluster_id) for every doc that appears in a pair.
+   * Connected components over near-dup pairs via min-label propagation
+   * with pointer jumping: each iteration takes the min label over
+   * neighbors, then compresses label -> label-of-label (path halving), so
+   * convergence is O(log diameter) iterations instead of O(diameter) —
+   * text near-dup clusters are shallow, but semantic-similarity graphs
+   * ([[Similarity.semanticDedup]]) form long chains that plain propagation
+   * would walk hop by hop. Join-per-iteration with localCheckpoint to cut
+   * lineage. Returns (doc_id, cluster_id = smallest reachable id) for
+   * every doc that appears in a pair.
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -422,11 +425,20 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val stepped = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .select(col("id"), labels("label"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("mid"))
+      // pointer jump: every label value is itself an id in the table (labels
+      // only ever shrink toward reachable ids), so compose label := label's
+      // label. Invariant-preserving — the fixpoint (min reachable id) is
+      // unchanged; only the hop count to reach it halves.
+      val compressed = stepped.alias("a")
+        .join(stepped.select(col("id").as("jid"), col("mid").as("jlabel")).alias("b"),
+          col("a.mid") === col("jid"), "left")
+        .select(col("a.id").as("id"), col("a.label").as("label"),
+          least(col("a.mid"), coalesce(col("jlabel"), col("a.mid"))).as("next"))
         .localCheckpoint()
-      changed = stepped.filter(col("next") < col("label")).count()
-      labels = stepped.select(col("id"), col("next").as("label"))
+      changed = compressed.filter(col("next") < col("label")).count()
+      labels = compressed.select(col("id"), col("next").as("label"))
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

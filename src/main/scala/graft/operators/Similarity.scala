@@ -335,6 +335,35 @@ object Similarity {
     approx.orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /**
+   * SemDeDup-style semantic deduplication: cosine near-dup pairs →
+   * connected components → keep each cluster's smallest vec_id. The pair
+   * stage here is the exact self-join (ground truth, oracle-checkable via
+   * a recursive transitive closure); at corpus scale swap in the
+   * LSH-bucketed [[embeddingNearDups]] — the clustering downstream is
+   * identical. Clustering uses [[Dedup.nearDupClusters]]' pointer-jumping
+   * propagation: semantic graphs chain (A~B~C without A~C), so component
+   * diameters are far deeper than text near-dup clusters and hop-by-hop
+   * propagation would need O(diameter) iterations.
+   */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      maxIter: Int = 20): DataFrame =
+    Dedup.nearDupKeepDecisions(
+      embeddingNearDupsExact(corpus, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      maxIter)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+
+  /** Query entry (oracle-checked): keep decisions over the exact cosine
+    * >= 0.4 pair graph. 0.4 keeps the Gaussian test graph sparse (268
+    * components at sf0.1) yet chained — max component 75 nodes at 17
+    * propagation hops, which pointer jumping closes in ~6 iterations. */
+  def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    semanticDedup(emb, threshold = 0.4).orderBy(col("vec_id"))
+  }
+
   /** Pair-set sibling of [[assertRecall]] on (vec_a, vec_b) keys. */
   private def assertPairRecall(
       approx: DataFrame, exact: DataFrame, minRecall: Double, what: String): Unit = {

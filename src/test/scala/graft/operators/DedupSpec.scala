@@ -162,6 +162,18 @@ class DedupSpec extends SparkSpec {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters: pointer jumping closes a 64-hop chain within maxIter=10") {
+    import spark.implicits._
+    // a path graph of diameter 64: hop-by-hop propagation needs 64
+    // iterations; with path halving the worst label reaches the root
+    // in O(log) steps — 10 iterations must suffice
+    val pairs = (1L until 65L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === 65)
+    assert(clusters.values.forall(_ === 1L), s"unconverged labels: ${clusters.filter(_._2 != 1L)}")
+  }
+
   test("nearDupKeepDecisions keeps exactly the cluster minimum") {
     import spark.implicits._
     val pairs = Seq((5L, 9L), (9L, 7L)).toDF("doc_a", "doc_b")

@@ -157,6 +157,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keep decisions are consistent with the exact pair graph") {
+    val out = Similarity.semanticDedupQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.nonEmpty)
+    // keep iff the doc labels its own cluster, and cluster ids are members
+    out.foreach { case (id, (cl, keep)) =>
+      assert(cl <= id)
+      assert(keep === (cl === id))
+      assert(out.contains(cl) && out(cl)._1 === cl) // label is a cluster root
+    }
+    // both endpoints of every exact pair share a cluster
+    val pairs = Similarity.embedNearDupExact(spark, sfDir)
+      .filter(col("sim") >= 0.4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._1 === out(b)._1, s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("LSH and near-dup plans contain no cartesian product") {
     val probes = embeddings.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
