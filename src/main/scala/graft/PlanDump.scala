@@ -23,7 +23,8 @@ object PlanDump {
       "ann_lsh", "ann_ivf", "embed_neardup", "skew_join_salted", "bucketed_join",
       "multimodal_frames", "text_stats", "mq_roundtrip_events",
       "corpus_sample", "vocab_topk", "decontaminate",
-      "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup")
+      "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup",
+      "domain_mix")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 6)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

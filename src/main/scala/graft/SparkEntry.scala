@@ -54,6 +54,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
+    "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -360,6 +361,22 @@ object SparkEntry {
         | FROM h) WHERE gt * 2 < tot)
         |SELECT t.doc_id, t.lang, t.quality FROM t JOIN k USING (lang, quality)
         |ORDER BY doc_id""".stripMargin,
+    "domain_mix" ->
+      raw"""WITH t AS (
+        | SELECT doc_id, source,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+        | FROM documents),
+        |tot AS (
+        | SELECT source, sum(n_tokens)::DOUBLE AS t,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3.0 ELSE 1.0 END AS w
+        | FROM t GROUP BY source),
+        |r AS (SELECT source,
+        |  floor(1000.0 * w * (SELECT min(t / w) FROM tot) / t)::BIGINT AS rate_pm FROM tot)
+        |SELECT d.doc_id, d.source, (d.doc_id * 2654435761) % 1000 AS bucket, r.rate_pm
+        |FROM t d JOIN r USING (source)
+        |WHERE (d.doc_id * 2654435761) % 1000 < r.rate_pm
+        |ORDER BY d.doc_id""".stripMargin,
     "pack_sequences" ->
       raw"""WITH t AS (
         | SELECT doc_id, source,

@@ -172,4 +172,50 @@ object CorpusPipeline {
 
   def corpusPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /**
+   * Corpus mixing to target domain shares: given per-source weights, the
+   * achievable corpus is capped by the scarcest source (C = min_s
+   * tokens_s / share_s), and every source keeps rate_s = share_s * C /
+   * tokens_s of its tokens — the binding source keeps everything, the
+   * over-represented ones downsample. Rates quantize to per-mille and
+   * select docs through the same deterministic [[sampleBucket]] hash as
+   * [[stratifiedSample]], so the mixed corpus is re-derivable from raw
+   * data + config alone. share_s cancels out of rate_s as w_s *
+   * min_u(t_u/w_u) / t_s, so no weight normalization is needed. The token
+   * totals are one map-side-combined aggregate bounded by source
+   * cardinality; rates broadcast back onto the scan — at 100 TB this is
+   * one pass + a scan-stage filter.
+   */
+  def domainMix(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextSignals.signals(col("text"))
+        .getField("ws_tokens").cast("long").as("n_tokens"))
+    val wcol = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val totals = d.groupBy("source").agg(sum("n_tokens").as("t"))
+      .withColumn("w", wcol)
+    // the totals table has one row per source — a window over it is
+    // driver-trivial at any corpus size
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = totals
+      .withColumn("m", min(col("t") / col("w")).over(all))
+      .select(col("source"),
+        floor(lit(1000.0) * col("w") * col("m") / col("t"))
+          .cast("long").as("rate_pm"))
+    d.join(broadcast(rates), "source")
+      .withColumn("bucket", sampleBucket(col("doc_id")))
+      .filter(col("bucket") < col("rate_pm"))
+      .select("doc_id", "source", "bucket", "rate_pm")
+  }
+
+  /** Query entry: src0-src4 weighted 3x over the rest — they become the
+    * binding sources (rate 1000), the others downsample to ~1/3. */
+  def corpusDomainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMix(Tables.documents(spark, dir),
+      (0 to 4).map(i => s"src$i" -> 3.0).toMap)
+      .orderBy(col("doc_id"))
 }

@@ -96,6 +96,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(odd.toSeq === out.toSeq)
   }
 
+  test("domain_mix: binding source keeps everything, achieved shares track targets") {
+    val out = CorpusPipeline.corpusDomainMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val rates = out.map(r => r._2 -> r._4).toMap
+    // at least one source is binding (keeps all 1000 buckets), none exceeds
+    assert(rates.values.max === 1000L)
+    assert(rates.values.forall(r => r > 0 && r <= 1000))
+    // heavy sources (3x weight) must keep a higher rate than every light one
+    val (heavy, light) = rates.partition { case (s, _) =>
+      (0 to 4).map(i => s"src$i").contains(s)
+    }
+    assert(heavy.values.min > light.values.max)
+    // every kept doc's bucket respects its source rate
+    out.foreach { case (_, _, bucket, rate) => assert(bucket < rate) }
+    // deterministic: same config, same corpus -> same kept set
+    val again = CorpusPipeline.corpusDomainMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("decontaminate plan broadcasts the benchmark side (no exploded-corpus shuffle)") {
     val docs97 = docs.filter(col("doc_id") % 97 =!= 0)
     val bench97 = docs.filter(col("doc_id") % 97 === 0)
