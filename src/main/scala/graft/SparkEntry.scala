@@ -55,6 +55,7 @@ object SparkEntry {
     "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
     "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
+    "gram_coverage" -> (Dedup.gramCoverageQuery _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -361,6 +362,16 @@ object SparkEntry {
         | FROM h) WHERE gt * 2 < tot)
         |SELECT t.doc_id, t.lang, t.quality FROM t JOIN k USING (lang, quality)
         |ORDER BY doc_id""".stripMargin,
+    "gram_coverage" ->
+      raw"""WITH norm AS (
+        | SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS i FROM norm),
+        |grams AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS g FROM pos),
+        |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        | round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_gram_frac
+        |FROM grams JOIN dfreq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "domain_mix" ->
       raw"""WITH t AS (
         | SELECT doc_id, source,

@@ -396,6 +396,34 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
 
+  /**
+   * Sub-document duplication coverage: for each doc, the fraction of its
+   * distinct char n-grams that also occur in at least one other document —
+   * the RefinedWeb-style signal that catches boilerplate shared across
+   * documents that whole-doc dedup misses. Three shuffles, all bounded by
+   * corpus gram count (explode → df aggregate → join back → per-doc
+   * aggregate), never pairwise: cost scales with corpus size, not
+   * corpus². Grams compare by 64-bit avalanched FNV hash; a collision
+   * shifting a count has probability ~n²/2^64 per doc (same documented
+   * tolerance as [[CorpusPipeline.decontaminate]]).
+   */
+  def gramCoverage(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", gramN: Int = 8): DataFrame = {
+    val g = docs.select(col(idCol),
+      explode(shingleHashes(col(textCol), gramN)).as("g"))
+    val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
+    g.join(dfreq, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col(idCol), col("n_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 4)
+          .as("dup_gram_frac"))
+  }
+
+  def gramCoverageQuery(spark: SparkSession, dir: String): DataFrame =
+    gramCoverage(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   // ---- cluster + keep decisions ----
 
   /**

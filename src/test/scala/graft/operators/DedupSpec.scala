@@ -162,6 +162,22 @@ class DedupSpec extends SparkSpec {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("gramCoverage: shared text scores high, unique text scores zero") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val corpus = Seq(
+      (1L, shared), // every 8-gram of doc 1 occurs in doc 2
+      (2L, shared + " with an extra unique tail segment appended here"),
+      (3L, "zqxwvutsrqponmlkjihgfedcba entirely disjoint gibberish text block")
+    ).toDF("doc_id", "text")
+    val out = Dedup.gramCoverage(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 === 1.0) // fully covered by doc 2
+    assert(out(2L)._2 > 0.0 && out(2L)._2 < 1.0) // shared prefix, unique tail
+    assert(out(3L)._2 === 0.0) // nothing shared
+    assert(out(1L)._1 > 0)
+  }
+
   test("nearDupClusters: pointer jumping closes a 64-hop chain within maxIter=10") {
     import spark.implicits._
     // a path graph of diameter 64: hop-by-hop propagation needs 64
