@@ -412,7 +412,13 @@ object Dedup {
     val g = docs.select(col(idCol),
       explode(shingleHashes(col(textCol), gramN)).as("g"))
     val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
-    g.join(dfreq, "g")
+    // shuffle-hash hint: Catalyst's size estimate for the exploded side is
+    // the parquet FILE size, so at small SF it happily BROADCASTS the
+    // exploded corpus (the big side!) — a shape that dies at scale. The
+    // hash join on g keeps dfreq (≤ exploded side by construction) as the
+    // per-partition build side and reuses dfreq's existing hash
+    // partitioning on g.
+    g.join(dfreq.hint("shuffle_hash"), "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
