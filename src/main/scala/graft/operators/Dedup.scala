@@ -114,7 +114,10 @@ object Dedup {
     // distinct BEFORE attaching signatures: a pair colliding in k bands
     // appears k times out of the band join, and the wide sig join must only
     // see it once (ids are two longs; signatures are 64)
-    left.join(right, Seq("band", "band_hash"))
+    // shuffle-hash pin: band rows are explode-amplified (numBands x per
+    // doc) but carry the pre-explode size estimate, so the planner would
+    // happily broadcast a corpus-sized side at mid scale
+    left.join(right.hint("shuffle_hash"), Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .join(sa, "doc_a").join(sb, "doc_b")
@@ -189,7 +192,7 @@ object Dedup {
       col("band"), col("band_bits"))
     val right = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
       col("band"), col("band_bits"))
-    left.join(right, Seq("band", "band_bits"))
+    left.join(right.hint("shuffle_hash"), Seq("band", "band_bits")) // see band-join pin note
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
@@ -245,7 +248,7 @@ object Dedup {
       col("sh1").as("a1"), col("band_key"))
     val right = banded.select(col(idCol).as("doc_b"), col("sh0").as("b0"),
       col("sh1").as("b1"), col("band_key"))
-    left.join(right, Seq("band_key"))
+    left.join(right.hint("shuffle_hash"), Seq("band_key")) // see band-join pin note
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (bit_count(col("a0").bitwiseXOR(col("b0"))) +
@@ -365,10 +368,12 @@ object Dedup {
     val inv = sh.select(col(idCol), col("n_sh"), explode(col("shs")).as("s"))
     val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val pruned = inv.join(rare.select("s"), "s")
+    // postings are explode-amplified too — same shuffle-hash pin as the
+    // band joins; df-capped `rare` is the smaller (build) side
+    val pruned = inv.join(rare.select("s").hint("shuffle_hash"), "s")
     val a = pruned.select(col("s"), col(idCol).as("doc_a"), col("n_sh").as("n_a"))
     val b = pruned.select(col("s"), col(idCol).as("doc_b"), col("n_sh").as("n_b"))
-    a.join(b, "s").filter(col("doc_a") < col("doc_b"))
+    a.join(b.hint("shuffle_hash"), "s").filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",

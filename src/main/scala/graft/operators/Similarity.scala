@@ -286,9 +286,12 @@ object Similarity {
     // candidate ids first (cheap distinct on two longs), embeddings joined
     // back once per surviving pair — never shuffle vectors through the
     // bucket join or deduplicate on array columns.
+    // shuffle-hash pin: bucket rows are explode-amplified (numTables x per
+    // vector) but keep the pre-explode size estimate — unpinned, the planner
+    // broadcasts a corpus-sized side at mid scale
     val candidates = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
-      .join(buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket")),
-        Seq("table", "bucket"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket"))
+        .hint("shuffle_hash"), Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     candidates
