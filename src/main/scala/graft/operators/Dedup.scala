@@ -315,7 +315,8 @@ object Dedup {
     // distinct before the sig joins: band-collision duplicates (up to
     // numBands per pair) must not multiply the wide signature shuffle
     val candidates = bands.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
-      .join(bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash")),
+      .join(bands.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+        .hint("shuffle_hash"), // see band-join pin note in minHashNearDups
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
