@@ -490,7 +490,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
     ("graft_text_signals",
       new ExpressionInfo(classOf[TextSignalsExpr].getName, "graft_text_signals"),
-      (args: Seq[Expression]) => TextSignalsExpr(args(0))))
+      (args: Seq[Expression]) => TextSignalsExpr(args(0))),
+    ("graft_text_repetition",
+      new ExpressionInfo(classOf[TextRepetitionExpr].getName, "graft_text_repetition"),
+      (args: Seq[Expression]) => TextRepetitionExpr(args(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

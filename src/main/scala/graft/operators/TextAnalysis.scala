@@ -115,34 +115,53 @@ object TextAnalysis {
       slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat(a, lit(" "), b))
 
+  /** The shared fraction arithmetic over a (n_tokens, n_distinct, top_word,
+    * top_bigram) counts row — used by both the kernel entry and the fold
+    * spec so the published semantics live in one place. */
+  private def repetitionFracs(counted: DataFrame): DataFrame =
+    counted.select(
+      col("doc_id"),
+      col("n").cast("long").as("n_tokens"),
+      when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(round(
+          lit(1.0) - col("nd").cast("double") / col("n"), 4)).as("dup_word_frac"),
+      when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(round(
+          col("tw").cast("double") / col("n"), 4)).as("top_word_frac"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(round(
+          col("tb").cast("double") / (col("n") - 1), 4)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
   /**
    * Per-document repetition profile: fraction of tokens that are repeats
    * (1 - distinct/total), most-frequent-word share, most-frequent-bigram
    * share. High values flag boilerplate/spam documents that the quality
    * score alone misses. NULL where undefined (empty text; single-token
-   * docs have no bigram).
+   * docs have no bigram). Counts come from the one-pass
+   * [[graft.functions.TextRepetition]] kernel (the interpreted
+   * array_sort+fold formulation below remains the executable spec; the
+   * suite asserts kernel == fold on the real corpus).
    */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    repetitionFracs(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextRepetition.repetition(col("text")).as("rep"))
+      .select(col("doc_id"), col("rep.n_tokens").as("n"),
+        col("rep.n_distinct").as("nd"), col("rep.top_word").as("tw"),
+        col("rep.top_bigram").as("tb")))
+
+  /** Fold-formulation spec of [[textRepetition]] (interpreted HOF lambdas —
+    * slower; kept for the kernel parity suite). */
+  private[graft] def textRepetitionFold(spark: SparkSession, dir: String): DataFrame =
+    repetitionFracs(Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"),
         tokenCount(col("text")).as("n"))
-      .select(
-        col("doc_id"),
-        col("n").cast("long").as("n_tokens"),
-        when(col("n") === 0, lit(null).cast("double"))
-          .otherwise(round(
-            lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n"),
-            4)).as("dup_word_frac"),
-        when(col("n") === 0, lit(null).cast("double"))
-          .otherwise(round(
-            maxRunSorted(array_sort(col("toks"))).cast("double") / col("n"),
-            4)).as("top_word_frac"),
-        when(col("n") < 2, lit(null).cast("double"))
-          .otherwise(round(
-            maxRunSorted(array_sort(wordBigrams(col("toks")))).cast("double")
-              / (col("n") - 1),
-            4)).as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n"),
+        size(array_distinct(col("toks"))).as("nd"),
+        maxRunSorted(array_sort(col("toks"))).as("tw"),
+        when(col("n") < 2, lit(0))
+          .otherwise(maxRunSorted(array_sort(wordBigrams(col("toks"))))).as("tb")))
 
   // ---- query entries (oracle-checked) ----
   //

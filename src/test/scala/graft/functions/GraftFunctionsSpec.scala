@@ -136,11 +136,13 @@ class GraftFunctionsSpec extends SparkSpec {
         |  graft_shingle_hashes('the quick brown fox', 4),
         |  graft_shingle_hashes('the quick brown fox', 4)) AS n,
         |  size(graft_minhash_sig('the quick brown fox', 4, 32, 42)) AS k,
-        |  graft_text_signals('the quick brown fox').ws_tokens AS toks""".stripMargin)
+        |  graft_text_signals('the quick brown fox').ws_tokens AS toks,
+        |  graft_text_repetition('a a a b').top_word AS tw""".stripMargin)
       .collect().head
     assert(r.getInt(0) > 0)
     assert(r.getInt(1) === 32)
     assert(r.getInt(2) === 4)
+    assert(r.getInt(3) === 3)
   }
 
   test("GraftExtensions injects functions at session build") {

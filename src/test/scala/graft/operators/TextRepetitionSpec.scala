@@ -39,6 +39,28 @@ class TextRepetitionSpec extends SparkSpec {
     assert(out(4L) === ((1L, 0.0, 1.0, null)))
   }
 
+  test("one-pass kernel matches the fold-formulation spec on the real corpus") {
+    val kernel = TextAnalysis.textRepetition(spark, sfDir)
+    val fold = TextAnalysis.textRepetitionFold(spark, sfDir)
+    assert(kernel.exceptAll(fold).count() === 0)
+    assert(fold.exceptAll(kernel).count() === 0)
+  }
+
+  test("kernel handles phantom empty tokens like split does") {
+    val dir = plantedDir(Seq(
+      10L -> "\tfoo bar\n", // non-space \s edges -> phantom "" tokens
+      11L -> "\t\n", // only \s chars -> two phantom "" tokens
+      12L -> "  padded  ")) // ASCII-space edges trim clean
+    val kernel = TextAnalysis.textRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fold = TextAnalysis.textRepetitionFold(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === fold)
+    assert(kernel(10L) === 4L) // "", foo, bar, ""
+    assert(kernel(11L) === 2L)
+    assert(kernel(12L) === 1L)
+  }
+
   test("fold kernel matches explode/groupBy formulation on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"),
