@@ -470,12 +470,17 @@ object Dedup {
       // pointer jump: every label value is itself an id in the table (labels
       // only ever shrink toward reachable ids), so compose label := label's
       // label. Invariant-preserving — the fixpoint (min reachable id) is
-      // unchanged; only the hop count to reach it halves.
-      val compressed = stepped.alias("a")
-        .join(stepped.select(col("id").as("jid"), col("mid").as("jlabel")).alias("b"),
-          col("a.mid") === col("jid"), "left")
-        .select(col("a.id").as("id"), col("a.label").as("label"),
-          least(col("a.mid"), coalesce(col("jlabel"), col("a.mid"))).as("next"))
+      // unchanged; only the hop count to reach it halves. Deferred to
+      // iteration 2: shallow clusters (text near-dups, diameter <= ~3) have
+      // converged by then and never pay the extra corpus-sized label join;
+      // deep chains (semantic graphs) still close in 2 + log2(diameter).
+      val compressed = (if (iter < 2) stepped.select(col("id"), col("label"),
+          col("mid").as("next"))
+        else stepped.alias("a")
+          .join(stepped.select(col("id").as("jid"), col("mid").as("jlabel")).alias("b"),
+            col("a.mid") === col("jid"), "left")
+          .select(col("a.id").as("id"), col("a.label").as("label"),
+            least(col("a.mid"), coalesce(col("jlabel"), col("a.mid"))).as("next")))
         .localCheckpoint()
       changed = compressed.filter(col("next") < col("label")).count()
       labels = compressed.select(col("id"), col("next").as("label"))
