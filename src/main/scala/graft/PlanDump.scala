@@ -24,7 +24,7 @@ object PlanDump {
       "multimodal_frames", "text_stats", "mq_roundtrip_events",
       "corpus_sample", "vocab_topk", "decontaminate",
       "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup",
-      "domain_mix", "gram_coverage")
+      "domain_mix", "gram_coverage", "text_logprob")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 6)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

@@ -56,6 +56,7 @@ object SparkEntry {
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
     "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
     "gram_coverage" -> (Dedup.gramCoverageQuery _),
+    "text_logprob" -> (CorpusPipeline.corpusLogProb _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -362,6 +363,17 @@ object SparkEntry {
         | FROM h) WHERE gt * 2 < tot)
         |SELECT t.doc_id, t.lang, t.quality FROM t JOIN k USING (lang, quality)
         |ORDER BY doc_id""".stripMargin,
+    "text_logprob" ->
+      raw"""WITH w AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |wt AS (SELECT doc_id, tok FROM w WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS c FROM wt GROUP BY tok),
+        |t AS (SELECT sum(c)::DOUBLE AS total FROM f)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        | round(avg(ln(c::DOUBLE / (SELECT total FROM t))), 4) AS logprob
+        |FROM wt JOIN f USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "gram_coverage" ->
       raw"""WITH norm AS (
         | SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),

@@ -218,4 +218,32 @@ object CorpusPipeline {
     domainMix(Tables.documents(spark, dir),
       (0 to 4).map(i => s"src$i" -> 3.0).toMap)
       .orderBy(col("doc_id"))
+
+  /**
+   * Unigram language-model score per document: mean ln(corpus probability)
+   * of its tokens — the CCNet-style fluency signal (word-salad and spam
+   * score far below natural text against the corpus's own distribution;
+   * no external model needed). Token frequencies are a vocabulary-bounded
+   * aggregate; the corpus-total normalizer is a window over that (tiny)
+   * vocabulary table; scoring re-joins tokens to frequencies keyed by
+   * token — at 100 TB that join shuffles corpus tokens once, the same
+   * shape as [[vocabTopK]], never pairwise. Every corpus token is in the
+   * vocabulary by construction, so no smoothing term is needed.
+   */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val scored = freq.withColumn("logp",
+      log(col("c").cast("double") / sum("c").over(all).cast("double")))
+    toks.join(scored.select("tok", "logp").hint("shuffle_hash"), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg("logp"), 4).as("logprob"))
+  }
+
+  def corpusLogProb(spark: SparkSession, dir: String): DataFrame =
+    unigramLogProb(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -117,6 +117,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("unigramLogProb: repeated-common-token docs score above rare-token docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the the the the"), // only the most common token
+      (2L, "the and rare the"), // mixed
+      (3L, "zzz qqq") // tokens appearing once in the corpus
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.unigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 4L)
+    // "the" has corpus prob 6/10, singles 1/10: strictly ordered means
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+    // doc 1: avg ln(6/10); doc 3: avg ln(1/10)
+    assert(math.abs(out(1L)._2 - math.round(math.log(0.6) * 10000.0) / 10000.0) < 1e-9)
+    assert(math.abs(out(3L)._2 - math.round(math.log(0.1) * 10000.0) / 10000.0) < 1e-9)
+  }
+
   test("decontaminate plan broadcasts the benchmark side (no exploded-corpus shuffle)") {
     val docs97 = docs.filter(col("doc_id") % 97 =!= 0)
     val bench97 = docs.filter(col("doc_id") % 97 === 0)
