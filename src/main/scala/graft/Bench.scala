@@ -9,7 +9,8 @@ object Bench {
     * 3-6x. They run LAST, and StateStore providers are unloaded after each
     * so they only ever pay for themselves. */
   private val streamingEntries =
-    Set("events_windowed_stream", "events_dedup_stream", "sessionize_stream")
+    Set("events_windowed_stream", "events_dedup_stream", "sessionize_stream",
+      "corpus_quality_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

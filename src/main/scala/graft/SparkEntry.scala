@@ -35,6 +35,7 @@ object SparkEntry {
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
+    "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
     "bucketed_join" -> (Bucketed.bucketedJoinQuery _),
     "asof_join_events" -> (AsOfJoin.asofJoinEvents _),
@@ -424,6 +425,23 @@ object SparkEntry {
         |      ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |           t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stopword_hits
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical arithmetic to text_quality — the streaming entry must land
+    // on the batch answer exactly (same docs through the MQ source)
+    "corpus_quality_stream" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits
+        | FROM documents)
+        |SELECT doc_id,
+        | round(least(n_tokens / 100.0, 1.0) * 0.3
+        |   + coalesce(alpha_ratio, 0.0) * 0.4
+        |   + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -53,4 +53,48 @@ object MqRoundtrip {
       element_at(col("f"), 6).as("props"))
       .orderBy(col("event_id"))
   }
+
+  /**
+   * Streaming corpus scoring through the connector: documents → sink →
+   * MICRO-BATCH DSv2 source (Trigger.AvailableNow) → quality kernel per
+   * micro-batch → memory sink. The oracle is the batch text_quality SQL,
+   * so the compare proves the streaming read path (splits, offsets,
+   * micro-batch planning) composes with the LLM-pipeline kernels and
+   * produces the identical corpus — the "score documents as they arrive"
+   * deployment of the reference connector. Body fields ride a U+0001
+   * delimiter (document text contains no control chars by the corpus
+   * contract; the wire layer escapes \t and \n regardless).
+   */
+  def corpusQualityStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-mq-docs").toString
+    val topic = "docs_stream"
+    TopicLog.deleteTopic(root, topic)
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val conv = new RowMessageConverter(
+      docs.schema, fieldDelimiter = "\u0001",
+      keyColumns = Seq("doc_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      docs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    val name = "docs_quality_" + math.abs(dir.hashCode)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "quality")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "\u0001").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("text"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.TextSignals.signals(col("text")).as("sig"))
+      .select(col("doc_id"),
+        TextAnalysis.signalQuality(col("sig"), col("n_chars")).as("quality"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,19 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{MqRoundtrip, TextAnalysis}
+
+/** Streaming-vs-batch parity of the corpus quality pass: the same documents
+  * scored through the MQ micro-batch source must land on the batch kernel's
+  * answer row for row. */
+class CorpusQualityStreamSpec extends SparkSpec {
+
+  test("streamed quality scores equal the batch kernel's") {
+    val streamed = MqRoundtrip.corpusQualityStream(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = TextAnalysis.textQuality(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
