@@ -213,10 +213,14 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** (doc_id, lang, quality) per document — shared input of
-    * [[CorpusPipeline.qualityFilter]]. */
+    * [[CorpusPipeline.qualityFilter]]. The coalesce is value-neutral
+    * (every term of the score is already null-guarded) but marks the
+    * column non-nullable: without it the semi-join on quality infers an
+    * IsNotNull filter that gets pushed below the projection and
+    * re-evaluates the whole signals kernel a second time per row. */
   def docQuality(docs: DataFrame): DataFrame =
     withSignals(docs).select(col("doc_id"), col("lang"),
-      signalQuality(col("sig"), col("n_chars")).as("quality"))
+      coalesce(signalQuality(col("sig"), col("n_chars")), lit(0.0)).as("quality"))
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     withSignals(Tables.documents(spark, dir)).select(
