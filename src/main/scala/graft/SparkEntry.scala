@@ -36,6 +36,7 @@ object SparkEntry {
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
+    "decontaminate_stream" -> (MqRoundtrip.decontaminateStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
     "bucketed_join" -> (Bucketed.bucketedJoinQuery _),
     "asof_join_events" -> (AsOfJoin.asofJoinEvents _),
@@ -425,6 +426,20 @@ object SparkEntry {
         |      ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |           t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stopword_hits
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical semantics to decontaminate — the streaming scan-stage
+    // kernel must flag exactly the docs the batch broadcast join flags
+    "decontaminate_stream" ->
+      raw"""WITH norm AS (
+        | SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, substring(t, i, 8) AS g
+        | FROM norm, unnest(generate_series(1, length(t) - 7)) AS u(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        |SELECT h.doc_id, count(*) AS shared_grams
+        |FROM hits h JOIN bench b USING (g)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     // identical arithmetic to text_quality — the streaming entry must land
     // on the batch answer exactly (same docs through the MQ source)
     "corpus_quality_stream" ->

@@ -97,4 +97,54 @@ object MqRoundtrip {
     q.awaitTermination()
     spark.table(name).orderBy(col("doc_id"))
   }
+
+  /**
+   * Streaming benchmark decontamination: corpus documents arriving through
+   * the MQ micro-batch source are flagged against the eval set WITHOUT any
+   * stream-side state or join — the benchmark's distinct shingle hashes
+   * (eval sets are tiny by construction, same driver-sized-broadcast
+   * contract as [[CorpusPipeline.decontaminate]]'s build side) ride into
+   * the plan as a sorted literal array, and the per-row sorted-intersect
+   * kernel counts shared 8-grams inside the scan stage. Stateless Append
+   * mode: the right shape for contamination screening on an ingest stream,
+   * where a stateful aggregation would pay a state store for nothing.
+   * Oracle = the batch decontaminate SQL (same corpus/benchmark split).
+   */
+  def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-mq-decon").toString
+    val topic = "docs_decon"
+    TopicLog.deleteTopic(root, topic)
+
+    val all = Tables.documents(spark, dir)
+    val corpus = all.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("text"))
+    val conv = new RowMessageConverter(
+      corpus.schema, fieldDelimiter = "\u0001",
+      keyColumns = Seq("doc_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      corpus, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    val benchShingles: Array[Long] = all.filter(col("doc_id") % 97 === 0)
+      .select(explode(Dedup.shingleHashes(col("text"), 8)).as("sh"))
+      .distinct().orderBy(col("sh"))
+      .collect().map(_.getLong(0)) // eval-set-sized: driver-bounded by contract
+
+    val name = "docs_decon_" + math.abs(dir.hashCode)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "decon")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "\u0001").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("text"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.sortedIntersectSize(
+          Dedup.shingleHashes(col("text"), 8), lit(benchShingles))
+          .cast("long").as("shared_grams"))
+      .filter(col("shared_grams") > 0)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("doc_id"))
+  }
 }

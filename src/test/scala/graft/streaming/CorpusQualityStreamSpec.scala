@@ -16,4 +16,17 @@ class CorpusQualityStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streamed decontamination flags equal the batch broadcast join's") {
+    import org.apache.spark.sql.functions.col
+    val streamed = MqRoundtrip.decontaminateStream(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.operators.Tables.documents(spark, sfDir)
+    val batch = graft.operators.CorpusPipeline.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
