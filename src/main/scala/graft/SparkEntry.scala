@@ -397,7 +397,9 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3.0 ELSE 1.0 END AS w
         | FROM t GROUP BY source),
         |r AS (SELECT source,
-        |  floor(1000.0 * w * (SELECT min(t / w) FROM tot) / t)::BIGINT AS rate_pm FROM tot)
+        |  CASE WHEN t / w = (SELECT min(t / w) FROM tot) THEN 1000
+        |       ELSE floor(1000.0 * w * (SELECT min(t / w) FROM tot) / t)::BIGINT
+        |  END AS rate_pm FROM tot)
         |SELECT d.doc_id, d.source, (d.doc_id * 2654435761) % 1000 AS bucket, r.rate_pm
         |FROM t d JOIN r USING (source)
         |WHERE (d.doc_id * 2654435761) % 1000 < r.rate_pm

@@ -32,21 +32,24 @@ object CorpusPipelineExample {
     // 1. drop near-duplicates (MinHash-LSH candidates, exact-Jaccard
     //    verified, connected components keep the cluster minimum; docs in
     //    no pair never appear in the decisions and survive the anti-join)
+    // cache each surviving stage: every count below (and the final packing)
+    // would otherwise re-run the whole upstream chain — the LSH verify
+    // pipeline is the expensive part and must execute once
     val drop = Dedup.nearDupKeepDecisions(
       Dedup.minHashNearDupsVerified(docs, threshold = 0.7))
       .filter(!col("keep")).select("doc_id")
-    val deduped = docs.join(drop, Seq("doc_id"), "left_anti")
+    val deduped = docs.join(drop, Seq("doc_id"), "left_anti").cache()
     val nDeduped = deduped.count()
 
     // 2. per-language median quality gate
     val quality = CorpusPipeline.qualityFilter(deduped).select("doc_id")
-    val filtered = deduped.join(quality, Seq("doc_id"), "left_semi")
+    val filtered = deduped.join(quality, Seq("doc_id"), "left_semi").cache()
     val nFiltered = filtered.count()
 
     // 3. mix to target domain shares (src0-src4 up-weighted 3x)
     val mixed = filtered.join(
       CorpusPipeline.domainMix(filtered, (0 to 4).map(i => s"src$i" -> 3.0).toMap)
-        .select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id"), Seq("doc_id"), "left_semi").cache()
     val nMixed = mixed.count()
 
     // 4. pack into 2048-token training sequences

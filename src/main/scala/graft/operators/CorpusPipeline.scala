@@ -201,11 +201,16 @@ object CorpusPipeline {
     // driver-trivial at any corpus size
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // the binding source (t/w == the min) keeps rate 1000 EXACTLY — the
+    // float path w * m / t can land at 999.999… and floor would silently
+    // drop its bucket-999 docs; the equality is exact because m IS that
+    // row's own computed t/w double (mirrored in the oracle SQL)
     val rates = totals
       .withColumn("m", min(col("t") / col("w")).over(all))
       .select(col("source"),
-        floor(lit(1000.0) * col("w") * col("m") / col("t"))
-          .cast("long").as("rate_pm"))
+        when(col("t") / col("w") === col("m"), lit(1000L))
+          .otherwise(floor(lit(1000.0) * col("w") * col("m") / col("t"))
+            .cast("long")).as("rate_pm"))
     d.join(broadcast(rates), "source")
       .withColumn("bucket", sampleBucket(col("doc_id")))
       .filter(col("bucket") < col("rate_pm"))
@@ -234,11 +239,14 @@ object CorpusPipeline {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint()
+    // corpus-total normalizer: one map-side-combined scalar aggregate off
+    // the checkpointed vocabulary — a single Long to the driver (same
+    // driver-sized-census contract as the IVF centroids), NOT a global
+    // window, which would drag the whole vocabulary into one partition
+    val total = freq.agg(sum("c")).head.getLong(0)
     val scored = freq.withColumn("logp",
-      log(col("c").cast("double") / sum("c").over(all).cast("double")))
+      log(col("c").cast("double") / lit(total.toDouble)))
     toks.join(scored.select("tok", "logp").hint("shuffle_hash"), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(avg("logp"), 4).as("logprob"))

@@ -476,11 +476,17 @@ object Dedup {
       // deep chains (semantic graphs) still close in 2 + log2(diameter).
       val compressed = (if (iter < 2) stepped.select(col("id"), col("label"),
           col("mid").as("next"))
-        else stepped.alias("a")
-          .join(stepped.select(col("id").as("jid"), col("mid").as("jlabel")).alias("b"),
-            col("a.mid") === col("jid"), "left")
-          .select(col("a.id").as("id"), col("a.label").as("label"),
-            least(col("a.mid"), coalesce(col("jlabel"), col("a.mid"))).as("next")))
+        else {
+          // materialize before the self-join: both jump sides read the
+          // labels⋈neighborMin subtree, which would otherwise plan (and
+          // run) twice per iteration on the corpus-sized label table
+          val s = stepped.localCheckpoint()
+          s.alias("a")
+            .join(s.select(col("id").as("jid"), col("mid").as("jlabel")).alias("b"),
+              col("a.mid") === col("jid"), "left")
+            .select(col("a.id").as("id"), col("a.label").as("label"),
+              least(col("a.mid"), coalesce(col("jlabel"), col("a.mid"))).as("next"))
+        })
         .localCheckpoint()
       changed = compressed.filter(col("next") < col("label")).count()
       labels = compressed.select(col("id"), col("next").as("label"))
