@@ -296,10 +296,13 @@ object SparkEntry {
     "mq_roundtrip_events" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    // hugeint mirrors sampleBucket's overflow-free split-multiply: the
+    // bucket is the TRUE product mod 1000 at any 64-bit doc_id
     "corpus_sample" ->
-      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+      """SELECT doc_id, lang,
+        |  ((doc_id::HUGEINT * 2654435761) % 1000)::BIGINT AS bucket
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE (doc_id::HUGEINT * 2654435761) % 1000 <
         |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
     "vocab_topk" ->
@@ -400,9 +403,10 @@ object SparkEntry {
         |  CASE WHEN t / w = (SELECT min(t / w) FROM tot) THEN 1000
         |       ELSE floor(1000.0 * w * (SELECT min(t / w) FROM tot) / t)::BIGINT
         |  END AS rate_pm FROM tot)
-        |SELECT d.doc_id, d.source, (d.doc_id * 2654435761) % 1000 AS bucket, r.rate_pm
+        |SELECT d.doc_id, d.source,
+        |  ((d.doc_id::HUGEINT * 2654435761) % 1000)::BIGINT AS bucket, r.rate_pm
         |FROM t d JOIN r USING (source)
-        |WHERE (d.doc_id * 2654435761) % 1000 < r.rate_pm
+        |WHERE (d.doc_id::HUGEINT * 2654435761) % 1000 < r.rate_pm
         |ORDER BY d.doc_id""".stripMargin,
     "pack_sequences" ->
       raw"""WITH t AS (

@@ -14,14 +14,27 @@ object CorpusPipeline {
   /**
    * Deterministic hash bucket in [0, 1000): Knuth multiplicative hash of the
    * id. NOT Spark's `hash`/`rand` — the bucket must be reproducible across
-   * engines (the DuckDB oracle computes the same arithmetic), across runs,
-   * and across cluster sizes, which is what makes a sampled corpus
-   * re-derivable from the raw corpus + the config alone. Safe from Long
-   * overflow for ids below ~3.4e9; the multiplier is 2^32 * golden-ratio
-   * conjugate, so consecutive ids spread uniformly over buckets.
+   * engines (the DuckDB oracle computes the same arithmetic in hugeint),
+   * across runs, and across cluster sizes, which is what makes a sampled
+   * corpus re-derivable from the raw corpus + the config alone. The
+   * multiplier is 2^32 * golden-ratio conjugate, so consecutive ids spread
+   * uniformly over buckets.
+   *
+   * The product id * 2654435761 overflows a Long for id > ~3.4e9 — and a
+   * 100 TB corpus at ~4 KB/doc is ~25e9 docs — so the mod-1000 is computed
+   * on the TRUE product via a 32-bit split: with id = hi*2^32 + lo,
+   * (id*M) mod 1000 = (hi%1000 * (M%1000) * (2^32%1000) + lo%1000 * (M%1000))
+   * mod 1000, where M%1000 = 761 and 2^32%1000 = 296. Every intermediate
+   * fits comfortably in a Long (max ~2.3e8), the result equals the naive
+   * formula wherever that didn't overflow, and it stays exact up to
+   * id = 2^63-1. Contract: id >= 0 (doc ids).
    */
-  def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(id * lit(2654435761L), lit(1000L))
+  def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hi = shiftright(id, 32) // nonnegative ids: logical == arithmetic shift
+    val lo = id.bitwiseAND(lit(0xFFFFFFFFL))
+    pmod(pmod(hi, lit(1000L)) * lit(761L * 296L) + pmod(lo, lit(1000L)) * lit(761L),
+      lit(1000L))
+  }
 
   /**
    * Stratified sampling: per-language keep rates expressed as bucket

@@ -26,6 +26,23 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("sampleBucket equals the true product mod 1000 up to 2^63-1 ids") {
+    import spark.implicits._
+    // the naive id * 2654435761 overflows a Long for id > ~3.4e9 (a 100 TB
+    // corpus is ~25e9 docs); the split-multiply must return the TRUE
+    // product's residue everywhere, including right below Long.MaxValue
+    val ids = Seq(0L, 1L, 999L, 1000L, 12345678L,
+      3400000000L, 4294967295L, 4294967296L, // around the 2^32 split
+      (1L << 62) - 1, 1L << 62, (1L << 62) + 987654321L, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), CorpusPipeline.sampleBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val want = ((BigInt(id) * BigInt(2654435761L)) mod BigInt(1000)).toLong
+      assert(got(id) === want, s"id=$id")
+    }
+  }
+
   test("vocab_topk is a deterministic total order with exact counts") {
     val top = CorpusPipeline.vocabTopk(spark, sfDir).collect()
     // the synthetic corpus has a ~30-word vocabulary; k caps, not pads
