@@ -79,6 +79,11 @@ object SparkEntry {
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf_probe" -> (Similarity.annIvfProbe _),
     "embed_neardup" -> (Similarity.embedNearDup _),
+    // the scale path of semantic_dedup: LSH pair stage + identical
+    // clustering, gated on measured keep-decision agreement vs the exact
+    // entry (pairs are verified, so the approx graph is a subset — errors
+    // only ever keep extra docs, never drop extras)
+    "semantic_dedup_lsh" -> (Similarity.semanticDedupLshQuery _),
   )
 
   /** Shared DuckDB CTE chain: normalized text → distinct char-4-gram sets →

@@ -140,6 +140,15 @@ object Dedup {
    * planted near-dup range is missed with p ≈ (1-0.84⁴)¹⁶ ≈ 1.6e-5, so the
    * result is DuckDB-oracle-checkable (the est-only [[minHashNearDups]]
    * output is engine-specific and stays suite-tested).
+   *
+   * Candidate-volume note: short bands admit background pairs at rate
+   * j̄⁴/band, so on a corpus whose BACKGROUND Jaccard is high (the synthetic
+   * test corpus measures j̄ ≈ 0.28 — template word salad; boilerplate-heavy
+   * web slices behave similarly) the band join floods quadratically. The
+   * r=4 choice here buys oracle-grade recall and is suite-guarded by an
+   * absolute candidate cap; on a high-background production corpus prefer
+   * [[bandsForThreshold]]'s longer bands (background j̄⁸ ≈ 4e-5 is harmless)
+   * or strip boilerplate before shingling.
    */
   def minHashNearDupsVerified(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",

@@ -367,6 +367,64 @@ object Similarity {
     semanticDedup(emb, threshold = 0.4).orderBy(col("vec_id"))
   }
 
+  /**
+   * The 100 TB path of [[semanticDedup]]: the pair stage is the LSH-bucketed
+   * [[embeddingNearDups]] (bucket equi-join, cost = bucket density x tables)
+   * instead of the exact quadratic self-join; the clustering downstream is
+   * byte-identical. Because LSH candidates are exact-cosine verified, the
+   * pair graph is a SUBSET of the exact one — missed edges can only split
+   * clusters (flipping some keep decisions to true), never merge them, so
+   * approximation errors are conservative: no document is ever dropped that
+   * the exact operator would keep.
+   */
+  def semanticDedupLsh(corpus: DataFrame, threshold: Double,
+      numTables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L,
+      maxIter: Int = 20): DataFrame =
+    Dedup.nearDupKeepDecisions(
+      embeddingNearDups(corpus, threshold, numTables, bitsPerTable, seed)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      maxIter)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+
+  /** Query entry (rows-only + eager agreement gate): LSH-paired semantic
+    * dedup at the same threshold as the exact [[semanticDedupQuery]] entry.
+    * The gate measures KEEP-DECISION agreement against the exact operator
+    * over every doc the exact pair graph touches — the decision a user
+    * consumes, stricter than pair recall in the failure direction that
+    * matters (a missed bridge edge splits a cluster and flips its new
+    * minimum to keep=true). Gaussian test embeddings at cosine 0.4 (66°)
+    * are near the worst regime for hyperplane LSH, hence few bits + many
+    * tables, as embed_neardup. */
+  def semanticDedupLshQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val approx = semanticDedupLsh(emb, threshold = 0.4)
+    // measured 0.95 (sf0.01) / 0.97 (sf0.1)
+    assertKeepAgreement(approx, semanticDedup(emb, threshold = 0.4),
+      minAgree = 0.85, what = "semantic_dedup_lsh")
+    approx.orderBy(col("vec_id"))
+  }
+
+  /** Keep-decision sibling of [[assertRecall]]: over the ids in `exact`
+    * (ground truth — every doc in any true pair), the approx keep verdict
+    * (docs missing from the approx pair graph are implicitly kept) must
+    * agree on at least `minAgree` of them. */
+  private def assertKeepAgreement(
+      approx: DataFrame, exact: DataFrame, minAgree: Double, what: String): Unit = {
+    if (!Tables.eagerAssertionsEnabled) return
+    val e = exact.select(col("vec_id"), col("keep").as("keep_exact")).cache()
+    val total = e.count()
+    val agreed = e
+      .join(approx.select(col("vec_id"), col("keep").as("keep_approx")),
+        Seq("vec_id"), "left")
+      .filter(coalesce(col("keep_approx"), lit(true)) === col("keep_exact"))
+      .count()
+    e.unpersist()
+    val agree = if (total == 0) 1.0 else agreed.toDouble / total
+    require(agree >= minAgree,
+      f"$what keep agreement $agree%.3f below floor $minAgree%.2f ($agreed/$total)")
+  }
+
   /** Pair-set sibling of [[assertRecall]] on (vec_a, vec_b) keys. */
   private def assertPairRecall(
       approx: DataFrame, exact: DataFrame, minRecall: Double, what: String): Unit = {

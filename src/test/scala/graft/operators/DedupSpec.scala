@@ -124,6 +124,40 @@ class DedupSpec extends SparkSpec {
       s"candidate growth ${big.toDouble / small}x across a 10x corpus (small=$small big=$big) — quadratic blowup")
   }
 
+  test("minhash band-join candidate volume is guarded against blowup") {
+    // sum over (band, band_hash) of c*(c-1)/2 is the output size of the band
+    // join feeding ngram_jaccard / dedup_minhash's verify stage. Two guards:
+    //
+    // (1) Machinery guard at LONG bands (r=16): the synthetic corpus is
+    // word salad over a ~30-word vocabulary, so BACKGROUND pair Jaccard
+    // averages 0.28 (measured) and short bands collide quadratically by
+    // corpus construction (0.28^4 ≈ 0.6%/band at r=4) — not a machinery
+    // defect, and not representative of web corpora (background j ~ 0.01-
+    // 0.05, where r=4 is ~linear). At r=16 the background term (0.28^16 ≈
+    // 1.5e-9) vanishes, so candidate growth across a 10x corpus tracks the
+    // row ratio unless the band keys themselves lost entropy (the r5
+    // simhash failure mode: degenerate keys -> n²/|keys| regardless of
+    // corpus).
+    def candidates(dir: String, bands: Int): Long =
+      Dedup.lshBands(
+        Dedup.minHashSignatures(Tables.documents(spark, dir)), numBands = bands)
+        .groupBy("band", "band_hash").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getDouble(0).toLong
+    val small = candidates("/root/testdata/sf0.001", 4) // 500 docs, r=16
+    val big = candidates("/root/testdata/sf0.1", 4) // 5000 docs, r=16
+    assert(small > 0 && big > 0)
+    assert(big.toDouble / small <= 30.0,
+      s"candidate growth ${big.toDouble / small}x across a 10x corpus (small=$small big=$big) — quadratic blowup")
+    // (2) Absolute cap at the ENTRY configuration (16 bands, r=4, chosen
+    // for oracle-grade recall at the planted near-dup range): measured
+    // 1.9M candidates at sf0.1 from the background flood; a retune toward
+    // shorter bands (r=2 measures 30.6M) or degenerate keys trips this
+    // long before it trips a human reading bench numbers.
+    val entry = candidates("/root/testdata/sf0.1", 16)
+    assert(entry <= 4000000L,
+      s"entry-config candidate volume $entry exceeds the 4M cap — banding retune reintroduced a blowup")
+  }
+
   test("ngram jaccard: exact pair scores 1.0; unrelated pairs filtered") {
     val pairs = Dedup.ngramJaccard(planted, threshold = 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

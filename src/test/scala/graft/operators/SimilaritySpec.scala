@@ -175,6 +175,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupLsh: subset pair graph means errors only ever KEEP extra docs") {
+    val exact = Similarity.semanticDedupQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val approx = Similarity.semanticDedupLshQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(approx.nonEmpty)
+    // verified LSH pairs are a subset of exact pairs, so: every doc the LSH
+    // graph touches is in the exact graph, and a doc the LSH path DROPS
+    // (keep=false) must be dropped by the exact operator too — the
+    // conservative direction; the reverse (exact drops, LSH keeps) is the
+    // only allowed disagreement
+    approx.foreach { case (id, (cl, keep)) =>
+      assert(exact.contains(id), s"doc $id not in the exact pair graph")
+      assert(cl <= id && keep === (cl === id))
+      if (!keep) assert(!exact(id), s"doc $id dropped by LSH but kept by exact")
+    }
+    // the entry's eager gate already enforces the 0.85 floor; recompute the
+    // agreement here so the measured value is visible in test output
+    val agreed = exact.count { case (id, k) =>
+      approx.get(id).map(_._2).getOrElse(true) === k
+    }
+    info(f"keep agreement ${agreed.toDouble / exact.size}%.3f (${agreed}/${exact.size})")
+  }
+
+  test("embeddingNearDups candidate volume grows ~linearly with corpus size") {
+    // sum over (table, bucket) of c*(c-1)/2 IS the bucket-join output size.
+    // At the production near-dup configuration (12 bits/table) buckets are
+    // fine-grained, so candidate growth across a 10x corpus (500 -> 5000
+    // vectors) must track the row ratio, not its square — the same guard
+    // that pinned dedup_simhash's r5 quadratic blowup. (The query entries
+    // run 4 bits/table only because the Gaussian test vectors have no
+    // planted near-dups; that trade is recall-gated, not growth-gated.)
+    def candidates(dir: String): Long =
+      Similarity.lshBuckets(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb")),
+        "emb", numTables = 8, bitsPerTable = 12)
+        .groupBy("table", "bucket").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getDouble(0).toLong
+    val small = candidates("/root/testdata/sf0.001")
+    val big = candidates("/root/testdata/sf0.1")
+    assert(small > 0 && big > 0)
+    assert(big.toDouble / small <= 30.0,
+      s"candidate growth ${big.toDouble / small}x across a 10x corpus (small=$small big=$big) — quadratic blowup")
+  }
+
   test("LSH and near-dup plans contain no cartesian product") {
     val probes = embeddings.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
