@@ -50,26 +50,64 @@ object TextRepetition {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  def count(s: String): InternalRow = {
-    val n = s.length
+  /** lower() exactly as Spark computes it: ASCII strings take a byte-wise
+    * A-Z map (UTF8String's full-ASCII fast path, allocation-free here when
+    * nothing changes); anything else routes through UTF8String.toLowerCase
+    * itself, so kernel-vs-fold parity holds whatever Spark's slow path does
+    * on this JVM's default locale. Per-token Locale.ROOT lowering diverged
+    * from lower() for non-full-ASCII docs on e.g. a Turkish-locale JVM. */
+  private def lowerLikeSpark(t: String): String = {
+    var i = 0
+    var ascii = true
+    var firstUpper = -1
+    while (i < t.length && ascii) {
+      val c = t.charAt(i)
+      if (c >= 0x80) ascii = false
+      else {
+        if (firstUpper < 0 && c >= 'A' && c <= 'Z') firstUpper = i
+        i += 1
+      }
+    }
+    if (!ascii) UTF8String.fromString(t).toLowerCase.toString
+    else if (firstUpper < 0) t
+    else {
+      val arr = t.toCharArray
+      var k = firstUpper
+      while (k < arr.length) {
+        val c = arr(k)
+        if (c >= 'A' && c <= 'Z') arr(k) = (c + 32).toChar
+        k += 1
+      }
+      new String(arr)
+    }
+  }
+
+  def count(sRaw: String): InternalRow = {
+    // parity BY CONSTRUCTION: materialize lower(trim(text)) first and
+    // tokenize the lowered string — the exact value the fold spec and the
+    // DuckDB oracle split
+    val nRaw = sRaw.length
     var b0 = 0
-    var e0 = n
-    while (b0 < e0 && s.charAt(b0) == ' ') b0 += 1
-    while (e0 > b0 && s.charAt(e0 - 1) == ' ') e0 -= 1
+    var e0 = nRaw
+    while (b0 < e0 && sRaw.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && sRaw.charAt(e0 - 1) == ' ') e0 -= 1
+    val s = lowerLikeSpark(
+      if (b0 == 0 && e0 == nRaw) sRaw else sRaw.substring(b0, e0))
+    val n = s.length
     val toks = new java.util.ArrayList[String]()
-    if (e0 > b0) {
-      if (isWs(s.charAt(b0))) toks.add("") // phantom leading "" token
-      var start = b0
-      while (start < e0) {
+    if (n > 0) {
+      if (isWs(s.charAt(0))) toks.add("") // phantom leading "" token
+      var start = 0
+      while (start < n) {
         if (isWs(s.charAt(start))) start += 1
         else {
           var end = start
-          while (end < e0 && !isWs(s.charAt(end))) end += 1
-          toks.add(s.substring(start, end).toLowerCase(java.util.Locale.ROOT))
+          while (end < n && !isWs(s.charAt(end))) end += 1
+          toks.add(s.substring(start, end))
           start = end
         }
       }
-      if (isWs(s.charAt(e0 - 1))) toks.add("") // phantom trailing "" token
+      if (isWs(s.charAt(n - 1))) toks.add("") // phantom trailing "" token
     }
     val m = toks.size
     val words = new java.util.HashMap[String, Int]()

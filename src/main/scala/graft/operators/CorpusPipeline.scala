@@ -260,6 +260,12 @@ object CorpusPipeline {
     val total = freq.agg(sum("c")).head.getLong(0)
     val scored = freq.withColumn("logp",
       log(col("c").cast("double") / lit(total.toDouble)))
+    // tolerance note: avg over doubles is accumulation-order dependent and
+    // shuffle order is nondeterministic, so a score within ~1 ulp of a
+    // .00005 boundary can flip the 4th decimal between runs/engines — same
+    // class of residual risk as the documented FNV-collision odds, accepted
+    // rather than papered over with a wider round (which only moves the
+    // boundary). Observed stable on the test corpora.
     toks.join(scored.select("tok", "logp").hint("shuffle_hash"), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(avg("logp"), 4).as("logprob"))

@@ -501,6 +501,14 @@ object Dedup {
       labels = compressed.select(col("id"), col("next").as("label"))
       iter += 1
     }
+    // unconverged labels would flow silently into keep decisions (several
+    // docs per true cluster all marked keep) — fail loudly instead. Pointer
+    // jumping makes this unreachable below diameter ~2^(maxIter-2), so
+    // tripping it means a pathological graph that needs a bigger maxIter,
+    // not a partial answer.
+    require(changed == 0,
+      s"nearDupClusters did not converge in $maxIter iterations ($changed labels still moving); " +
+        "raise maxIter — component diameter exceeds 2^(maxIter-2)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -18,8 +18,21 @@ import org.apache.spark.sql.functions._
  */
 object MqRoundtrip {
 
+  /** Queue-log root reused across invocations for the same (kind, dir) —
+    * a fresh createTempDirectory per call leaked a full corpus copy every
+    * Bench iteration / test run; deleteTopic at the start of each run
+    * wipes the previous log, so disk stays bounded at one copy per kind. */
+  private def sessionRoot(kind: String, dir: String): String = {
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$kind-${math.abs(dir.hashCode)}")
+    Files.createDirectories(base)
+    base.toString
+  }
+
   def mqRoundtripEvents(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-mq-rt").toString
+    // batch path: the returned frame scans the log LAZILY, so the root must
+    // survive the call — reuse, don't delete
+    val root = sessionRoot("mq-rt", dir)
     val topic = "events_rt"
     TopicLog.deleteTopic(root, topic)
 
@@ -66,7 +79,7 @@ object MqRoundtrip {
    * contract; the wire layer escapes \t and \n regardless).
    */
   def corpusQualityStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-mq-docs").toString
+    val root = sessionRoot("mq-docs", dir)
     val topic = "docs_stream"
     TopicLog.deleteTopic(root, topic)
 
@@ -95,6 +108,8 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the memory sink materialized everything driver-side; the log is dead
+    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
 
@@ -111,7 +126,7 @@ object MqRoundtrip {
    * Oracle = the batch decontaminate SQL (same corpus/benchmark split).
    */
   def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-mq-decon").toString
+    val root = sessionRoot("mq-decon", dir)
     val topic = "docs_decon"
     TopicLog.deleteTopic(root, topic)
 
@@ -126,7 +141,14 @@ object MqRoundtrip {
     val benchShingles: Array[Long] = all.filter(col("doc_id") % 97 === 0)
       .select(explode(Dedup.shingleHashes(col("text"), 8)).as("sh"))
       .distinct().orderBy(col("sh"))
-      .collect().map(_.getLong(0)) // eval-set-sized: driver-bounded by contract
+      .collect().map(_.getLong(0))
+    // the driver-sized contract, ENFORCED (not just commented): the literal
+    // rides into every task's plan, so an oversized eval set would OOM the
+    // driver or bloat task serialization silently. 1M hashes = 8 MB — past
+    // that, screen via the batch broadcast join instead.
+    require(benchShingles.length <= (1 << 20),
+      s"eval-set shingle count ${benchShingles.length} exceeds the literal-plan bound (2^20); " +
+        "use CorpusPipeline.decontaminate's broadcast join for benchmark sets this large")
 
     val name = "docs_decon_" + math.abs(dir.hashCode)
     val q = spark.readStream.format("graft-mq")
@@ -145,6 +167,7 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
 }
