@@ -59,6 +59,7 @@ object SparkEntry {
     "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
     "gram_coverage" -> (Dedup.gramCoverageQuery _),
     "text_logprob" -> (CorpusPipeline.corpusLogProb _),
+    "corpus_assemble" -> (CorpusPipeline.corpusAssemble _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -384,6 +385,77 @@ object SparkEntry {
         | round(avg(ln(c::DOUBLE / (SELECT total FROM t))), 4) AS logprob
         |FROM wt JOIN f USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the composed corpus-assembly contract: every stage (quality gate ->
+    // decontamination -> domain mix over SURVIVOR token totals -> packing)
+    // re-derived in SQL, so drift in any stage or hand-off flips the hash
+    "corpus_assemble" ->
+      raw"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |t0 AS (
+        | SELECT doc_id, lang, source, text,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits
+        | FROM corpus),
+        |q AS (
+        | SELECT doc_id, lang, source, text, n_tokens,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.3
+        |    + coalesce(alpha_ratio, 0.0) * 0.4
+        |    + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality
+        | FROM t0),
+        |h AS (SELECT lang, quality, count(*) AS c FROM q GROUP BY 1, 2),
+        |k AS (SELECT lang, quality FROM (
+        | SELECT lang, quality,
+        |  coalesce(sum(c) OVER (PARTITION BY lang ORDER BY quality DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gt,
+        |  sum(c) OVER (PARTITION BY lang) AS tot
+        | FROM h) WHERE gt * 2 < tot),
+        |kept AS (SELECT q.doc_id, q.source, q.text, q.n_tokens FROM q JOIN k USING (lang, quality)),
+        |norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM kept),
+        |grams AS (SELECT DISTINCT doc_id, substring(t, i, 8) AS g
+        | FROM norm, unnest(generate_series(1, length(t) - 7)) AS u(i)),
+        |gcnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |bnorm AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id % 97 = 0),
+        |bench AS (SELECT DISTINCT substring(t, i, 8) AS g
+        | FROM bnorm, unnest(generate_series(1, length(t) - 7)) AS u(i)),
+        |shared AS (SELECT doc_id, count(*) AS shared_grams
+        | FROM grams JOIN bench USING (g) GROUP BY doc_id),
+        |cfr AS (
+        | SELECT kp.doc_id,
+        |  CASE WHEN coalesce(gc.n_grams, 0) = 0 THEN 0.0
+        |       ELSE round(coalesce(s.shared_grams, 0)::DOUBLE / gc.n_grams, 4)
+        |  END AS cfrac
+        | FROM kept kp LEFT JOIN gcnt gc USING (doc_id) LEFT JOIN shared s USING (doc_id)),
+        |ch AS (SELECT cfrac, count(*) AS c FROM cfr GROUP BY cfrac),
+        |ck AS (SELECT cfrac FROM (
+        | SELECT cfrac,
+        |  coalesce(sum(c) OVER (ORDER BY cfrac DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gt,
+        |  sum(c) OVER () AS tot
+        | FROM ch) WHERE gt * 4 >= tot * 1),
+        |clean AS (SELECT kp.doc_id, kp.source, kp.n_tokens
+        | FROM kept kp JOIN cfr USING (doc_id)
+        | WHERE cfr.cfrac IN (SELECT cfrac FROM ck)),
+        |tot AS (
+        | SELECT source, sum(n_tokens)::DOUBLE AS t,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3.0 ELSE 1.0 END AS w
+        | FROM clean GROUP BY source),
+        |r AS (SELECT source,
+        | CASE WHEN t / w = (SELECT min(t / w) FROM tot) THEN 1000
+        |      ELSE floor(1000.0 * w * (SELECT min(t / w) FROM tot) / t)::BIGINT
+        | END AS rate_pm FROM tot),
+        |mixed AS (SELECT c.doc_id, c.source, c.n_tokens FROM clean c JOIN r USING (source)
+        | WHERE (c.doc_id::HUGEINT * 2654435761) % 1000 < r.rate_pm),
+        |p AS (
+        | SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+        | FROM mixed)
+        |SELECT doc_id, source, n_tokens, prev // 2048 AS seq_id, prev % 2048 AS seq_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     "gram_coverage" ->
       raw"""WITH norm AS (
         | SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),

@@ -160,11 +160,22 @@ object CorpusPipeline {
    * shard table stays broadcastable (corpus/1e5 at 100 TB).
    */
   def packSequences(docs: DataFrame, budget: Int = 2048,
+      shardDocs: Int = 4096): DataFrame =
+    packSequencesFromTokens(withTokenCounts(docs), budget, shardDocs)
+
+  /** (doc_id, source, n_tokens) via one scan-stage signals-kernel pass —
+    * the shared input shape of [[packSequences]], [[domainMix]] and
+    * [[assembleCorpus]]. */
+  private def withTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.TextSignals.signals(col("text"))
+        .getField("ws_tokens").cast("long").as("n_tokens"))
+
+  /** [[packSequences]] over precomputed (doc_id, source, n_tokens) rows —
+    * lets a composed pipeline reuse one token-count pass. */
+  def packSequencesFromTokens(tokens: DataFrame, budget: Int = 2048,
       shardDocs: Int = 4096): DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"),
-        graft.functions.TextSignals.signals(col("text"))
-          .getField("ws_tokens").cast("long").as("n_tokens"))
-      .withColumn("shard", expr(s"doc_id DIV $shardDocs"))
+    val d = tokens.withColumn("shard", expr(s"doc_id DIV $shardDocs"))
     val shardTotals = d.groupBy("source", "shard")
       .agg(sum("n_tokens").as("shard_tokens"))
     val byShard = org.apache.spark.sql.expressions.Window
@@ -201,10 +212,12 @@ object CorpusPipeline {
    * one pass + a scan-stage filter.
    */
   def domainMix(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame =
+    domainMixFromTokens(withTokenCounts(docs), weights, defaultWeight)
+
+  /** [[domainMix]] over precomputed (doc_id, source, n_tokens) rows. */
+  def domainMixFromTokens(d: DataFrame, weights: Map[String, Double],
       defaultWeight: Double = 1.0): DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"),
-      graft.functions.TextSignals.signals(col("text"))
-        .getField("ws_tokens").cast("long").as("n_tokens"))
     val wcol = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
     }
@@ -273,4 +286,88 @@ object CorpusPipeline {
 
   def corpusLogProb(spark: SparkSession, dir: String): DataFrame =
     unigramLogProb(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /**
+   * End-to-end training-corpus assembly — the composed contract over the
+   * individual stages, the way [[Dedup.cleanCorpus]] composes the cleaning
+   * stages: per-language quality gate ([[qualityFilter]]) → RELATIVE
+   * benchmark decontamination (drop the most-contaminated quarter of the
+   * corpus by shared-gram FRACTION — see below) → domain mixing on the
+   * SURVIVORS' token totals ([[domainMix]] — rates react to what earlier
+   * stages removed, which is why the composition is a different contract
+   * than the stages in isolation) → token-budget sequence packing
+   * ([[packSequences]]).
+   *
+   * Why relative decontamination: the [[decontaminate]] entry's ≥1-shared-
+   * gram flag is the right REPORT, but as a drop rule it empties any
+   * template-heavy corpus (every synthetic doc shares scattered grams with
+   * any eval slice), and a fixed fraction threshold saturates as the eval
+   * set grows (measured: the same corpus sits at ~0.3 shared-fraction
+   * against a 5-doc eval set, ~0.86 against a 50-doc one). Dropping the
+   * worst `dropNum/dropDen` BY VALUE over the bounded 4-dp fraction
+   * histogram is meaningful at every scale and reuses [[qualityFilter]]'s
+   * audited quantile-cut shape: histogram ≤ 10001 rows at any corpus size,
+   * integer-exact cut arithmetic, verdict broadcast back as a semi-join.
+   *
+   * Scale shape: three scan-stage kernel passes over the corpus (quality
+   * histogram, contamination screen, token counts), one broadcast semi-join
+   * per verdict; the narrow (doc_id, source, n_tokens) survivor table is
+   * localCheckpoint'ed once so the mix-rate aggregate and the packing pass
+   * don't re-execute the three-stage upstream.
+   */
+  def assembleCorpus(docs: DataFrame, benchmark: DataFrame,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      gramN: Int = 8, dropNum: Int = 1, dropDen: Int = 4,
+      budget: Int = 2048, shardDocs: Int = 4096): DataFrame = {
+    val kept = docs.join(qualityFilter(docs).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // contamination fraction per doc: shared grams over the doc's own
+    // distinct gram count, 4-dp rounded (the cross-engine contract scale);
+    // docs the screen never flags count as 0 — they must weigh in the
+    // histogram the cut is taken over
+    val cfrac = kept
+      .select(col("doc_id"),
+        size(Dedup.shingleHashes(col("text"), gramN)).cast("long").as("n_grams"))
+      .join(decontaminate(kept, benchmark, gramN), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("shared_grams"), lit(0L)).cast("double")
+            / col("n_grams"), 4)).as("cfrac"))
+    val hist = cfrac.groupBy("cfrac").agg(count(lit(1)).as("c"))
+    // unpartitioned windows over the HISTOGRAM (≤ 10001 rows at any corpus
+    // size) — the one-partition WindowExec is driver-trivial by design,
+    // same as qualityFilter's per-language variant
+    val byCfDesc = org.apache.spark.sql.expressions.Window.orderBy(col("cfrac").desc)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val keepValues = hist
+      .select(col("cfrac"),
+        coalesce(sum("c").over(byCfDesc.rowsBetween(Long.MinValue, -1)), lit(0L)).as("gt"),
+        sum("c").over(all).as("tot"))
+      // keep value v iff at least dropNum/dropDen of the corpus scores
+      // STRICTLY above it — integer-exact, so both engines cut identically
+      .filter(col("gt") * dropDen >= col("tot") * dropNum)
+      .select("cfrac")
+    val clean = kept.join(
+      cfrac.join(broadcast(keepValues), Seq("cfrac"), "left_semi").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val d = withTokenCounts(clean).localCheckpoint()
+    val mixed = d.join(
+      domainMixFromTokens(d, weights, defaultWeight).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    packSequencesFromTokens(mixed, budget, shardDocs)
+  }
+
+  /** Query entry: assemble the %97-split corpus against its eval set with
+    * src0-src4 up-weighted 3x — the composed oracle re-derives every stage
+    * in SQL, so a drift in ANY stage (or in how they hand off) flips the
+    * hash. */
+  def corpusAssemble(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    assembleCorpus(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      (0 to 4).map(i => s"src$i" -> 3.0).toMap)
+      .orderBy(col("doc_id"))
+  }
 }

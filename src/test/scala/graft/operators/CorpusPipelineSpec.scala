@@ -134,6 +134,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("assembleCorpus: stage containment, quarter cut, packing consistency") {
+    val out = CorpusPipeline.corpusAssemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    // survivors are a subset of the quality-kept set, and the relative
+    // decontamination dropped roughly (not more than slightly over) a
+    // quarter of it — value-threshold ties can only push the cut deeper
+    val kept = CorpusPipeline.qualityFilter(corpus).collect().map(_.getLong(0)).toSet
+    val survivors = out.map(_._1).toSet
+    assert(survivors.subsetOf(kept))
+    // mixing then drops per-source buckets, so survivors <= 3/4 of kept,
+    // but the binding sources keep everything: well above zero
+    assert(survivors.size <= math.ceil(kept.size * 0.75).toInt)
+    assert(survivors.size > kept.size / 4)
+    // packing is internally consistent: per source in doc_id order the
+    // (seq_id, seq_offset) sequence equals the running token sum
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, seqId, off) =>
+        assert(seqId === cum / 2048 && off === cum % 2048)
+        cum += n
+      }
+    }
+    // reproducible end to end
+    val again = CorpusPipeline.corpusAssemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("unigramLogProb: repeated-common-token docs score above rare-token docs") {
     import spark.implicits._
     val corpus = Seq(
