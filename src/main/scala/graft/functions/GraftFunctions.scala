@@ -502,10 +502,16 @@ object GraftFunctions {
   }
 }
 
-/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` —
+  * registers the SQL functions and the graft-mq property-predicate
+  * pushdown rule ([[graft.plans.PushPropertyPredicates]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // operator-optimization rules run before V2ScanRelationPushDown, so the
+    // rewritten relation is what the physical scan gets built from
+    ext.injectOptimizerRule(_ => graft.plans.PushPropertyPredicates)
+  }
 }

@@ -77,8 +77,15 @@ object MessageQueueTable {
     StructField("body", StringType)))
 }
 
-class MessageQueueTable(opts: GraftOptions) extends Table
+class MessageQueueTable(val opts: GraftOptions) extends Table
     with SupportsRead with SupportsWrite {
+  /** Same table with extra property-equality predicates for the reader —
+    * [[graft.plans.PushPropertyPredicates]] rewrites a plan's relation onto
+    * this, the way the reference consumer installs a SQL92 property
+    * selector broker-side (reference: example/PropertyFilterExamples.java:33). */
+  def withPropertyFilter(filter: Map[String, String]): MessageQueueTable =
+    new MessageQueueTable(opts.copy(propertyFilter = filter))
+
   override def name(): String = s"graft-mq:${opts.topic}"
   override def schema(): StructType = MessageQueueTable.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -165,7 +172,8 @@ class MessageQueueScan(
     bornTsUpperMs: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = requiredSchema
   override def description(): String =
-    s"graft-mq topic=${opts.topic} PushedFilters: [tag=$pushedTag, bornTs=[$bornTsLowerMs,$bornTsUpperMs)]"
+    s"graft-mq topic=${opts.topic} PushedFilters: [tag=$pushedTag, " +
+      s"bornTs=[$bornTsLowerMs,$bornTsUpperMs), props=${opts.propertyFilter}]"
 
   private def effectiveOpts(forBatch: Boolean): GraftOptions = {
     var o = opts
