@@ -24,9 +24,10 @@ object PlanDump {
       "multimodal_frames", "text_stats", "mq_roundtrip_events",
       "corpus_sample", "vocab_topk", "decontaminate",
       "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup",
-      "domain_mix", "gram_coverage", "text_logprob")
+      "domain_mix", "gram_coverage", "text_logprob",
+      "semantic_dedup_lsh", "corpus_assemble")
     val sb = new StringBuilder
-    sb.append("# PLANS — physical plans of headline queries (sf0.01, round 6)\n\n")
+    sb.append("# PLANS — physical plans of headline queries (sf0.01, round 7)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
     sb.append("pruning), `BroadcastHashJoin` for dim/probe sides, no\n")
     sb.append("`CartesianProduct` anywhere. Two queries intentionally use\n")
