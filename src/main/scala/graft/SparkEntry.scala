@@ -69,6 +69,10 @@ object SparkEntry {
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
     "corpus_clean" -> (Dedup.corpusClean _),
     "ann_ivf" -> (Similarity.annIvf _), // exhaustive nprobe: must equal brute force
+    // persisted index: write partitioned-by-cell parquet, read back, search
+    // all cells — exact vs the same brute-force oracle, and the pruned
+    // path (suite-tested) reads only probed cells' FILES
+    "ann_ivf_indexed" -> (Similarity.annIvfIndexed _),
     "embed_neardup_exact" -> (Similarity.embedNearDupExact _),
     "semantic_dedup" -> (Similarity.semanticDedupQuery _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
@@ -696,29 +700,24 @@ object SparkEntry {
         |  FROM f WHERE frame_idx % 2 = 0 GROUP BY 1, 2)
         |SELECT media_id, frame_idx, frame_len, frame_sum FROM k
         |ORDER BY media_id, frame_idx""".stripMargin,
-    // exhaustive IVF (nprobe = numCentroids) partitions the corpus and
-    // searches every cell — identical, by construction, to brute force
-    "ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
-        |s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-        |  round(list_dot_product(e.emb, p.q_emb)
-        |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS sim
-        | FROM e, p WHERE e.vec_id <> p.query_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
-        |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
-        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
-    "ann_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
-        |s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-        |  round(list_dot_product(e.emb, p.q_emb)
-        |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS sim
-        | FROM e, p WHERE e.vec_id <> p.query_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
-        |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
-        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+    // exhaustive searches (brute force / IVF with nprobe = numCentroids /
+    // IVF over the persisted partitioned index) are identical by
+    // construction — the cells partition the corpus — so all three share
+    // the brute-force oracle
+    "ann_ivf" -> annExactOracle,
+    "ann_ivf_indexed" -> annExactOracle,
+    "ann_topk" -> annExactOracle,
   )
+
+  private val annExactOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      |s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+      |  round(list_dot_product(e.emb, p.q_emb)
+      |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS sim
+      | FROM e, p WHERE e.vec_id <> p.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+      |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+      |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
 }

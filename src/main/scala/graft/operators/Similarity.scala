@@ -273,6 +273,87 @@ object Similarity {
     approx.orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  // ---- persisted IVF index ----
+
+  /**
+   * Persist an IVF index: the corpus assigned to cells and written as
+   * parquet PARTITIONED BY centroid_id, the quantizer saved alongside.
+   * This is the missing half of IVF at 100 TB — [[ivfTopK]] rebuilds the
+   * index per query, but a production corpus is indexed ONCE and queried
+   * many times. Cell = partition directory means a probe's nprobe cells
+   * become a static partition-pruning filter at read: Spark lists and
+   * scans only the probed cells' files, the file-level analog of an
+   * inverted list (same mechanism as date-partition pruning, zero custom
+   * reader code). Returns the centroids it wrote.
+   */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+      numCentroids: Int = 16, lloydIters: Int = 0): Array[Array[Double]] = {
+    val sampled = sampleCentroids(corpus, numCentroids)
+    val centroids =
+      if (lloydIters > 0) lloydRefine(corpus.select("vec_id", "emb"), "emb", sampled, lloydIters)
+      else sampled
+    assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    // quantizer sidecar: one line per centroid, comma-joined doubles
+    // (Double.toString round-trips exactly through parseDouble)
+    val lines = centroids.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_centroids.txt"), lines)
+    centroids
+  }
+
+  /** (indexed corpus, quantizer) back from [[writeIvfIndex]] output. */
+  def readIvfIndex(spark: SparkSession, path: String): (DataFrame, Array[Array[Double]]) = {
+    val centroids = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "_centroids.txt"))
+      .split("\n").map(_.split(",").map(_.toDouble))
+    (spark.read.parquet(path), centroids)
+  }
+
+  /**
+   * IVF top-k over a persisted index. The probes' nprobe cell ids are
+   * collected (driver-sized by the same contract as the centroid matrix:
+   * nprobe x |probes| ints) into a literal IN filter on the PARTITION
+   * column, so pruning happens at file listing — unprobed cells are never
+   * opened. Search semantics are identical to [[ivfTopK]]; with nprobe =
+   * numCentroids the result equals brute force exactly.
+   */
+  def ivfTopKIndexed(spark: SparkSession, path: String, probes: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val (indexed, centroids) = readIvfIndex(spark, path)
+    val probeN = math.min(nprobe, centroids.length)
+    val probeCells = probes
+      .withColumn("cell", explode(
+        graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
+      .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
+    val cells = probeCells.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.filter(col("centroid_id").isInCollection(cells))
+      .join(broadcast(probeCells), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Query entry (oracle-checked): build the index, read it back, search
+    * every cell — must equal brute force exactly (shares ann_topk's
+    * oracle), while proving the whole persist/prune/search cycle. The
+    * index path is reused per dir so repeated runs overwrite, not leak. */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ivf-${math.abs(dir.hashCode)}").toString
+    writeIvfIndex(emb, path, numCentroids = 16)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfTopKIndexed(spark, path, probes, 10, nprobe = 16)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: bucket self-join (same table,
    * same bucket), exact cosine verify, distinct pairs. No cross join — the

@@ -148,6 +148,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(0, 1, 2)) // cos desc: 0.994, 0.110, -0.994
   }
 
+  test("persisted IVF index: exhaustive search equals brute force; probes prune partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-test").toString
+    val centroids = Similarity.writeIvfIndex(embeddings, path, numCentroids = 8)
+    assert(centroids.length === 8)
+    // cell directories on disk — one per non-empty partition value
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    val probes = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    // exhaustive: all cells probed -> equals brute force exactly
+    val exhaustive = Similarity.ivfTopKIndexed(spark, path, probes, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.bruteForceTopK(embeddings, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exhaustive === brute)
+    // pruned: nprobe=2 must turn into a PARTITION filter — the scan reads
+    // only the probed cells' files, never the whole index (the scan node
+    // hides inside AdaptiveSparkPlan, so assert on the rendered plan)
+    val pruned = Similarity.ivfTopKIndexed(spark, path, probes, 5, nprobe = 2)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    val inList = "PartitionFilters: \\[centroid_id#\\d+ IN \\(([0-9,]+)\\)".r
+      .findFirstMatchIn(planStr).map(_.group(1).split(",").length)
+    assert(inList.isDefined, s"no partition IN-filter on the index scan in:\n$planStr")
+    assert(inList.get < cellDirs.length,
+      s"pruning probed ${inList.get} of ${cellDirs.length} cells — nothing pruned")
+    // pruned-path semantics match the in-memory IVF at the same quantizer
+    val inMem = Similarity.ivfTopK(embeddings, probes, 5, numCentroids = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === inMem)
+  }
+
   test("embedding near-dup pairs are symmetric-free, above threshold, verified") {
     val pairs = Similarity.embeddingNearDups(embeddings, threshold = 0.9)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
