@@ -37,6 +37,7 @@ object SparkEntry {
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
     "decontaminate_stream" -> (MqRoundtrip.decontaminateStream _),
+    "events_enrich_stream" -> (MqRoundtrip.eventsEnrichStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
     "bucketed_join" -> (Bucketed.bucketedJoinQuery _),
     "asof_join_events" -> (AsOfJoin.asofJoinEvents _),
@@ -255,6 +256,11 @@ object SparkEntry {
     "events_dedup_stream" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // stream-static enrichment == the same join in batch
+    "events_enrich_stream" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
     // batch islands-and-gaps formulation of the streaming sessionizer
     "sessionize_stream" ->
       """WITH m AS (

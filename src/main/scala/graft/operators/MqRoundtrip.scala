@@ -114,6 +114,57 @@ object MqRoundtrip {
   }
 
   /**
+   * Stream-static enrichment through the connector: events arriving through
+   * the MQ micro-batch source joined per micro-batch to a BROADCAST static
+   * dimension (customer) — the canonical connector deployment shape, enrich
+   * the ingest stream with a dim table. Stateless Append: no watermark, no
+   * state store; every micro-batch pays one broadcast hash join and the dim
+   * is read once per batch from parquet (at scale: cache it or let the
+   * broadcast reuse kick in — either way nothing shuffles the stream).
+   * Oracle = the identical join in batch SQL, so the compare proves the
+   * streaming read path composes with Spark's join machinery losslessly.
+   */
+  def eventsEnrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = sessionRoot("mq-enrich", dir)
+    val topic = "events_enrich"
+    TopicLog.deleteTopic(root, topic)
+
+    val events = Tables.events(spark, dir).select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("user_id"),
+      col("event_type"),
+      col("value"))
+    val conv = new RowMessageConverter(
+      events.schema, fieldDelimiter = "",
+      keyColumns = Seq("event_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      events, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val name = "events_enrich_" + math.abs(dir.hashCode)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "enrich")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("event_id"),
+        element_at(col("f"), 3).cast("long").as("user_id"),
+        element_at(col("f"), 4).as("event_type"),
+        element_at(col("f"), 5).cast("double").as("value"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"), col("value"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TopicLog.deleteTopic(root, topic)
+    spark.table(name).orderBy(col("event_id"))
+  }
+
+  /**
    * Streaming benchmark decontamination: corpus documents arriving through
    * the MQ micro-batch source are flagged against the eval set WITHOUT any
    * stream-side state or join — the benchmark's distinct shingle hashes
