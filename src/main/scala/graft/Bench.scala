@@ -10,7 +10,8 @@ object Bench {
     * so they only ever pay for themselves. */
   private val streamingEntries =
     Set("events_windowed_stream", "events_dedup_stream", "sessionize_stream",
-      "corpus_quality_stream", "decontaminate_stream", "events_enrich_stream")
+      "corpus_quality_stream", "decontaminate_stream", "events_enrich_stream",
+      "purchase_attribution_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,7 @@ object SparkEntry {
     "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
     "decontaminate_stream" -> (MqRoundtrip.decontaminateStream _),
     "events_enrich_stream" -> (MqRoundtrip.eventsEnrichStream _),
+    "purchase_attribution_stream" -> (MqRoundtrip.purchaseAttributionStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
     "bucketed_join" -> (Bucketed.bucketedJoinQuery _),
     "asof_join_events" -> (AsOfJoin.asofJoinEvents _),
@@ -261,6 +262,17 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+    // stream-stream interval join == the same interval join in batch
+    "purchase_attribution_stream" ->
+      """WITH l AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts AS r_ts, event_id AS view_id, event_type AS prior_type
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT l.user_id, purchase_id, view_id, prior_type,
+        | epoch_us(l.ts) - epoch_us(r_ts) AS gap_us
+        |FROM l JOIN r ON l.user_id = r.user_id
+        | AND r_ts <= l.ts AND r_ts >= l.ts - INTERVAL 6 HOUR
+        |ORDER BY purchase_id, view_id""".stripMargin,
     // batch islands-and-gaps formulation of the streaming sessionizer
     "sessionize_stream" ->
       """WITH m AS (

@@ -136,7 +136,7 @@ object MqRoundtrip {
       col("event_type"),
       col("value"))
     val conv = new RowMessageConverter(
-      events.schema, fieldDelimiter = "",
+      events.schema, fieldDelimiter = "\u0001",
       keyColumns = Seq("event_id"), writeKeysToBody = true)
     MessageQueueSink.write(
       events, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
@@ -148,7 +148,7 @@ object MqRoundtrip {
       .option("topic", topic).option("consumerGroup", "enrich")
       .option("rootDir", root).option("offsetResetTo", "earliest")
       .load()
-      .select(split(col("body"), "").as("f"))
+      .select(split(col("body"), "\u0001").as("f"))
       .select(element_at(col("f"), 1).cast("long").as("event_id"),
         element_at(col("f"), 3).cast("long").as("user_id"),
         element_at(col("f"), 4).as("event_type"),
@@ -162,6 +162,73 @@ object MqRoundtrip {
     q.awaitTermination()
     TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("event_id"))
+  }
+
+  /**
+   * Stream-stream interval join through the connector: purchases and prior
+   * views arrive as TWO independent streams off the same topic (separate
+   * consumer groups, like two subscriptions on a broker), both watermarked,
+   * inner-joined on user within a 6-hour event-time window — purchase
+   * attribution, the canonical stream-stream deployment. Watermarks bound
+   * the join state: each side buffers only rows newer than the other
+   * side's watermark minus the interval, so state is O(window x rate), not
+   * O(stream). Inner join in Append mode emits exactly the matched pairs;
+   * the oracle is the identical interval join in batch SQL, so the compare
+   * proves two streaming scans + watermarked state + interval-join
+   * semantics end to end.
+   */
+  def purchaseAttributionStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = sessionRoot("mq-attr", dir)
+    val topic = "events_attr"
+    TopicLog.deleteTopic(root, topic)
+
+    val events = Tables.events(spark, dir).select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("user_id"),
+      col("event_type"),
+      col("value"))
+    val conv = new RowMessageConverter(
+      events.schema, fieldDelimiter = "\u0001",
+      keyColumns = Seq("event_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      events, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    def stream(group: String) = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", group)
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "\u0001").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("event_id"),
+        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
+        element_at(col("f"), 3).cast("long").as("user_id"),
+        element_at(col("f"), 4).as("event_type"),
+        element_at(col("f"), 5).cast("double").as("value"))
+
+    val purchases = stream("attr-l")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("l_ts", "1 hour")
+    val views = stream("attr-r")
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("view_id"), col("event_type").as("prior_type"))
+      .withWatermark("r_ts", "1 hour")
+
+    val name = "events_attr_" + math.abs(dir.hashCode)
+    val q = purchases
+      .join(views, expr(
+        "l_user = r_user AND r_ts <= l_ts AND r_ts >= l_ts - INTERVAL 6 HOURS"))
+      .select(col("l_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("prior_type"),
+        (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TopicLog.deleteTopic(root, topic)
+    spark.table(name).orderBy(col("purchase_id"), col("view_id"))
   }
 
   /**
