@@ -66,6 +66,7 @@ object SparkEntry {
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
     "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
     "ngram_jaccard_inverted" -> (Dedup.ngramJaccardInvertedQuery _),
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
@@ -627,6 +628,22 @@ object SparkEntry {
          |ORDER BY jaccard DESC, doc_a, doc_b
          |LIMIT 100""".stripMargin,
     "dedup_minhash" -> jaccardOracle("0.7"),
+    // cross-set (incremental) dedup: new batch = %3==0 docs, history = the
+    // rest; exact Jaccard across the split, both orders collapsed onto
+    // (new_id, old_id)
+    "dedup_incremental" ->
+      s"""WITH $gramCtes,
+         |na AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 = 0),
+         |ha AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0),
+         |x AS (
+         |  SELECT n.doc_id AS new_id, h.doc_id AS old_id, count(*) AS common
+         |  FROM na n JOIN ha h ON n.g = h.g
+         |  GROUP BY 1, 2)
+         |SELECT new_id, old_id,
+         |  round(common::DOUBLE/(gn.n+go.n-common), 4) AS jaccard
+         |FROM x JOIN gc gn ON gn.doc_id = new_id JOIN gc go ON go.doc_id = old_id
+         |WHERE round(common::DOUBLE/(gn.n+go.n-common), 4) >= 0.7
+         |ORDER BY new_id, old_id""".stripMargin,
     "dedup_minhash_keep" ->
       s"""WITH RECURSIVE ${clusterCtes("0.7")}
         |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep

@@ -359,6 +359,76 @@ object Dedup {
   }
 
   /**
+   * Incremental (cross-set) near-dup detection: flag NEW documents whose
+   * true Jaccard against any EXISTING document reaches the threshold — the
+   * ingestion-time shape of dedup (today's crawl against the historical
+   * corpus), which self-join dedup doesn't express. Scale shape: the
+   * historical side pays signatures/bands once (in production persist
+   * them, the way [[graft.operators.Similarity.writeIvfIndex]] persists
+   * cells — signatures are 8x64 bytes/doc, a rounding error next to text),
+   * each incoming batch pays signatures for ITS OWN rows plus one band
+   * equi-join against the historical bands; history's TEXT is only touched
+   * for est-prefiltered verify candidates via a semi-join. Never a
+   * self-join of the union, so batch cost scales with batch size x
+   * collision density, not corpus size.
+   */
+  def crossNearDups(newDocs: DataFrame, oldDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 4, threshold: Double = 0.7,
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+    val newSigs = minHashSignatures(newDocs, textCol, idCol, numHashes, shingleN, seed)
+      .localCheckpoint()
+    val oldSigs = minHashSignatures(oldDocs, textCol, idCol, numHashes, shingleN, seed)
+      .localCheckpoint()
+    val newBands = lshBands(newSigs, idCol, numBands, numHashes)
+      .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
+    val oldBands = lshBands(oldSigs, idCol, numBands, numHashes)
+      .select(col(idCol).as("old_id"), col("band"), col("band_hash"))
+    val est = graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b"))
+    // distinct before the sig joins, est-prefilter before the shingle join —
+    // same staging as ngramJaccard (see notes there); the band join keeps
+    // its shuffle-hash pin against the explode-stale-estimate broadcast trap
+    val candidates = newBands
+      .join(oldBands.hint("shuffle_hash"), Seq("band", "band_hash"))
+      .select("new_id", "old_id").distinct()
+      .join(newSigs.select(col(idCol).as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(oldSigs.select(col(idCol).as("old_id"), col("sig").as("sig_b")), "old_id")
+      .filter(est >= math.max(0.0, threshold - 0.15))
+      .select("new_id", "old_id").localCheckpoint()
+    val newSh = newDocs
+      .join(candidates.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("new_id"), shingleHashes(col(textCol), shingleN).as("shs_a"))
+      .filter(size(col("shs_a")) > 0)
+    val oldSh = oldDocs
+      .join(candidates.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("old_id"), shingleHashes(col(textCol), shingleN).as("shs_b"))
+      .filter(size(col("shs_b")) > 0)
+    candidates
+      .join(newSh, "new_id")
+      .join(oldSh, "old_id")
+      .withColumn("common",
+        graft.functions.GraftFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+      .distinct()
+  }
+
+  /** Query entry (oracle-checked): the %3==0 docs arrive as the new batch
+    * against the rest as the historical corpus; exact cross-set Jaccard >=
+    * 0.7 decides, so DuckDB reproduces the full answer (banding recall as
+    * in [[minHashNearDupsVerified]]). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    crossNearDups(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  /**
    * Inverted-index variant (no MinHash): df-capped Jaccard for every pair
    * sharing a shingle rarer than `maxDf`. NOTE the cap biases the estimate
    * low: only sub-cap shingles count toward `common` while the denominators

@@ -124,6 +124,30 @@ class DedupSpec extends SparkSpec {
       s"candidate growth ${big.toDouble / small}x across a 10x corpus (small=$small big=$big) — quadratic blowup")
   }
 
+  test("crossNearDups flags only new-vs-old pairs, never within-set ones") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog every single day again"
+    val oldDocs = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1 — but both are OLD: not reported
+      (3L, "completely different text about query planners and shuffles")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base + " today"), // near-dup of old 1 and 2 -> flagged
+      (11L, base + " today!"), // near-dup of 10 (NEW) and of old 1/2
+      (12L, "unrelated fresh content nothing shared with anything at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossNearDups(newDocs, oldDocs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair crosses the sets
+    out.foreach { case (n, o) => assert(Set(10L, 11L, 12L)(n) && Set(1L, 2L, 3L)(o)) }
+    assert(out.contains((10L, 1L)) && out.contains((10L, 2L)))
+    assert(out.contains((11L, 1L)))
+    assert(!out.exists { case (n, o) => n == 12L || o == 3L })
+    // the new-vs-new near-dup pair (10, 11) must NOT appear in any order
+    assert(!out.contains((10L, 11L)) && !out.contains((11L, 10L)))
+  }
+
   test("minhash band-join candidate volume is guarded against blowup") {
     // sum over (band, band_hash) of c*(c-1)/2 is the output size of the band
     // join feeding ngram_jaccard / dedup_minhash's verify stage. Two guards:
