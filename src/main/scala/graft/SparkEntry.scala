@@ -62,6 +62,8 @@ object SparkEntry {
     "gram_coverage" -> (Dedup.gramCoverageQuery _),
     "text_logprob" -> (CorpusPipeline.corpusLogProb _),
     "corpus_assemble" -> (CorpusPipeline.corpusAssemble _),
+    "chunk_documents" -> (CorpusPipeline.corpusChunk _),
+    "corpus_shuffle" -> (CorpusPipeline.corpusShuffle _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -408,6 +410,21 @@ object SparkEntry {
         | round(avg(ln(c::DOUBLE / (SELECT total FROM t))), 4) AS logprob
         |FROM wt JOIN f USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the sharded global rank must equal the naive single-window rank
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        | row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS shuffle_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // overlapping fixed-width chunks: stride 224 = 256 - 32 overlap;
+    // start k while k*stride < len, final chunk may be short
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+        |k AS (SELECT doc_id, text,
+        |  unnest(generate_series(0, (n - 1) // 224)) AS chunk_idx FROM t)
+        |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+        | substr(text, (chunk_idx * 224 + 1)::INT, 256) AS chunk,
+        | length(substr(text, (chunk_idx * 224 + 1)::INT, 256))::BIGINT AS n_chars
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
     // the composed corpus-assembly contract: every stage (quality gate ->
     // decontamination -> domain mix over SURVIVOR token totals -> packing)
     // re-derived in SQL, so drift in any stage or hand-off flips the hash

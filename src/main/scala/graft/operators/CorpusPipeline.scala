@@ -251,6 +251,65 @@ object CorpusPipeline {
       .orderBy(col("doc_id"))
 
   /**
+   * Deterministic training-order shuffle: every doc gets a stable global
+   * rank in a pseudorandom order — md5 of the id, reproducible across
+   * engines, runs, and cluster sizes, so a training run's data order can
+   * be re-derived from the corpus + nothing. The naive formulation is
+   * row_number() OVER (ORDER BY key): one partition sorts the whole
+   * corpus, dead at scale. Two-pass shard decomposition instead (the
+   * [[packSequences]] shape, which is distributed zipWithIndex): shard =
+   * key prefix (256 shards here; at larger scales lengthen the prefix —
+   * the trade is shard-table rows vs per-shard sort size), rank within
+   * the bounded shard, plus per-shard base offsets cumulated over the
+   * tiny shard table and broadcast back.
+   */
+  def shuffleRank(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(col(idCol), md5(col(idCol).cast("string")).as("skey"))
+      .withColumn("shard", substring(col("skey"), 1, 2))
+    val byShard = org.apache.spark.sql.expressions.Window.orderBy("shard")
+    // 256-row table: the single-partition window is driver-trivial
+    val base = d.groupBy("shard").agg(count(lit(1)).as("c"))
+      .select(col("shard"), coalesce(
+        sum("c").over(byShard.rowsBetween(Long.MinValue, -1)), lit(0L)).as("base"))
+    val inShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("skey"), col(idCol))
+    d.join(broadcast(base), "shard")
+      .withColumn("shuffle_rank",
+        col("base") + row_number().over(inShard).cast("long") - 1L)
+      .select(col(idCol), col("shuffle_rank"))
+  }
+
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    shuffleRank(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /**
+   * Overlapping fixed-width chunking — the preprocessing step every
+   * embedding/RAG pipeline runs before vectorizing long documents. Chunk k
+   * of a doc covers characters [k*stride, k*stride + chunkChars) with
+   * stride = chunkChars - overlap; starts run while they fall inside the
+   * text, so the final chunk may be short (and a doc shorter than one
+   * chunk yields exactly itself). Pure scan-stage explode + substring:
+   * output volume is len/stride rows per doc, no shuffle, no state — the
+   * shape survives any corpus size unchanged.
+   */
+  def chunkDocuments(docs: DataFrame, chunkChars: Int = 256, overlap: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val stride = chunkChars - overlap
+    require(stride > 0, s"overlap ($overlap) must be smaller than chunkChars ($chunkChars)")
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0),
+          floor((length(col(textCol)) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        expr(s"substring($textCol, chunk_idx * $stride + 1, $chunkChars)").as("chunk"))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
+
+  def corpusChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /**
    * Unigram language-model score per document: mean ln(corpus probability)
    * of its tokens — the CCNet-style fluency signal (word-salad and spam
    * score far below natural text against the corpus's own distribution;

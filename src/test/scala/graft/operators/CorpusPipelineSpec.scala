@@ -134,6 +134,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("shuffleRank is a permutation matching the naive global ordering") {
+    val out = CorpusPipeline.shuffleRank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = out.length
+    // a permutation of 0..n-1
+    assert(out.map(_._2).sorted.toSeq === (0L until n).toSeq)
+    // equals the naive one-window rank (what the sharding decomposes)
+    val naive = docs.select(col("doc_id"))
+      .withColumn("k", md5(col("doc_id").cast("string")))
+      .orderBy(col("k"), col("doc_id")).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, r) => assert(r === naive(id), s"doc $id") }
+    // order is decoupled from id order: not the identity permutation
+    assert(out.toMap.count { case (id, r) => id == r } < n / 10)
+  }
+
+  test("chunkDocuments: coverage, overlap, and reassembly invariants") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val docs = Seq((1L, text), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val out = CorpusPipeline.chunkDocuments(docs, chunkChars = 256, overlap = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      .sortBy(c => (c._1, c._2))
+    // empty doc yields nothing; short doc yields itself
+    assert(!out.exists(_._1 == 3L))
+    assert(out.filter(_._1 == 2L).map(_._3) === Seq("short"))
+    val chunks = out.filter(_._1 == 1L)
+    // starts at k*224 while < 520 -> k = 0, 1, 2
+    assert(chunks.length === 3)
+    chunks.zipWithIndex.foreach { case ((_, idx, c), k) =>
+      assert(idx === k)
+      assert(c === text.substring(k * 224, math.min(k * 224 + 256, text.length)))
+    }
+    // consecutive chunks overlap by exactly 32 chars
+    chunks.sliding(2).foreach { case Seq((_, _, a), (_, _, b)) =>
+      assert(a.takeRight(32) === b.take(32))
+    }
+    // stripping each chunk's 32-char overlap prefix (except the first)
+    // reassembles the original text exactly
+    val reassembled = chunks.head._3 + chunks.tail.map(_._3.drop(32)).mkString
+    assert(reassembled === text)
+  }
+
   test("assembleCorpus: stage containment, quarter cut, packing consistency") {
     val out = CorpusPipeline.corpusAssemble(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
