@@ -472,10 +472,10 @@ object SparkEntry {
         |ch AS (SELECT cfrac, count(*) AS c FROM cfr GROUP BY cfrac),
         |ck AS (SELECT cfrac FROM (
         | SELECT cfrac,
-        |  coalesce(sum(c) OVER (ORDER BY cfrac DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gt,
+        |  coalesce(sum(c) OVER (ORDER BY cfrac
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
         |  sum(c) OVER () AS tot
-        | FROM ch) WHERE gt * 4 >= tot * 1),
+        | FROM ch) WHERE lt * 4 <= tot * 3),
         |clean AS (SELECT kp.doc_id, kp.source, kp.n_tokens
         | FROM kept kp JOIN cfr USING (doc_id)
         | WHERE cfr.cfrac IN (SELECT cfrac FROM ck)),

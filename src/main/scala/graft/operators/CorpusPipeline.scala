@@ -301,7 +301,7 @@ object CorpusPipeline {
         explode(sequence(lit(0),
           floor((length(col(textCol)) - 1) / stride).cast("int"))).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
-        expr(s"substring($textCol, chunk_idx * $stride + 1, $chunkChars)").as("chunk"))
+        col(textCol).substr(col("chunk_idx") * stride + 1, lit(chunkChars)).as("chunk"))
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
 
@@ -362,11 +362,15 @@ object CorpusPipeline {
    * template-heavy corpus (every synthetic doc shares scattered grams with
    * any eval slice), and a fixed fraction threshold saturates as the eval
    * set grows (measured: the same corpus sits at ~0.3 shared-fraction
-   * against a 5-doc eval set, ~0.86 against a 50-doc one). Dropping the
-   * worst `dropNum/dropDen` BY VALUE over the bounded 4-dp fraction
-   * histogram is meaningful at every scale and reuses [[qualityFilter]]'s
-   * audited quantile-cut shape: histogram ≤ 10001 rows at any corpus size,
-   * integer-exact cut arithmetic, verdict broadcast back as a semi-join.
+   * against a 5-doc eval set, ~0.86 against a 50-doc one). Dropping AT
+   * MOST the worst `dropNum/dropDen` BY VALUE over the bounded 4-dp
+   * fraction histogram is meaningful at every scale and reuses
+   * [[qualityFilter]]'s audited quantile-cut shape: histogram ≤ 10001 rows
+   * at any corpus size, integer-exact cut arithmetic, verdict broadcast
+   * back as a semi-join. The cut is tie-conservative — a value is dropped
+   * only when its whole tie-bucket sits inside the worst quarter — so a
+   * uniformly CLEAN corpus (one giant cfrac-0 bucket) keeps everything
+   * rather than losing an arbitrary, or worse total, slice.
    *
    * Scale shape: three scan-stage kernel passes over the corpus (quality
    * histogram, contamination screen, token counts), one broadcast semi-join
@@ -396,16 +400,21 @@ object CorpusPipeline {
     // unpartitioned windows over the HISTOGRAM (≤ 10001 rows at any corpus
     // size) — the one-partition WindowExec is driver-trivial by design,
     // same as qualityFilter's per-language variant
-    val byCfDesc = org.apache.spark.sql.expressions.Window.orderBy(col("cfrac").desc)
+    val byCfAsc = org.apache.spark.sql.expressions.Window.orderBy(col("cfrac"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val keepValues = hist
       .select(col("cfrac"),
-        coalesce(sum("c").over(byCfDesc.rowsBetween(Long.MinValue, -1)), lit(0L)).as("gt"),
+        coalesce(sum("c").over(byCfAsc.rowsBetween(Long.MinValue, -1)), lit(0L)).as("lt"),
         sum("c").over(all).as("tot"))
-      // keep value v iff at least dropNum/dropDen of the corpus scores
-      // STRICTLY above it — integer-exact, so both engines cut identically
-      .filter(col("gt") * dropDen >= col("tot") * dropNum)
+      // DROP value v only when more than (dropDen-dropNum)/dropDen of the
+      // corpus scores STRICTLY BELOW it — i.e. v's whole tie-bucket sits
+      // inside the worst quarter. Integer-exact, and conservative on ties:
+      // a uniformly clean corpus (every doc at the same cfrac, lt = 0
+      // everywhere) keeps EVERYTHING, where a strictly-above formulation
+      // would drop the single bucket and with it the whole corpus. Drops
+      // at most dropNum/dropDen of the docs by construction.
+      .filter(col("lt") * dropDen <= col("tot") * (dropDen - dropNum))
       .select("cfrac")
     val clean = kept.join(
       cfrac.join(broadcast(keepValues), Seq("cfrac"), "left_semi").select("doc_id"),

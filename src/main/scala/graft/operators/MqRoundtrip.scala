@@ -21,13 +21,51 @@ object MqRoundtrip {
   /** Queue-log root reused across invocations for the same (kind, dir) —
     * a fresh createTempDirectory per call leaked a full corpus copy every
     * Bench iteration / test run; deleteTopic at the start of each run
-    * wipes the previous log, so disk stays bounded at one copy per kind. */
+    * wipes the previous log, so disk stays bounded at one copy per kind.
+    *
+    * Contract: one JVM drives a given (kind, dir) at a time — the driver
+    * runs Verify/Bench sequentially, and within one run each entry fully
+    * materializes before its next invocation rewrites the log. Two
+    * CONCURRENT engines on the same testdata must isolate via distinct
+    * java.io.tmpdir (fresh-per-call dirs would silently re-leak instead). */
   private def sessionRoot(kind: String, dir: String): String = {
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-$kind-${math.abs(dir.hashCode)}")
+      s"graft-$kind-${java.lang.Math.floorMod(dir.hashCode, 1 << 30)}")
     Files.createDirectories(base)
     base.toString
   }
+
+  /** The shared events-topic wire format of [[eventsEnrichStream]] and
+    * [[purchaseAttributionStream]]: (event_id, ts_us, user_id, event_type,
+    * value) on a U+0001 delimiter. Write + positional parse live HERE so a
+    * projection change cannot desynchronize the element_at indices. */
+  private def writeEventsTopic(
+      spark: SparkSession, dir: String, root: String, topic: String): Unit = {
+    val events = Tables.events(spark, dir).select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("user_id"),
+      col("event_type"),
+      col("value"))
+    val conv = new RowMessageConverter(
+      events.schema, fieldDelimiter = "\u0001",
+      keyColumns = Seq("event_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      events, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+  }
+
+  private def readEventsStream(
+      spark: SparkSession, root: String, topic: String, group: String): DataFrame =
+    spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", group)
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "\u0001").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("event_id"),
+        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
+        element_at(col("f"), 3).cast("long").as("user_id"),
+        element_at(col("f"), 4).as("event_type"),
+        element_at(col("f"), 5).cast("double").as("value"))
 
   def mqRoundtripEvents(spark: SparkSession, dir: String): DataFrame = {
     // batch path: the returned frame scans the log LAZILY, so the root must
@@ -128,31 +166,13 @@ object MqRoundtrip {
     val root = sessionRoot("mq-enrich", dir)
     val topic = "events_enrich"
     TopicLog.deleteTopic(root, topic)
-
-    val events = Tables.events(spark, dir).select(
-      col("event_id"),
-      unix_micros(col("ts")).as("ts_us"),
-      col("user_id"),
-      col("event_type"),
-      col("value"))
-    val conv = new RowMessageConverter(
-      events.schema, fieldDelimiter = "\u0001",
-      keyColumns = Seq("event_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      events, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+    writeEventsTopic(spark, dir, root, topic)
 
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     val name = "events_enrich_" + math.abs(dir.hashCode)
-    val q = spark.readStream.format("graft-mq")
-      .option("topic", topic).option("consumerGroup", "enrich")
-      .option("rootDir", root).option("offsetResetTo", "earliest")
-      .load()
-      .select(split(col("body"), "\u0001").as("f"))
-      .select(element_at(col("f"), 1).cast("long").as("event_id"),
-        element_at(col("f"), 3).cast("long").as("user_id"),
-        element_at(col("f"), 4).as("event_type"),
-        element_at(col("f"), 5).cast("double").as("value"))
+    val q = readEventsStream(spark, root, topic, "enrich")
+      .drop("ts")
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_mktsegment"), col("value"))
@@ -181,29 +201,9 @@ object MqRoundtrip {
     val root = sessionRoot("mq-attr", dir)
     val topic = "events_attr"
     TopicLog.deleteTopic(root, topic)
+    writeEventsTopic(spark, dir, root, topic)
 
-    val events = Tables.events(spark, dir).select(
-      col("event_id"),
-      unix_micros(col("ts")).as("ts_us"),
-      col("user_id"),
-      col("event_type"),
-      col("value"))
-    val conv = new RowMessageConverter(
-      events.schema, fieldDelimiter = "\u0001",
-      keyColumns = Seq("event_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      events, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
-
-    def stream(group: String) = spark.readStream.format("graft-mq")
-      .option("topic", topic).option("consumerGroup", group)
-      .option("rootDir", root).option("offsetResetTo", "earliest")
-      .load()
-      .select(split(col("body"), "\u0001").as("f"))
-      .select(element_at(col("f"), 1).cast("long").as("event_id"),
-        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
-        element_at(col("f"), 3).cast("long").as("user_id"),
-        element_at(col("f"), 4).as("event_type"),
-        element_at(col("f"), 5).cast("double").as("value"))
+    def stream(group: String) = readEventsStream(spark, root, topic, group)
 
     val purchases = stream("attr-l")
       .filter(col("event_type") === "purchase")
@@ -256,17 +256,21 @@ object MqRoundtrip {
     MessageQueueSink.write(
       corpus, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
 
-    val benchShingles: Array[Long] = all.filter(col("doc_id") % 97 === 0)
+    val benchDistinct = all.filter(col("doc_id") % 97 === 0)
       .select(explode(Dedup.shingleHashes(col("text"), 8)).as("sh"))
-      .distinct().orderBy(col("sh"))
-      .collect().map(_.getLong(0))
-    // the driver-sized contract, ENFORCED (not just commented): the literal
-    // rides into every task's plan, so an oversized eval set would OOM the
-    // driver or bloat task serialization silently. 1M hashes = 8 MB — past
-    // that, screen via the batch broadcast join instead.
-    require(benchShingles.length <= (1 << 20),
-      s"eval-set shingle count ${benchShingles.length} exceeds the literal-plan bound (2^20); " +
+      .distinct().localCheckpoint()
+    // the driver-sized contract, ENFORCED BEFORE the collect (a require
+    // after it would fire only if the driver survived materializing the
+    // oversized array): the literal rides into every task's plan, so an
+    // oversized eval set would OOM the driver or bloat task serialization
+    // silently. 1M hashes = 8 MB — past that, screen via the batch
+    // broadcast join instead.
+    val n = benchDistinct.count()
+    require(n <= (1L << 20),
+      s"eval-set shingle count $n exceeds the literal-plan bound (2^20); " +
         "use CorpusPipeline.decontaminate's broadcast join for benchmark sets this large")
+    val benchShingles: Array[Long] = benchDistinct.orderBy(col("sh"))
+      .collect().map(_.getLong(0))
 
     val name = "docs_decon_" + math.abs(dir.hashCode)
     val q = spark.readStream.format("graft-mq")

@@ -322,10 +322,14 @@ object Similarity {
       k: Int, nprobe: Int): DataFrame = {
     val (indexed, centroids) = readIvfIndex(spark, path)
     val probeN = math.min(nprobe, centroids.length)
+    // checkpoint: the cell-list collect below and the join both consume
+    // probeCells — uncheckpointed, an expensive probes subquery would
+    // execute twice per call
     val probeCells = probes
       .withColumn("cell", explode(
         graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
       .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
+      .localCheckpoint()
     val cells = probeCells.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))

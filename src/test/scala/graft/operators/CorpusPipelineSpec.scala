@@ -182,15 +182,14 @@ class CorpusPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.nonEmpty)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-    // survivors are a subset of the quality-kept set, and the relative
-    // decontamination dropped roughly (not more than slightly over) a
-    // quarter of it — value-threshold ties can only push the cut deeper
+    // survivors are a subset of the quality-kept set; the relative
+    // decontamination drops AT MOST a quarter (tie-conservative), mixing
+    // then drops per-source buckets, and the binding sources keep
+    // everything: well above zero
     val kept = CorpusPipeline.qualityFilter(corpus).collect().map(_.getLong(0)).toSet
     val survivors = out.map(_._1).toSet
     assert(survivors.subsetOf(kept))
-    // mixing then drops per-source buckets, so survivors <= 3/4 of kept,
-    // but the binding sources keep everything: well above zero
-    assert(survivors.size <= math.ceil(kept.size * 0.75).toInt)
+    assert(survivors.size < kept.size) // this corpus has contamination spread
     assert(survivors.size > kept.size / 4)
     // packing is internally consistent: per source in doc_id order the
     // (seq_id, seq_offset) sequence equals the running token sum
@@ -205,6 +204,25 @@ class CorpusPipelineSpec extends SparkSpec {
     val again = CorpusPipeline.corpusAssemble(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.toSeq === out.toSeq)
+  }
+
+  test("assembleCorpus keeps a uniformly clean corpus whole") {
+    import spark.implicits._
+    // no doc shares any 8-gram with the benchmark -> every cfrac is 0, one
+    // giant tie bucket; the tie-conservative cut must keep EVERYTHING (a
+    // strictly-above formulation silently dropped the entire corpus here)
+    val clean = (1L to 40L)
+      .map(i => (i, s"clean document number $i with plenty of ordinary words", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((1000L, "zzzz qqqq xxxx wwww completely disjoint benchmark"))
+      .toDF("doc_id", "text")
+    val kept = CorpusPipeline.qualityFilter(clean).collect().map(_.getLong(0)).toSet
+    val out = CorpusPipeline.assembleCorpus(clean, bench, Map("src0" -> 1.0))
+      .collect().map(_.getLong(0)).toSet
+    // single source is binding (rate 1000): mixing drops nothing either,
+    // so the assembled corpus is exactly the quality-kept set
+    assert(out === kept)
+    assert(out.nonEmpty)
   }
 
   test("unigramLogProb: repeated-common-token docs score above rare-token docs") {
