@@ -25,7 +25,8 @@ object PlanDump {
       "corpus_sample", "vocab_topk", "decontaminate",
       "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup",
       "domain_mix", "gram_coverage", "text_logprob",
-      "semantic_dedup_lsh", "corpus_assemble")
+      "semantic_dedup_lsh", "corpus_assemble",
+      "dedup_incremental", "chunk_documents", "corpus_shuffle", "ann_ivf_indexed")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 7)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -45,6 +46,13 @@ object PlanDump {
     sb.append("`quality_filter` re-attaches the histogram verdict via a\n")
     sb.append("BroadcastHashJoin semi-join; `pack_sequences` windows only inside\n")
     sb.append("bounded (source, shard) partitions with broadcast base offsets.\n")
+    sb.append("Round-7 additions: `dedup_incremental` joins batch bands against\n")
+    sb.append("history bands (hash join, history never self-joined);\n")
+    sb.append("`chunk_documents` and `corpus_shuffle` must show no Exchange\n")
+    sb.append("beyond corpus_shuffle's one bounded-shard aggregation;\n")
+    sb.append("`ann_ivf_indexed` must show PartitionFilters pruning the\n")
+    sb.append("unprobed cells of the persisted index (dynamic IN filter on\n")
+    sb.append("the cell partition column).\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")
