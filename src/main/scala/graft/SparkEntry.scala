@@ -64,6 +64,9 @@ object SparkEntry {
     "corpus_assemble" -> (CorpusPipeline.corpusAssemble _),
     "chunk_documents" -> (CorpusPipeline.corpusChunk _),
     "corpus_shuffle" -> (CorpusPipeline.corpusShuffle _),
+    "segment_dedup" -> (Dedup.segmentDedupQuery _),
+    "domain_resample" -> (CorpusPipeline.domainResampleQuery _),
+    "corpus_split" -> (CorpusPipeline.corpusSplitQuery _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -425,6 +428,47 @@ object SparkEntry {
         | substr(text, (chunk_idx * 224 + 1)::INT, 256) AS chunk,
         | length(substr(text, (chunk_idx * 224 + 1)::INT, 256))::BIGINT AS n_chars
         |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+    // C4-style repeated-segment removal: drop every occurrence of any
+    // 6-word segment repeating >= 2 times corpus-wide, reassemble in order
+    "segment_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE length(text) > 0),
+        |segs AS (SELECT doc_id, i AS seg_idx,
+        |  array_to_string(w[(i*6+1):(i*6+6)], ' ') AS seg
+        | FROM words, unnest(generate_series(0, (len(w) - 1) // 6)) AS u(i)),
+        |bad AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 2)
+        |SELECT s.doc_id,
+        | coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+        |   FILTER (WHERE b.seg IS NULL), '') AS clean_text,
+        | count(*) AS n_segs,
+        | count(b.seg) AS n_dropped
+        |FROM segs s LEFT JOIN bad b USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // alpha=0.5 temperature resampling normalized by the min-count domain:
+    // rate = round(1000*cap*sqrt(n_min/n)) uses only IEEE-exact ops
+    // (long->double, division, sqrt), so both engines compute the same
+    // double bit pattern — no float sum across domains anywhere
+    "domain_resample" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |rates AS (SELECT source,
+        |  round(3000.0 * sqrt((SELECT min(n) FROM counts)::DOUBLE / n::DOUBLE))::BIGINT AS r_pm
+        | FROM counts),
+        |d AS (SELECT doc_id, documents.source,
+        |  r_pm // 1000 + CASE WHEN (doc_id::HUGEINT * 2654435761) % 1000 < r_pm % 1000
+        |    THEN 1 ELSE 0 END AS copies
+        | FROM documents JOIN rates USING (source))
+        |SELECT doc_id, source, i::BIGINT AS copy_idx
+        |FROM d, unnest(generate_series(1, copies)) AS u(i)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+    // deterministic stratified split over the same bucket hash as
+    // corpus_sample (hugeint mirror of the overflow-safe 32-bit split)
+    "corpus_split" ->
+      """SELECT doc_id, source, lang,
+        | ((doc_id::HUGEINT * 2654435761) % 1000)::BIGINT AS bucket,
+        | CASE WHEN (doc_id::HUGEINT * 2654435761) % 1000 < 10 THEN 'test'
+        |      WHEN (doc_id::HUGEINT * 2654435761) % 1000 < 20 THEN 'val'
+        |      ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the composed corpus-assembly contract: every stage (quality gate ->
     // decontamination -> domain mix over SURVIVOR token totals -> packing)
     // re-derived in SQL, so drift in any stage or hand-off flips the hash

@@ -438,4 +438,76 @@ object CorpusPipeline {
       (0 to 4).map(i => s"src$i" -> 3.0).toMap)
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * Temperature-flattened domain resampling (the Gopher/LLaMA mixing step,
+   * alpha = 0.5): each doc's expected copy count is proportional to
+   * n_source^(alpha-1), so small domains are seen more often per doc than
+   * raw frequency and large ones less, normalized so every doc of the
+   * SMALLEST domain appears exactly `capCopies` times. Sampling with
+   * replacement, made deterministic: integer part of the per-domain rate
+   * plus one extra copy for docs whose [[sampleBucket]] falls under the
+   * fractional part in per-mille — re-derivable from corpus + config
+   * alone, like every sampling op here.
+   *
+   * Cross-engine exactness: the rate is round(1000*cap*sqrt(n_min/n)) —
+   * long-to-double conversion, division and sqrt are all IEEE-exact /
+   * correctly-rounded, and min over longs is order-independent, so Spark
+   * and the SQL oracle compute the SAME double bit pattern (no float SUM
+   * across domains, whose accumulation order would differ — the reason
+   * this normalizes by the min-count domain, not the alpha-power total).
+   *
+   * Scale: one domain-cardinality count agg, rates broadcast back, copies
+   * materialized by an explode that is pure scan-stage — output size is
+   * sum of copies, never corpus x domains.
+   */
+  def domainResample(docs: DataFrame, capCopies: Double = 3.0): DataFrame = {
+    require(capCopies >= 1.0, s"capCopies=$capCopies must be >= 1")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // one row per domain — the unpartitioned window is driver-trivial
+    val rates = counts
+      .withColumn("nmin", min("n").over(all))
+      .select(col("source"),
+        round(lit(1000.0 * capCopies) *
+          sqrt(col("nmin").cast("double") / col("n").cast("double")))
+          .cast("long").as("r_pm"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("copies",
+        floor(col("r_pm") / lit(1000L)).cast("long") +
+          when(sampleBucket(col("doc_id")) < col("r_pm") % 1000, 1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+  }
+
+  def domainResampleQuery(spark: SparkSession, dir: String): DataFrame =
+    domainResample(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("copy_idx"))
+
+  /**
+   * Deterministic stratified train/val/test split: assignment is a pure
+   * function of the doc id via [[sampleBucket]] — no rand(), no global
+   * sort, no state — so the split is identical across runs, engines and
+   * cluster sizes, and any doc's membership can be recomputed in O(1)
+   * (the property that makes held-out contamination auditable; pair with
+   * [[graft.operators.Dedup.crossNearDups]] to check near-dup leakage
+   * between the resulting splits). Pure scan-stage projection: zero
+   * shuffle at any corpus size.
+   */
+  def corpusSplit(docs: DataFrame, testPm: Int = 10, valPm: Int = 10): DataFrame = {
+    require(testPm >= 0 && valPm >= 0 && testPm + valPm <= 1000,
+      s"testPm=$testPm valPm=$valPm")
+    val bucket = sampleBucket(col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("lang"),
+      bucket.as("bucket"),
+      when(bucket < testPm, lit("test"))
+        .when(bucket < testPm + valPm, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
+  def corpusSplitQuery(spark: SparkSession, dir: String): DataFrame =
+    corpusSplit(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
 }

@@ -630,4 +630,58 @@ object Dedup {
 
   def corpusClean(spark: SparkSession, dir: String): DataFrame =
     cleanCorpus(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---- segment-level dedup (C4-style repeated-span removal) ----
+
+  /**
+   * Sub-document dedup: remove every occurrence of any fixed-width word
+   * segment that repeats >= minCount times across the corpus — the
+   * C4/RefinedWeb boilerplate-line step, re-expressed for corpora whose
+   * "lines" are word windows. Whole-doc dedup ([[exact]], [[dedupMinhash]])
+   * misses templated spans shared by otherwise-distinct docs; this removes
+   * the spans themselves and reassembles each doc from its surviving
+   * segments in original order (docs reduced to nothing stay as empty rows
+   * — the caller decides whether to drop them).
+   *
+   * Scale shape: segment explode is narrow; the occurrence count is one
+   * shuffle on md5(segment) with map-side partials (segment-vocabulary
+   * cardinality, like [[graft.operators.CorpusPipeline.vocabTopK]]); the
+   * repeated-segment set (count >= minCount) is typically a tiny fraction
+   * of the vocabulary — boilerplate — but derives from an aggregate whose
+   * size estimate Catalyst can't trust, so the join back is pinned
+   * shuffle-hash rather than gambling on a broadcast of an unbounded set
+   * (the stale-estimate trap documented at [[ngramJaccard]]); reassembly
+   * is one groupBy on the doc id. Three bounded shuffles, no pairwise
+   * stage anywhere.
+   */
+  def segmentDedup(docs: DataFrame, segWords: Int = 6, minCount: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(segWords > 0 && minCount > 1, s"segWords=$segWords minCount=$minCount")
+    val segs = docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / segWords).cast("int"))).as("seg_idx"),
+        col("w"))
+      .select(col(idCol), col("seg_idx"),
+        array_join(slice(col("w"), col("seg_idx") * segWords + 1, lit(segWords)), " ")
+          .as("seg"))
+      .withColumn("k", md5(col("seg")))
+    val repeated = segs.groupBy("k").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    segs.join(repeated.hint("shuffle_hash"), Seq("k"), "left")
+      .withColumn("dup", col("c").isNotNull)
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("dup"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_segs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  def segmentDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
 }

@@ -242,6 +242,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - math.round(math.log(0.1) * 10000.0) / 10000.0) < 1e-9)
   }
 
+  test("domainResample: min-domain docs get exactly capCopies, rates flatten by sqrt") {
+    import spark.implicits._
+    // domains sized 2 / 8 / 32: rates r_pm = 3000*sqrt(2/n) = 3000 / 1500 / 750
+    val corpus = ((0 until 2).map(i => (i.toLong, "a")) ++
+      (100 until 108).map(i => (i.toLong, "b")) ++
+      (200 until 232).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val out = CorpusPipeline.domainResample(corpus, capCopies = 3.0)
+    val copies = out.groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(copies("a") === 6L) // every min-domain doc exactly 3 times
+    // per-doc seen-rate strictly decreases with domain size (temperature
+    // flattening), while copy_idx stays 1-based and dense per doc
+    val perDoc = Map("a" -> copies("a") / 2.0, "b" -> copies("b") / 8.0,
+      "c" -> copies("c") / 32.0)
+    assert(perDoc("a") > perDoc("b") && perDoc("b") > perDoc("c"))
+    val byDoc = out.groupBy("doc_id").agg(max("copy_idx").as("m"), count(lit(1)).as("k"))
+      .collect()
+    byDoc.foreach(r => assert(r.getLong(1) === r.getLong(2))) // copy_idx dense 1..k
+    assert(out.collect().map(_.toSeq).toSet ===
+      CorpusPipeline.domainResample(corpus, 3.0).collect().map(_.toSeq).toSet)
+  }
+
+  test("corpusSplit is a deterministic partition consistent with its buckets") {
+    val out = CorpusPipeline.corpusSplit(docs).collect()
+    assert(out.length === docs.count()) // every doc in exactly one split
+    out.foreach { r =>
+      val (bucket, split) = (r.getLong(3), r.getString(4))
+      val expect = if (bucket < 10) "test" else if (bucket < 20) "val" else "train"
+      assert(split === expect, s"bucket $bucket labeled $split")
+    }
+    val bySplit = out.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0))
+    // all-train degenerate config
+    val allTrain = CorpusPipeline.corpusSplit(docs, testPm = 0, valPm = 0)
+      .select("split").distinct().collect().map(_.getString(0))
+    assert(allTrain.toSeq === Seq("train"))
+  }
+
   test("decontaminate plan broadcasts the benchmark side (no exploded-corpus shuffle)") {
     val docs97 = docs.filter(col("doc_id") % 97 =!= 0)
     val bench97 = docs.filter(col("doc_id") % 97 === 0)

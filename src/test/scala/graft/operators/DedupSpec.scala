@@ -270,4 +270,35 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minHashNearDups(Tables.documents(spark, sfDir), threshold = 0.5).count()
     assert(pairs > 0)
   }
+
+  test("segmentDedup drops corpus-repeated segments, keeps order, keeps emptied docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b x y c d"), // segs: "a b" | "x y" | "c d"
+      (2L, "x y e f"),     // segs: "x y" | "e f"
+      (3L, "x q y r"),     // segs unique — untouched
+      (4L, "x y x y"),     // both segs repeated → doc emptied, row kept
+      (5L, "p q r")        // odd word count: short tail segment "r"
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, segWords = 2, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // "x y" occurs 4 times across docs 1, 2, 4 → every occurrence removed
+    assert(out(0) === ((1L, "a b c d", 3L, 1L)))
+    assert(out(1) === ((2L, "e f", 2L, 1L)))
+    assert(out(2) === ((3L, "x q y r", 2L, 0L)))
+    assert(out(3) === ((4L, "", 2L, 2L)))
+    assert(out(4) === ((5L, "p q r", 2L, 0L)))
+  }
+
+  test("segmentDedup on the real corpus removes something and never broadcasts the repeated set") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.segmentDedup(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    // the repeated-segment set derives from an aggregate (stats unknowable)
+    // — the join back must stay shuffle-hash, not a gambled broadcast
+    assert(!plan.contains("BroadcastHashJoin"), s"broadcast of unbounded set:\n$plan")
+    val dropped = out.agg(sum("n_dropped")).head.getLong(0)
+    assert(dropped > 0, "planted template corpus must contain repeated segments")
+  }
 }
