@@ -37,6 +37,7 @@ object SparkEntry {
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
     "decontaminate_stream" -> (MqRoundtrip.decontaminateStream _),
+    "dedup_incremental_stream" -> (MqRoundtrip.dedupIncrementalStream _),
     "events_enrich_stream" -> (MqRoundtrip.eventsEnrichStream _),
     "purchase_attribution_stream" -> (MqRoundtrip.purchaseAttributionStream _),
     "skew_join_salted" -> (SkewJoin.skewJoinSalted _),
@@ -693,6 +694,21 @@ object SparkEntry {
     // rest; exact Jaccard across the split, both orders collapsed onto
     // (new_id, old_id)
     "dedup_incremental" ->
+      s"""WITH $gramCtes,
+         |na AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 = 0),
+         |ha AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0),
+         |x AS (
+         |  SELECT n.doc_id AS new_id, h.doc_id AS old_id, count(*) AS common
+         |  FROM na n JOIN ha h ON n.g = h.g
+         |  GROUP BY 1, 2)
+         |SELECT new_id, old_id,
+         |  round(common::DOUBLE/(gn.n+go.n-common), 4) AS jaccard
+         |FROM x JOIN gc gn ON gn.doc_id = new_id JOIN gc go ON go.doc_id = old_id
+         |WHERE round(common::DOUBLE/(gn.n+go.n-common), 4) >= 0.7
+         |ORDER BY new_id, old_id""".stripMargin,
+    // the streaming decomposition must be lossless: union of per-micro-batch
+    // results against the once-signed history == the one-shot batch answer
+    "dedup_incremental_stream" ->
       s"""WITH $gramCtes,
          |na AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 = 0),
          |ha AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0),

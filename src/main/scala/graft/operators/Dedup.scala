@@ -376,9 +376,23 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.7,
       numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
-    val newSigs = minHashSignatures(newDocs, textCol, idCol, numHashes, shingleN, seed)
-      .localCheckpoint()
     val oldSigs = minHashSignatures(oldDocs, textCol, idCol, numHashes, shingleN, seed)
+      .localCheckpoint()
+    crossNearDupsWithHistorySigs(newDocs, oldDocs, oldSigs,
+      textCol, idCol, shingleN, threshold, numHashes, numBands, seed)
+  }
+
+  /** [[crossNearDups]] against PRECOMPUTED history signatures — the
+    * ingestion-loop shape: the historical corpus pays its signatures once
+    * (checkpointed here, parquet-persisted in production) and every
+    * arriving batch joins against that index instead of re-signing
+    * history per batch. */
+  def crossNearDupsWithHistorySigs(newDocs: DataFrame, oldDocs: DataFrame,
+      oldSigs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 4, threshold: Double = 0.7,
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+    val newSigs = minHashSignatures(newDocs, textCol, idCol, numHashes, shingleN, seed)
       .localCheckpoint()
     val newBands = lshBands(newSigs, idCol, numBands, numHashes)
       .select(col(idCol).as("new_id"), col("band"), col("band_hash"))

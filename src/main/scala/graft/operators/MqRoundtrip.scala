@@ -292,4 +292,63 @@ object MqRoundtrip {
     TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
+
+  /**
+   * Streaming ingestion dedup through the connector: new documents arrive
+   * via the MQ micro-batch source (maxRowsPerTrigger bounds each batch) and
+   * every micro-batch runs [[Dedup.crossNearDupsWithHistorySigs]] against
+   * the HISTORICAL corpus — whose MinHash signatures are computed exactly
+   * once before the stream starts (checkpointed here; parquet-persisted in
+   * production), so arriving batches never re-sign history. Results append
+   * to a parquet sink per batch. Pair verdicts depend only on (new doc,
+   * history), and batches partition the new set, so the union over batches
+   * equals the one-shot batch answer — the oracle is the SAME exact
+   * cross-set Jaccard SQL as `dedup_incremental`, proving the streaming
+   * decomposition is lossless. foreachBatch (not a stateful streaming
+   * join) is the right shape: each batch needs full batch machinery
+   * (est-prefilter, checkpoint, multi-join) and no cross-batch state.
+   */
+  def dedupIncrementalStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = sessionRoot("mq-increm", dir)
+    val topic = "docs_increm"
+    TopicLog.deleteTopic(root, topic)
+    val outPath = java.nio.file.Paths.get(root, "increm-out")
+    if (Files.exists(outPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+
+    val all = Tables.documents(spark, dir)
+    val newDocs = all.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+    val history = all.filter(col("doc_id") % 3 =!= 0)
+    val conv = new RowMessageConverter(
+      newDocs.schema, fieldDelimiter = "\u0001",
+      keyColumns = Seq("doc_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      newDocs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    // the history index: signed once, reused by every micro-batch
+    val oldSigs = Dedup.minHashSignatures(history).localCheckpoint()
+
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "increm")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .option("maxRowsPerTrigger", "200")
+      .load()
+      .select(split(col("body"), "\u0001").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs)
+          .write.mode("append").parquet(outPath.toString)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TopicLog.deleteTopic(root, topic)
+    spark.read.parquet(outPath.toString).orderBy(col("new_id"), col("old_id"))
+  }
 }

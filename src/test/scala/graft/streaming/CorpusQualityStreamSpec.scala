@@ -29,4 +29,19 @@ class CorpusQualityStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streamed incremental dedup equals the one-shot batch crossNearDups") {
+    import org.apache.spark.sql.functions.col
+    val streamed = MqRoundtrip.dedupIncrementalStream(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = graft.operators.Tables.documents(spark, sfDir)
+    val batch = graft.operators.Dedup.crossNearDups(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 167 new docs stream through 200-row triggers at sf0.001 — the union
+    // over micro-batches must be EXACTLY the batch pair set
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
