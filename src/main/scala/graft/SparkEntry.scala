@@ -82,6 +82,7 @@ object SparkEntry {
     // all cells — exact vs the same brute-force oracle, and the pruned
     // path (suite-tested) reads only probed cells' FILES
     "ann_ivf_indexed" -> (Similarity.annIvfIndexed _),
+    "quantize_embeddings" -> (Similarity.quantizeEmbeddingsQuery _),
     "embed_neardup_exact" -> (Similarity.embedNearDupExact _),
     "semantic_dedup" -> (Similarity.semanticDedupQuery _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
@@ -819,6 +820,21 @@ object SparkEntry {
     "ann_ivf" -> annExactOracle,
     "ann_ivf_indexed" -> annExactOracle,
     "ann_topk" -> annExactOracle,
+    // int8 scalar quantization: per-dim min/max + round((x-mn)/span*255);
+    // float->double is exact and subtract/divide/round are IEEE-identical
+    // across engines, so the compare is bit-exact per component
+    "quantize_embeddings" ->
+      """WITH u AS (
+        |  SELECT vec_id, ui.i, embedding[ui.i]::DOUBLE AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS ui(i)),
+        |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+        |q AS (
+        |  SELECT vec_id, u.i,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE round((u.x - mn) / (mx - mn) * 255)::INT END AS qv
+        |  FROM u JOIN stats USING (i))
+        |SELECT vec_id, string_agg(qv::VARCHAR, ',' ORDER BY i) AS qemb_csv
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 
   private val annExactOracle: String =

@@ -523,4 +523,53 @@ object Similarity {
     require(recall >= minRecall,
       f"$what recall $recall%.3f below floor $minRecall%.2f ($caught/$total)")
   }
+
+  // ---- scalar quantization ----
+
+  /**
+   * Int8 scalar quantization of an embedding column: per-dimension min/max
+   * over the corpus, each value mapped to round((x-mn)/(mx-mn)*255) — the
+   * memory-cut step before a 100 TB ANN index (4x smaller vectors, and
+   * distance kernels run on ints). Constant dimensions (mx == mn) quantize
+   * to 0.
+   *
+   * The per-dim stats are a dimension-bounded aggregate (posexplode →
+   * groupBy pos: the shuffle carries dims × tasks partial rows, nothing
+   * corpus-sized) collected to the driver — dims doubles, the same
+   * driver-sized-census contract as the IVF centroids — and re-enter the
+   * plan as two literal arrays, so quantization itself is pure scan-stage.
+   *
+   * Cross-engine exactness: float→double is exact, subtract/divide are
+   * IEEE, *255 and round are deterministic on identical doubles — the SQL
+   * oracle reproduces every quantized value bit-for-bit.
+   */
+  def quantizeEmbeddings(embs: DataFrame, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val stats = embs
+      .select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("i")
+      .collect()
+    val mins = stats.map(_.getDouble(1))
+    val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    val mnLit = typedlit(mins.toSeq)
+    val spanLit = typedlit(spans.toSeq)
+    embs.select(col(idCol),
+      transform(col(embCol), (x, i) =>
+        when(element_at(spanLit, i + 1) === 0.0, lit(0))
+          .otherwise(round(
+            (x.cast("double") - element_at(mnLit, i + 1)) /
+              element_at(spanLit, i + 1) * 255.0).cast("int")))
+        .as("qemb"))
+  }
+
+  /** Query entry: the quantized vectors, comma-serialized so the scalar
+    * hash compare covers every component. */
+  def quantizeEmbeddingsQuery(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("qemb"), _.cast("string"))).as("qemb_csv"))
+      .orderBy(col("vec_id"))
 }

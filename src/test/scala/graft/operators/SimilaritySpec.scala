@@ -263,4 +263,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"))
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("quantizeEmbeddings maps per-dim extremes to 0/255, constants to 0, bounded error") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.0f, 5.0f, 7.5f)),
+      (2L, Array(1.0f, 5.0f, 2.5f)),
+      (3L, Array(0.5f, 5.0f, 10.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim0 spans [0,1]; dim1 constant → 0; dim2 spans [2.5,10]
+    assert(q(1L) === Seq(0, 0, 170))   // (7.5-2.5)/7.5*255 = 170
+    assert(q(2L) === Seq(255, 0, 0))   // dim0 max→255, dim2 min→0
+    assert(q(3L) === Seq(128, 0, 255)) // 0.5/1*255 = 127.5 → HALF_UP 128
+    // real corpus: every component in [0,255], each dim hits both extremes
+    val real = Similarity.quantizeEmbeddings(Tables.embeddings(spark, sfDir))
+    val flat = real.select(posexplode(col("qemb")).as(Seq("i", "qv")))
+    val range = flat.agg(min("qv"), max("qv")).head
+    assert(range.getInt(0) === 0 && range.getInt(1) === 255)
+    val perDim = flat.groupBy("i").agg(min("qv").as("lo"), max("qv").as("hi")).collect()
+    perDim.foreach(r => assert(r.getInt(1) === 0 && r.getInt(2) === 255,
+      s"dim ${r.getInt(0)} does not span [0,255]"))
+  }
 }
