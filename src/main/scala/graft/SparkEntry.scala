@@ -68,6 +68,9 @@ object SparkEntry {
     "segment_dedup" -> (Dedup.segmentDedupQuery _),
     "domain_resample" -> (CorpusPipeline.domainResampleQuery _),
     "corpus_split" -> (CorpusPipeline.corpusSplitQuery _),
+    "split_leakage" -> (CorpusPipeline.splitLeakageQuery _),
+    // quantized-path ANN: rows-only, eager recall gate vs full precision
+    "ann_quantized" -> (Similarity.annQuantized _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -722,6 +725,23 @@ object SparkEntry {
          |FROM x JOIN gc gn ON gn.doc_id = new_id JOIN gc go ON go.doc_id = old_id
          |WHERE round(common::DOUBLE/(gn.n+go.n-common), 4) >= 0.7
          |ORDER BY new_id, old_id""".stripMargin,
+    // eval-integrity audit: near-dup pairs straddling the train/held-out
+    // boundary of corpus_split's bucket function (hugeint mirror)
+    "split_leakage" ->
+      s"""WITH $gramCtes,
+         |na AS (SELECT doc_id, g FROM grams
+         |  WHERE (doc_id::HUGEINT * 2654435761) % 1000 < 20),
+         |ha AS (SELECT doc_id, g FROM grams
+         |  WHERE (doc_id::HUGEINT * 2654435761) % 1000 >= 20),
+         |x AS (
+         |  SELECT n.doc_id AS held_id, h.doc_id AS train_id, count(*) AS common
+         |  FROM na n JOIN ha h ON n.g = h.g
+         |  GROUP BY 1, 2)
+         |SELECT held_id, train_id,
+         |  round(common::DOUBLE/(gn.n+go.n-common), 4) AS jaccard
+         |FROM x JOIN gc gn ON gn.doc_id = held_id JOIN gc go ON go.doc_id = train_id
+         |WHERE round(common::DOUBLE/(gn.n+go.n-common), 4) >= 0.7
+         |ORDER BY held_id, train_id""".stripMargin,
     "dedup_minhash_keep" ->
       s"""WITH RECURSIVE ${clusterCtes("0.7")}
         |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep

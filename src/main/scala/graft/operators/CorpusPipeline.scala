@@ -510,4 +510,30 @@ object CorpusPipeline {
   def corpusSplitQuery(spark: SparkSession, dir: String): DataFrame =
     corpusSplit(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
+
+  /**
+   * Split-leakage audit: near-duplicate pairs straddling [[corpusSplit]]'s
+   * train / held-out boundary — the eval-integrity check every training
+   * pipeline needs (a held-out doc near-duplicating a train doc silently
+   * inflates eval scores). Pure composition: the SAME bucket function that
+   * assigns splits partitions the corpus, and [[Dedup.crossNearDups]] does
+   * the cross-set work — held-out docs never self-join, and at 100 TB the
+   * train side pays its signatures once, the (tiny) held-out side rides
+   * the band join. Oracle = exact cross-set Jaccard over the same bucket
+   * split, so the full audit answer is reproduced, not sampled.
+   */
+  def splitLeakage(docs: DataFrame, heldOutPm: Int = 20,
+      threshold: Double = 0.7): DataFrame = {
+    val bucket = sampleBucket(col("doc_id"))
+    Dedup.crossNearDups(
+      docs.filter(bucket < heldOutPm).select(col("doc_id"), col("text")),
+      docs.filter(bucket >= heldOutPm).select(col("doc_id"), col("text")),
+      threshold = threshold)
+      .withColumnRenamed("new_id", "held_id")
+      .withColumnRenamed("old_id", "train_id")
+  }
+
+  def splitLeakageQuery(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir))
+      .orderBy(col("held_id"), col("train_id"))
 }

@@ -544,7 +544,14 @@ object Similarity {
    * oracle reproduces every quantized value bit-for-bit.
    */
   def quantizeEmbeddings(embs: DataFrame, embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id"): DataFrame =
+    quantizeEmbeddingsWithStats(embs, embCol, idCol)._1
+
+  /** [[quantizeEmbeddings]] plus the per-dim (mins, spans) the caller needs
+    * to dequantize or to quantize incoming queries against the SAME grid
+    * (an ANN probe must share the index's quantizer). */
+  def quantizeEmbeddingsWithStats(embs: DataFrame, embCol: String = "embedding",
+      idCol: String = "vec_id"): (DataFrame, Array[Double], Array[Double]) = {
     val stats = embs
       .select(posexplode(col(embCol)).as(Seq("i", "x")))
       .groupBy("i")
@@ -556,13 +563,43 @@ object Similarity {
     val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
     val mnLit = typedlit(mins.toSeq)
     val spanLit = typedlit(spans.toSeq)
-    embs.select(col(idCol),
+    val q = embs.select(col(idCol),
       transform(col(embCol), (x, i) =>
         when(element_at(spanLit, i + 1) === 0.0, lit(0))
           .otherwise(round(
             (x.cast("double") - element_at(mnLit, i + 1)) /
               element_at(spanLit, i + 1) * 255.0).cast("int")))
         .as("qemb"))
+    (q, mins, spans)
+  }
+
+  /** Reconstruct doubles from int8 codes: mn + q/255*span. Scan-stage. */
+  def dequantize(qemb: Column, mins: Array[Double], spans: Array[Double]): Column = {
+    val mnLit = typedlit(mins.toSeq)
+    val spanLit = typedlit(spans.toSeq)
+    transform(qemb, (q, i) =>
+      element_at(mnLit, i + 1) +
+        q.cast("double") / 255.0 * element_at(spanLit, i + 1))
+  }
+
+  /** Query entry (rows-only + eager recall gate): brute-force top-k over
+    * the DEQUANTIZED corpus — the search a quantized index actually runs —
+    * gated on recall vs full-precision exact top-k, so the compression
+    * loss is measured, not assumed. Measured 1.00 (sf0.01) / 0.92 (sf0.1)
+    * on the Gaussian corpus; floor 0.85. */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val (q, mins, spans) = quantizeEmbeddingsWithStats(embs)
+    val deq = q.select(col("vec_id"), dequantize(col("qemb"), mins, spans).as("emb"))
+    val probes = deq.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val approx = bruteForceTopK(deq, probes, 10)
+    val exactEmb = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val exactProbes = exactEmb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    assertRecall(approx, bruteForceTopK(exactEmb, exactProbes, 10),
+      minRecall = 0.85, what = "ann_quantized")
+    approx.orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
   /** Query entry: the quantized vectors, comma-serialized so the scalar

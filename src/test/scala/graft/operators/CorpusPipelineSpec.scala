@@ -280,6 +280,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(allTrain.toSeq === Seq("train"))
   }
 
+  test("splitLeakage catches a planted near-dup straddling the split boundary") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val corpus = Seq(
+      (0L, t),                            // bucket 0  -> held out
+      (1L, t + " tail"),                  // bucket >= 20 -> train, near-dup of 0
+      (2L, "completely different words about entirely other topics here now"),
+      (46L, "unique held-out doc with its own content and no train twin")
+    ).toDF("doc_id", "text")              // 46 is also bucket < 20
+    val pairs = CorpusPipeline.splitLeakage(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === 1)
+    assert(pairs.head._1 === 0L && pairs.head._2 === 1L) // held vs train
+    assert(pairs.head._3 >= 0.7)
+    // and the real corpus's audit only ever reports boundary-straddling pairs
+    val real = CorpusPipeline.splitLeakage(Tables.documents(spark, sfDir)).collect()
+    real.foreach { r =>
+      def bucket(id: Long) = {
+        val hi = id >>> 32; val lo = id & 0xFFFFFFFFL
+        ((hi % 1000) * (761L * 296L) + (lo % 1000) * 761L) % 1000
+      }
+      assert(bucket(r.getLong(0)) < 20 && bucket(r.getLong(1)) >= 20)
+    }
+  }
+
   test("decontaminate plan broadcasts the benchmark side (no exploded-corpus shuffle)") {
     val docs97 = docs.filter(col("doc_id") % 97 =!= 0)
     val bench97 = docs.filter(col("doc_id") % 97 === 0)

@@ -285,4 +285,21 @@ class SimilaritySpec extends SparkSpec {
     perDim.foreach(r => assert(r.getInt(1) === 0 && r.getInt(2) === 255,
       s"dim ${r.getInt(0)} does not span [0,255]"))
   }
+
+  test("dequantize reconstructs within half a quantization step per dim") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val (q, mins, spans) = Similarity.quantizeEmbeddingsWithStats(embs)
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantize(col("qemb"), mins, spans).as("demb"))
+    val joined = embs.select(col("vec_id"), col("embedding")).join(deq, "vec_id")
+      .select(posexplode(arrays_zip(col("embedding"), col("demb"))).as(Seq("i", "p")))
+      .select(col("i"), abs(col("p.embedding").cast("double") - col("p.demb")).as("err"))
+      .groupBy("i").agg(max("err").as("maxerr")).collect()
+    val steps = spans.map(_ / 255.0 / 2.0)
+    joined.foreach { r =>
+      val i = r.getInt(0)
+      assert(r.getDouble(1) <= steps(i) * (1.0 + 1e-12) + 1e-15,
+        s"dim $i reconstruction error ${r.getDouble(1)} exceeds half-step ${steps(i)}")
+    }
+  }
 }
