@@ -26,7 +26,9 @@ object PlanDump {
       "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup",
       "domain_mix", "gram_coverage", "text_logprob",
       "semantic_dedup_lsh", "corpus_assemble",
-      "dedup_incremental", "chunk_documents", "corpus_shuffle", "ann_ivf_indexed")
+      "dedup_incremental", "chunk_documents", "corpus_shuffle", "ann_ivf_indexed",
+      "segment_dedup", "domain_resample", "corpus_split", "quantize_embeddings",
+      "split_leakage", "ann_quantized")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 7)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -52,7 +54,15 @@ object PlanDump {
     sb.append("beyond corpus_shuffle's one bounded-shard aggregation;\n")
     sb.append("`ann_ivf_indexed` must show PartitionFilters pruning the\n")
     sb.append("unprobed cells of the persisted index (dynamic IN filter on\n")
-    sb.append("the cell partition column).\n")
+    sb.append("the cell partition column). Late round-7 additions:\n")
+    sb.append("`segment_dedup`'s join back must be a shuffle-hash join (the\n")
+    sb.append("repeated-segment set derives from an aggregate, never a gambled\n")
+    sb.append("broadcast); `domain_resample`/`corpus_split`/`quantize_embeddings`\n")
+    sb.append("must be scan-stage beyond one tiny-table agg (rates/stats enter\n")
+    sb.append("as broadcasts or literal arrays); `split_leakage` reuses the\n")
+    sb.append("crossNearDups band join with its shuffle-hash pin; `ann_quantized`\n")
+    sb.append("is the broadcast-probe BroadcastNestedLoopJoin baseline shape\n")
+    sb.append("over dequantized vectors.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -382,11 +382,38 @@ object Dedup {
       textCol, idCol, shingleN, threshold, numHashes, numBands, seed)
   }
 
+  /**
+   * Persist the history side of the incremental-dedup loop: MinHash
+   * signatures written once as parquet (the [[Similarity.writeIvfIndex]]
+   * contract for text) — ingestion batches then join via
+   * [[crossNearDupsWithHistorySigs]] without ever re-signing history.
+   * Config (numHashes/shingleN/seed) rides in a sidecar so a reader can't
+   * silently join signatures from a different hash family.
+   */
+  def writeMinhashIndex(docs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 64, shingleN: Int = 4, seed: Long = 42L): Unit = {
+    minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
+      .write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_minhash.txt"),
+      s"numHashes=$numHashes\nshingleN=$shingleN\nseed=$seed")
+  }
+
+  /** (signatures, (numHashes, shingleN, seed)) from [[writeMinhashIndex]]. */
+  def readMinhashIndex(spark: SparkSession, path: String): (DataFrame, (Int, Int, Long)) = {
+    val cfg = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "_minhash.txt"))
+      .split("\n").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    (spark.read.parquet(path),
+      (cfg("numHashes").toInt, cfg("shingleN").toInt, cfg("seed").toLong))
+  }
+
   /** [[crossNearDups]] against PRECOMPUTED history signatures — the
     * ingestion-loop shape: the historical corpus pays its signatures once
-    * (checkpointed here, parquet-persisted in production) and every
-    * arriving batch joins against that index instead of re-signing
-    * history per batch. */
+    * (checkpointed here, parquet-persisted via [[writeMinhashIndex]] in
+    * production) and every arriving batch joins against that index
+    * instead of re-signing history per batch. */
   def crossNearDupsWithHistorySigs(newDocs: DataFrame, oldDocs: DataFrame,
       oldSigs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",

@@ -271,6 +271,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs > 0)
   }
 
+  test("persisted minhash index reproduces the direct cross-set answer") {
+    val docs = Tables.documents(spark, sfDir)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("minhash-idx").toString
+    Dedup.writeMinhashIndex(history, path)
+    val (sigs, (nh, sn, seed)) = Dedup.readMinhashIndex(spark, path)
+    assert((nh, sn, seed) === ((64, 4, 42L)))
+    val viaIndex = Dedup.crossNearDupsWithHistorySigs(newDocs, history, sigs,
+      numHashes = nh, shingleN = sn, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.crossNearDups(newDocs, history)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("segmentDedup drops corpus-repeated segments, keeps order, keeps emptied docs") {
     import spark.implicits._
     val corpus = Seq(
