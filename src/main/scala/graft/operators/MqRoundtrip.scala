@@ -331,10 +331,15 @@ object MqRoundtrip {
     // the history index: signed once, reused by every micro-batch
     val oldSigs = Dedup.minHashSignatures(history).localCheckpoint()
 
+    // ~4 micro-batches at ANY corpus size: enough to prove the multi-batch
+    // union is lossless without paying per-batch planning overhead 10x over
+    // (a fixed row cap degenerates to 1 batch at small SFs and dozens at
+    // large ones; the RESULT is batch-count-independent either way)
+    val trigger = math.max(50L, newDocs.count() / 4 + 1)
     val q = spark.readStream.format("graft-mq")
       .option("topic", topic).option("consumerGroup", "increm")
       .option("rootDir", root).option("offsetResetTo", "earliest")
-      .option("maxRowsPerTrigger", "200")
+      .option("maxRowsPerTrigger", trigger.toString)
       .load()
       .select(split(col("body"), "\u0001").as("f"))
       .select(element_at(col("f"), 1).cast("long").as("doc_id"),

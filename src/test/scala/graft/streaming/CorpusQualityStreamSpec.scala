@@ -39,8 +39,8 @@ class CorpusQualityStreamSpec extends SparkSpec {
       docs.filter(col("doc_id") % 3 === 0),
       docs.filter(col("doc_id") % 3 =!= 0))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // 167 new docs stream through 200-row triggers at sf0.001 — the union
-    // over micro-batches must be EXACTLY the batch pair set
+    // 167 new docs stream through ~4 adaptive micro-batches at sf0.001 —
+    // the union over micro-batches must be EXACTLY the batch pair set
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
