@@ -62,6 +62,7 @@ object SparkEntry {
     "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
     "gram_coverage" -> (Dedup.gramCoverageQuery _),
     "text_logprob" -> (CorpusPipeline.corpusLogProb _),
+    "text_bigram_logprob" -> (CorpusPipeline.corpusBigramLogProb _),
     "corpus_assemble" -> (CorpusPipeline.corpusAssemble _),
     "chunk_documents" -> (CorpusPipeline.corpusChunk _),
     "corpus_shuffle" -> (CorpusPipeline.corpusShuffle _),
@@ -417,6 +418,21 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         | round(avg(ln(c::DOUBLE / (SELECT total FROM t))), 4) AS logprob
         |FROM wt JOIN f USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram LM: P(w2|w1) = bigram count / context count, both from the
+    // same bigram aggregate; docs with < 2 tokens have no bigrams
+    "text_bigram_logprob" ->
+      raw"""WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+        | FROM dd, unnest(range(1, len(t))) AS u(i)),
+        |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c12) AS c1 FROM f GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        | round(avg(ln(c12::DOUBLE / c1::DOUBLE)), 4) AS logprob
+        |FROM bg JOIN f USING (w1, w2) JOIN cx USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the sharded global rank must equal the naive single-window rank
     "corpus_shuffle" ->

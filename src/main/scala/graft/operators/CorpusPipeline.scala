@@ -347,6 +347,43 @@ object CorpusPipeline {
     unigramLogProb(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /**
+   * Bigram language-model score per document: mean ln P(w2|w1) of its
+   * token bigrams with counts from the corpus itself — the KenLM-flavored
+   * upgrade of [[unigramLogProb]] (word salad scores far below natural
+   * word order even when its unigram mix looks fine, because P(w2|w1) is
+   * what sequence templates violate). Conditional probability = bigram
+   * count / context count, both derived from ONE bigram-vocabulary
+   * aggregate — the context table is a re-aggregation of the (tiny
+   * relative to the corpus) bigram table, never a second corpus pass.
+   * Bigrams themselves are a scan-stage array transform (no window over
+   * corpus tokens); scoring re-joins bigrams to counts keyed by the pair,
+   * the [[unigramLogProb]] shuffle shape one token wider. Docs with fewer
+   * than 2 tokens have no bigrams and drop out (mirrored in the oracle).
+   * Same 4-dp avg tolerance note as [[unigramLogProb]].
+   */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val freq = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val ctx = freq.groupBy("w1").agg(sum("c12").as("c1"))
+    val scored = freq.join(ctx, "w1")
+      .withColumn("logp", log(col("c12").cast("double") / col("c1").cast("double")))
+    bigrams.join(scored.select("w1", "w2", "logp"), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("logprob"))
+  }
+
+  def corpusBigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    bigramLogProb(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /**
    * End-to-end training-corpus assembly — the composed contract over the
    * individual stages, the way [[Dedup.cleanCorpus]] composes the cleaning
    * stages: per-language quality gate ([[qualityFilter]]) → RELATIVE

@@ -280,6 +280,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(allTrain.toSeq === Seq("train"))
   }
 
+  test("bigramLogProb computes mean ln P(w2|w1); <2-token docs drop out") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c"), // bigrams (a,b), (b,c)
+      (2L, "a b d"), // bigrams (a,b), (b,d)
+      (3L, "x")      // no bigrams
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.bigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L))
+    // counts: (a,b)=2, (b,c)=1, (b,d)=1; contexts: a=2, b=2
+    // doc 1: (ln(2/2) + ln(1/2)) / 2 = ln(0.5)/2 = -0.34657... -> -0.3466
+    val expected = math.round(math.log(0.5) / 2 * 10000.0) / 10000.0
+    assert(out(1L) === ((2L, expected)))
+    assert(out(2L) === ((2L, expected)))
+  }
+
   test("splitLeakage catches a planted near-dup straddling the split boundary") {
     import spark.implicits._
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
