@@ -70,6 +70,7 @@ object SparkEntry {
     "domain_resample" -> (CorpusPipeline.domainResampleQuery _),
     "corpus_split" -> (CorpusPipeline.corpusSplitQuery _),
     "split_leakage" -> (CorpusPipeline.splitLeakageQuery _),
+    "corpus_stats" -> (CorpusPipeline.corpusStatsQuery _),
     // quantized-path ANN: rows-only, eager recall gate vs full precision
     "ann_quantized" -> (Similarity.annQuantized _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
@@ -481,6 +482,22 @@ object SparkEntry {
         |SELECT doc_id, source, i::BIGINT AS copy_idx
         |FROM d, unnest(generate_series(1, copies)) AS u(i)
         |ORDER BY doc_id, copy_idx""".stripMargin,
+    // corpus composition report: integer-exact totals + per-mille token
+    // share via BIGINT division (both engines: true integer div)
+    "corpus_stats" ->
+      raw"""WITH t AS (
+        | SELECT source, lang,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars
+        | FROM documents),
+        |g AS (
+        | SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_tokens) AS n_tokens, sum(n_chars) AS n_chars
+        | FROM t GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens, n_chars,
+        | (1000 * n_tokens) // (SELECT sum(n_tokens) FROM g) AS token_share_pm
+        |FROM g ORDER BY source, lang""".stripMargin,
     // deterministic stratified split over the same bucket hash as
     // corpus_sample (hugeint mirror of the overflow-safe 32-bit split)
     "corpus_split" ->

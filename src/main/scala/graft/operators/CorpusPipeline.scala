@@ -573,4 +573,36 @@ object CorpusPipeline {
   def splitLeakageQuery(spark: SparkSession, dir: String): DataFrame =
     splitLeakage(Tables.documents(spark, dir))
       .orderBy(col("held_id"), col("train_id"))
+
+  /**
+   * Corpus composition report: per (source, language) document/token/char
+   * totals plus each cell's per-mille share of corpus tokens — the
+   * mix-dashboard numbers every weighting decision ([[domainMix]],
+   * [[domainResample]]) starts from. All metrics are integer-exact (the
+   * share is floor(1000*t/total) in Long arithmetic), so the report is
+   * hash-reproducible anywhere. One map-side-combined aggregate over the
+   * scan-stage token kernel; the corpus total is a window over the tiny
+   * group table (source x lang rows), never a second corpus pass.
+   */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val agg = docs.select(col("source"), col("lang"),
+      graft.functions.TextSignals.signals(col("text"))
+        .getField("ws_tokens").cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // integer division (not a double floor, whose ulp at the boundary could
+    // disagree with the oracle's BIGINT //) — exact up to ~9e15 total tokens
+    agg.withColumn("total", sum("n_tokens").over(all))
+      .withColumn("token_share_pm", expr("(1000 * n_tokens) div total"))
+      .drop("total")
+  }
+
+  def corpusStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(spark, dir))
+      .orderBy(col("source"), col("lang"))
 }

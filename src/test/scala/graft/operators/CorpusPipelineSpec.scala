@@ -280,6 +280,15 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(allTrain.toSeq === Seq("train"))
   }
 
+  test("corpusStats partitions the corpus and its shares floor-sum to <= 1000") {
+    val out = CorpusPipeline.corpusStats(docs).collect()
+    assert(out.map(_.getLong(2)).sum === docs.count()) // every doc in one cell
+    val shares = out.map(_.getLong(5))
+    assert(shares.forall(s => s >= 0 && s <= 1000))
+    assert(shares.sum <= 1000) // floor division never over-allocates
+    assert(shares.sum > 900)   // and loses at most one per-mille per cell
+  }
+
   test("bigramLogProb computes mean ln P(w2|w1); <2-token docs drop out") {
     import spark.implicits._
     val corpus = Seq(
