@@ -28,7 +28,7 @@ object PlanDump {
       "semantic_dedup_lsh", "corpus_assemble",
       "dedup_incremental", "chunk_documents", "corpus_shuffle", "ann_ivf_indexed",
       "segment_dedup", "domain_resample", "corpus_split", "quantize_embeddings",
-      "split_leakage", "ann_quantized")
+      "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 7)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
