@@ -373,9 +373,13 @@ object CorpusPipeline {
     val freq = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     val ctx = freq.groupBy("w1").agg(sum("c12").as("c1"))
-    val scored = freq.join(ctx, "w1")
+    // both sides derive from aggregates whose size Catalyst can't estimate,
+    // and the bigram vocabulary is unbounded at corpus scale — pin
+    // shuffle-hash rather than gamble a broadcast (the unigramLogProb pin,
+    // one token wider)
+    val scored = freq.join(ctx.hint("shuffle_hash"), "w1")
       .withColumn("logp", log(col("c12").cast("double") / col("c1").cast("double")))
-    bigrams.join(scored.select("w1", "w2", "logp"), Seq("w1", "w2"))
+    bigrams.join(scored.select("w1", "w2", "logp").hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("logprob"))
   }
