@@ -130,6 +130,25 @@ object SparkEntry {
        |WHERE round(common::DOUBLE/(ga.n+gb.n-common), 4) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact cross-set Jaccard over the %3 new/history split — shared by
+    * `dedup_incremental` and `dedup_incremental_stream`, whose CONTRACT is
+    * that the streaming decomposition answers the identical question (one
+    * definition, so a future tweak cannot desynchronize them — the
+    * annExactOracle pattern). */
+  private val crossSetJaccardOracle: String =
+    s"""WITH $gramCtes,
+       |na AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 = 0),
+       |ha AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0),
+       |x AS (
+       |  SELECT n.doc_id AS new_id, h.doc_id AS old_id, count(*) AS common
+       |  FROM na n JOIN ha h ON n.g = h.g
+       |  GROUP BY 1, 2)
+       |SELECT new_id, old_id,
+       |  round(common::DOUBLE/(gn.n+go.n-common), 4) AS jaccard
+       |FROM x JOIN gc gn ON gn.doc_id = new_id JOIN gc go ON go.doc_id = old_id
+       |WHERE round(common::DOUBLE/(gn.n+go.n-common), 4) >= 0.7
+       |ORDER BY new_id, old_id""".stripMargin
+
   /** Pairs at threshold → undirected edges → transitive closure — the
     * connected-components labels (min reachable id) the Spark min-label
     * propagation converges to. */
@@ -493,10 +512,10 @@ object SparkEntry {
         | FROM documents),
         |g AS (
         | SELECT source, lang, count(*) AS n_docs,
-        |  sum(n_tokens) AS n_tokens, sum(n_chars) AS n_chars
+        |  sum(n_tokens)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS n_chars
         | FROM t GROUP BY source, lang)
         |SELECT source, lang, n_docs, n_tokens, n_chars,
-        | (1000 * n_tokens) // (SELECT sum(n_tokens) FROM g) AS token_share_pm
+        | ((1000 * n_tokens) // (SELECT sum(n_tokens) FROM g))::BIGINT AS token_share_pm
         |FROM g ORDER BY source, lang""".stripMargin,
     // deterministic stratified split over the same bucket hash as
     // corpus_sample (hugeint mirror of the overflow-safe 32-bit split)
@@ -730,34 +749,10 @@ object SparkEntry {
     // cross-set (incremental) dedup: new batch = %3==0 docs, history = the
     // rest; exact Jaccard across the split, both orders collapsed onto
     // (new_id, old_id)
-    "dedup_incremental" ->
-      s"""WITH $gramCtes,
-         |na AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 = 0),
-         |ha AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0),
-         |x AS (
-         |  SELECT n.doc_id AS new_id, h.doc_id AS old_id, count(*) AS common
-         |  FROM na n JOIN ha h ON n.g = h.g
-         |  GROUP BY 1, 2)
-         |SELECT new_id, old_id,
-         |  round(common::DOUBLE/(gn.n+go.n-common), 4) AS jaccard
-         |FROM x JOIN gc gn ON gn.doc_id = new_id JOIN gc go ON go.doc_id = old_id
-         |WHERE round(common::DOUBLE/(gn.n+go.n-common), 4) >= 0.7
-         |ORDER BY new_id, old_id""".stripMargin,
+    "dedup_incremental" -> crossSetJaccardOracle,
     // the streaming decomposition must be lossless: union of per-micro-batch
     // results against the once-signed history == the one-shot batch answer
-    "dedup_incremental_stream" ->
-      s"""WITH $gramCtes,
-         |na AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 = 0),
-         |ha AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0),
-         |x AS (
-         |  SELECT n.doc_id AS new_id, h.doc_id AS old_id, count(*) AS common
-         |  FROM na n JOIN ha h ON n.g = h.g
-         |  GROUP BY 1, 2)
-         |SELECT new_id, old_id,
-         |  round(common::DOUBLE/(gn.n+go.n-common), 4) AS jaccard
-         |FROM x JOIN gc gn ON gn.doc_id = new_id JOIN gc go ON go.doc_id = old_id
-         |WHERE round(common::DOUBLE/(gn.n+go.n-common), 4) >= 0.7
-         |ORDER BY new_id, old_id""".stripMargin,
+    "dedup_incremental_stream" -> crossSetJaccardOracle,
     // eval-integrity audit: near-dup pairs straddling the train/held-out
     // boundary of corpus_split's bucket function (hugeint mirror)
     "split_leakage" ->

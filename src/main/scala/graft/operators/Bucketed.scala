@@ -40,11 +40,7 @@ object Bucketed {
     val dir = new java.io.File(
       if (warehouse.getScheme == null) warehouse.toString else warehouse.getPath,
       table.toLowerCase)
-    if (dir.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    graft.util.Fs.deleteRecursively(dir.toPath)
   }
 
   /**

@@ -563,8 +563,11 @@ object CorpusPipeline {
    * the band join. Oracle = exact cross-set Jaccard over the same bucket
    * split, so the full audit answer is reproduced, not sampled.
    */
-  def splitLeakage(docs: DataFrame, heldOutPm: Int = 20,
+  def splitLeakage(docs: DataFrame, testPm: Int = 10, valPm: Int = 10,
       threshold: Double = 0.7): DataFrame = {
+    // held-out boundary DERIVED from the same parameters corpusSplit takes,
+    // so the audit cannot drift from the split it audits
+    val heldOutPm = testPm + valPm
     val bucket = sampleBucket(col("doc_id"))
     Dedup.crossNearDups(
       docs.filter(bucket < heldOutPm).select(col("doc_id"), col("text")),

@@ -313,11 +313,7 @@ object MqRoundtrip {
     val topic = "docs_increm"
     TopicLog.deleteTopic(root, topic)
     val outPath = java.nio.file.Paths.get(root, "increm-out")
-    if (Files.exists(outPath)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    graft.util.Fs.deleteRecursively(outPath)
 
     val all = Tables.documents(spark, dir)
     val newDocs = all.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
@@ -345,15 +341,20 @@ object MqRoundtrip {
       .select(element_at(col("f"), 1).cast("long").as("doc_id"),
         element_at(col("f"), 2).as("text"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a replayed batch must land in the
+        // SAME batchId-keyed directory (overwrite), not append a duplicate
+        // copy of its pairs — this is what keeps "union over batches ==
+        // one-shot batch answer" true under retries
         Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs)
-          .write.mode("append").parquet(outPath.toString)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     TopicLog.deleteTopic(root, topic)
-    spark.read.parquet(outPath.toString).orderBy(col("new_id"), col("old_id"))
+    spark.read.parquet(outPath.toString).drop("batch")
+      .orderBy(col("new_id"), col("old_id"))
   }
 }

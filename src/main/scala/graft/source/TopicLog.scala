@@ -301,10 +301,7 @@ object TopicLog {
   /** Recursively delete a topic dir (test/bench helper). */
   def deleteTopic(root: String, topic: String): Unit = {
     val dir = Paths.get(root, topic)
-    if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    graft.util.Fs.deleteRecursively(dir)
     // drop cached line counts for the deleted logs — a recreated log of
     // exactly the cached byte length would otherwise reuse a stale count
     val prefix = dir.toAbsolutePath.toString + File.separator

@@ -50,3 +50,19 @@ class RunningChecker extends Serializable {
   def isRunning: Boolean = running
   def setRunning(r: Boolean): Unit = running = r
 }
+
+/** Filesystem helpers shared by the queue log, bucketed tables and
+  * streaming sinks. */
+object Fs {
+  /** Recursively delete `path` if it exists, closing the walk stream
+    * (an unclosed Files.walk holds directory handles until GC). */
+  def deleteRecursively(path: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(path)) {
+      val walk = java.nio.file.Files.walk(path)
+      try {
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+}
