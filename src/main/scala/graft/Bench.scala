@@ -91,16 +91,28 @@ object Bench {
       val ts = samples(name)
       name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures a bounded window of stdout: the round-7/8 artifacts
+    // were head-truncated because the single line grew to ~8 KB (9-decimal
+    // doubles + the full per-iteration map). 3-decimal seconds and iters in a
+    // SIDECAR FILE keep the final line ~2 KB — the size that parsed in r6.
+    def sec(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    // per-iteration times make noise windows visible in the artifact itself:
-    // a query whose min is honest shows agreeing samples, a noise-window
-    // victim shows the outlier it survived
+    // per-iteration times make noise windows visible: a query whose min is
+    // honest shows agreeing samples, a noise-window victim shows the outlier
+    // it survived. Written to a sidecar (not the stdout line) so they can't
+    // push the driver-parsed line past the capture window again.
     val its = (selB ++ selS).map { case (name, _) =>
-      s"\"" + name + "\":" + samples(name).mkString("[", ",", "]")
+      s"\"" + name + "\":" + samples(name).map(sec).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_ITERS_OUT", "BENCH_iters.json"))
+      java.nio.file.Files.write(p, s"""{"iters":$its,"sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] iters sidecar write failed: $e") }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$its,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
