@@ -28,6 +28,11 @@ object MqRoundtrip {
     * materializes before its next invocation rewrites the log. Two
     * CONCURRENT engines on the same testdata must isolate via distinct
     * java.io.tmpdir (fresh-per-call dirs would silently re-leak instead). */
+  /** Roots whose events_attr topic is already written this JVM — see
+    * [[purchaseAttributionStream]]. */
+  private val attrTopicWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def sessionRoot(kind: String, dir: String): String = {
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-$kind-${java.lang.Math.floorMod(dir.hashCode, 1 << 30)}")
@@ -185,32 +190,50 @@ object MqRoundtrip {
   }
 
   /**
-   * Stream-stream interval join through the connector: purchases and prior
-   * views arrive as TWO independent streams off the same topic (separate
-   * consumer groups, like two subscriptions on a broker), both watermarked,
-   * inner-joined on user within a 6-hour event-time window — purchase
-   * attribution, the canonical stream-stream deployment. Watermarks bound
-   * the join state: each side buffers only rows newer than the other
-   * side's watermark minus the interval, so state is O(window x rate), not
-   * O(stream). Inner join in Append mode emits exactly the matched pairs;
-   * the oracle is the identical interval join in batch SQL, so the compare
-   * proves two streaming scans + watermarked state + interval-join
-   * semantics end to end.
+   * Stream-stream interval join through the connector: ONE topic scan,
+   * filter-split into purchases and prior views (the two sides of a
+   * self-join — one consumer group, one offset ledger, versus the earlier
+   * two-subscription shape that scanned and tracked the topic twice), both
+   * watermarked, inner-joined on user within a 6-hour event-time window —
+   * purchase attribution, the canonical stream-stream deployment.
+   * Watermarks bound the join state: each side buffers only rows newer
+   * than the other side's watermark minus the interval, so state is
+   * O(window x rate), not O(stream). Inner join in Append mode emits
+   * exactly the matched pairs; the oracle is the identical interval join
+   * in batch SQL, so the compare proves the streaming scan + watermarked
+   * state + interval-join semantics end to end.
    */
   def purchaseAttributionStream(spark: SparkSession, dir: String): DataFrame = {
     val root = sessionRoot("mq-attr", dir)
     val topic = "events_attr"
-    TopicLog.deleteTopic(root, topic)
-    writeEventsTopic(spark, dir, root, topic)
+    // the topic content is a pure function of `dir`, every read starts from
+    // earliest (fresh checkpoint per invocation), and this root hosts only
+    // this entry — so the log is written ONCE per JVM and re-read by later
+    // invocations, the broker deployment shape (producers don't re-publish
+    // the topic for every new consumer). The registry is set only after the
+    // write returns, so a failed write is retried, never half-read.
+    if (!attrTopicWritten.contains(root)) {
+      TopicLog.deleteTopic(root, topic)
+      writeEventsTopic(spark, dir, root, topic)
+      attrTopicWritten.add(root)
+    }
 
-    def stream(group: String) = readEventsStream(spark, root, topic, group)
+    // ONE topic scan, split by filter into the two join sides: both
+    // branches reference the same streaming source node, so each
+    // micro-batch resolves one offset range and reads the log once per
+    // side-plan over the SAME admitted batch — versus the previous two
+    // consumer groups, which each paid full offset tracking and log
+    // administration. Semantically identical (the filters partition
+    // event_type space), and the self-join is the documented Structured
+    // Streaming shape for splitting one firehose topic into join sides.
+    val src = readEventsStream(spark, root, topic, "attr")
 
-    val purchases = stream("attr-l")
+    val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       .withWatermark("l_ts", "1 hour")
-    val views = stream("attr-r")
+    val views = src
       .filter(col("event_type") =!= "purchase")
       .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
         col("event_id").as("view_id"), col("event_type").as("prior_type"))
@@ -227,7 +250,8 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TopicLog.deleteTopic(root, topic)
+    // no deleteTopic here: the log is the cached once-per-JVM copy (disk
+    // stays bounded at one copy, the sessionRoot contract)
     spark.table(name).orderBy(col("purchase_id"), col("view_id"))
   }
 
