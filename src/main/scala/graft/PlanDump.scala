@@ -28,9 +28,10 @@ object PlanDump {
       "semantic_dedup_lsh", "corpus_assemble",
       "dedup_incremental", "chunk_documents", "corpus_shuffle", "ann_ivf_indexed",
       "segment_dedup", "domain_resample", "corpus_split", "quantize_embeddings",
-      "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats")
+      "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats",
+      "ann_ivf_refined", "text_lsh_clusters")
     val sb = new StringBuilder
-    sb.append("# PLANS — physical plans of headline queries (sf0.01, round 7)\n\n")
+    sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
     sb.append("pruning), `BroadcastHashJoin` for dim/probe sides, no\n")
     sb.append("`CartesianProduct` anywhere. Two queries intentionally use\n")
@@ -62,7 +63,14 @@ object PlanDump {
     sb.append("as broadcasts or literal arrays); `split_leakage` reuses the\n")
     sb.append("crossNearDups band join with its shuffle-hash pin; `ann_quantized`\n")
     sb.append("is the broadcast-probe BroadcastNestedLoopJoin baseline shape\n")
-    sb.append("over dequantized vectors.\n")
+    sb.append("over dequantized vectors. Round-9 additions: `ann_ivf_refined`\n")
+    sb.append("must keep the fused one-node IvfAssign + broadcast-probe cell\n")
+    sb.append("equi-join shape with REFINED centroids (Lloyd passes run before\n")
+    sb.append("planning, driver-side K×dim only); `text_lsh_clusters` adds one\n")
+    sb.append("cluster-keyed aggregation over the converged label table;\n")
+    sb.append("`bucketed_join` now PERSISTS its bucketed sides per JVM+dir, so\n")
+    sb.append("the plan here is the steady-state zero-Exchange join, not the\n")
+    sb.append("rebuild.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

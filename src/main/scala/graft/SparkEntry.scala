@@ -81,12 +81,18 @@ object SparkEntry {
     "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
     "ngram_jaccard_inverted" -> (Dedup.ngramJaccardInvertedQuery _),
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
+    // cluster-level view of the same verified pair graph: one row per
+    // near-dup group (size + sorted member list)
+    "text_lsh_clusters" -> (Dedup.textLshClusters _),
     "corpus_clean" -> (Dedup.corpusClean _),
     "ann_ivf" -> (Similarity.annIvf _), // exhaustive nprobe: must equal brute force
     // persisted index: write partitioned-by-cell parquet, read back, search
     // all cells — exact vs the same brute-force oracle, and the pruned
     // path (suite-tested) reads only probed cells' FILES
     "ann_ivf_indexed" -> (Similarity.annIvfIndexed _),
+    // Lloyd-refined quantizer, exhaustive nprobe: refined cells must still
+    // partition the corpus, so the search equals brute force exactly
+    "ann_ivf_refined" -> (Similarity.annIvfRefined _),
     "quantize_embeddings" -> (Similarity.quantizeEmbeddingsQuery _),
     "embed_neardup_exact" -> (Similarity.embedNearDupExact _),
     "semantic_dedup" -> (Similarity.semanticDedupQuery _),
@@ -774,6 +780,13 @@ object SparkEntry {
       s"""WITH RECURSIVE ${clusterCtes("0.7")}
         |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the same transitive closure, aggregated per component
+    "text_lsh_clusters" ->
+      s"""WITH RECURSIVE ${clusterCtes("0.7")},
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_docs,
+        |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+        |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "corpus_clean" ->
       raw"""WITH RECURSIVE ${clusterCtes("0.7")},
         |dup AS (SELECT id AS doc_id, (min(r) = id) AS dup_keep FROM reach GROUP BY id),
@@ -867,6 +880,7 @@ object SparkEntry {
     // the brute-force oracle
     "ann_ivf" -> annExactOracle,
     "ann_ivf_indexed" -> annExactOracle,
+    "ann_ivf_refined" -> annExactOracle,
     "ann_topk" -> annExactOracle,
     // int8 scalar quantization: per-dim min/max + round((x-mn)/span*255);
     // float->double is exact and subtract/divide/round are IEEE-identical

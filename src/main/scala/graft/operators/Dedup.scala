@@ -387,24 +387,24 @@ object Dedup {
    * signatures written once as parquet (the [[Similarity.writeIvfIndex]]
    * contract for text) — ingestion batches then join via
    * [[crossNearDupsWithHistorySigs]] without ever re-signing history.
-   * Config (numHashes/shingleN/seed) rides in a sidecar so a reader can't
-   * silently join signatures from a different hash family.
+   * Config (numHashes/shingleN/seed) rides in a [[graft.util.IndexSidecar]]
+   * so a reader can't silently join signatures from a different hash family
+   * — or mistake this index for a different kind entirely.
    */
   def writeMinhashIndex(docs: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 64, shingleN: Int = 4, seed: Long = 42L): Unit = {
     minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
       .write.mode("overwrite").parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_minhash.txt"),
-      s"numHashes=$numHashes\nshingleN=$shingleN\nseed=$seed")
+    graft.util.IndexSidecar.write(path, "minhash", Map(
+      "numHashes" -> numHashes.toString,
+      "shingleN" -> shingleN.toString,
+      "seed" -> seed.toString))
   }
 
   /** (signatures, (numHashes, shingleN, seed)) from [[writeMinhashIndex]]. */
   def readMinhashIndex(spark: SparkSession, path: String): (DataFrame, (Int, Int, Long)) = {
-    val cfg = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, "_minhash.txt"))
-      .split("\n").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    val cfg = graft.util.IndexSidecar.read(path, "minhash")
     (spark.read.parquet(path),
       (cfg("numHashes").toInt, cfg("shingleN").toInt, cfg("seed").toLong))
   }
@@ -637,6 +637,26 @@ object Dedup {
   def dedupMinhashKeep(spark: SparkSession, dir: String): DataFrame =
     nearDupKeepDecisions(minHashNearDupsVerified(Tables.documents(spark, dir), threshold = 0.7))
       .orderBy(col("doc_id"))
+
+  /** Query entry (oracle-checked): the CLUSTER-level view of the same
+    * verified >=0.7 pair graph — one row per near-dup cluster with its size
+    * and comma-joined sorted member list, the shape a curation review uses
+    * ("show me the duplicate groups") where [[dedupMinhashKeep]] answers
+    * per-document. Exact-verified pairs mean the clusters equal what any
+    * engine computes over the true pair graph; DuckDB reproduces them with
+    * the same recursive transitive closure that checks dedup_minhash_keep,
+    * aggregated per component. Scale shape: pointer-jumped clustering (no
+    * quadratic stage) plus one groupBy(cluster) whose members list is
+    * bounded by cluster size, not corpus size. */
+  def textLshClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(minHashNearDupsVerified(Tables.documents(spark, dir), threshold = 0.7))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")))
+          .as("members"))
+      .orderBy(col("cluster_id"))
 
   /**
    * End-to-end corpus cleaning, the composed LLM-data pipeline: per-doc

@@ -273,6 +273,24 @@ object Similarity {
     approx.orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  /** Query entry (oracle-checked): exhaustive search over LLOYD-REFINED
+    * centroids — [[lloydRefine]]'s two assign/re-center passes move every
+    * cell boundary, so a bug anywhere in the refinement (assignment kernel,
+    * per-dimension partial means, empty-cell carry-over) re-partitions the
+    * corpus differently, and with nprobe = numCentroids the search is only
+    * brute-force-equal if the refined cells still PARTITION the corpus —
+    * which is exactly what the shared ann_topk oracle checks. Complements
+    * [[annIvfProbe]], which exercises refined-quantizer RECALL but is
+    * rows-only. */
+  def annIvfRefined(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfTopK(emb, probes, 10, numCentroids = 16, nprobe = 16, lloydIters = 2)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
   // ---- persisted IVF index ----
 
   /**
@@ -294,19 +312,18 @@ object Similarity {
       else sampled
     assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    // quantizer sidecar: one line per centroid, comma-joined doubles
-    // (Double.toString round-trips exactly through parseDouble)
-    val lines = centroids.map(_.mkString(",")).mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_centroids.txt"), lines)
+    // quantizer rides the shared [[graft.util.IndexSidecar]] (kind-checked
+    // on read; Double.toString round-trips exactly through parseDouble)
+    graft.util.IndexSidecar.write(path, "ivf", Map(
+      "centroids" -> graft.util.IndexSidecar.encodeMatrix(centroids),
+      "lloydIters" -> lloydIters.toString))
     centroids
   }
 
   /** (indexed corpus, quantizer) back from [[writeIvfIndex]] output. */
   def readIvfIndex(spark: SparkSession, path: String): (DataFrame, Array[Array[Double]]) = {
-    val centroids = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, "_centroids.txt"))
-      .split("\n").map(_.split(",").map(_.toDouble))
+    val centroids = graft.util.IndexSidecar.decodeMatrix(
+      graft.util.IndexSidecar.read(path, "ivf")("centroids"))
     (spark.read.parquet(path), centroids)
   }
 

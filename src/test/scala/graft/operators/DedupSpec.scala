@@ -256,6 +256,26 @@ class DedupSpec extends SparkSpec {
     assert(keep === Map(5L -> true, 7L -> false, 9L -> false))
   }
 
+  test("textLshClusters agrees with dedupMinhashKeep: same partition, cluster-level view") {
+    val keep = Dedup.dedupMinhashKeep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val clusters = Dedup.textLshClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(clusters.nonEmpty)
+    // the cluster rows are exactly the per-doc rows regrouped: member counts
+    // sum to the doc count, every cluster id is its own smallest member
+    // (pairs imply >= 2 members), and the flattened member lists reproduce
+    // the per-doc assignment
+    assert(clusters.map(_._2).sum === keep.size)
+    val fromClusters = clusters.flatMap { case (cl, n, members) =>
+      val ids = members.split(",").map(_.toLong)
+      assert(n >= 2 && ids.length === n.toInt && ids.min === cl,
+        s"cluster $cl malformed: n=$n members=$members")
+      ids.map(_ -> cl)
+    }.toSet
+    assert(fromClusters === keep.toSet)
+  }
+
   test("cleanCorpus composes dedup, language, and quality verdicts") {
     val verdicts = Dedup.cleanCorpus(planted, minQuality = 0.1,
       langs = Set("en"), nearDupThreshold = 0.5)

@@ -117,6 +117,21 @@ class SimilaritySpec extends SparkSpec {
     assert(moved.zip(start).exists { case (a, b) => !a.sameElements(b) })
   }
 
+  test("Lloyd-refined cells still partition the corpus: exhaustive search == brute force") {
+    // the ann_ivf_refined entry's contract, asserted here at suite SF too:
+    // two refinement passes move every cell boundary, yet with nprobe = K
+    // the result must stay brute-force-equal — any doc lost or duplicated
+    // by the re-partitioning breaks set equality, not just ordering
+    val probes = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(embeddings, probes, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfTopK(embeddings, probes, 10,
+      numCentroids = 16, nprobe = 16, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined === exact)
+  }
+
   test("IVF plan: probes broadcast onto a cell equi-join, no cartesian") {
     val probes = embeddings.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
@@ -251,6 +266,51 @@ class SimilaritySpec extends SparkSpec {
     assert(small > 0 && big > 0)
     assert(big.toDouble / small <= 30.0,
       s"candidate growth ${big.toDouble / small}x across a 10x corpus (small=$small big=$big) — quadratic blowup")
+  }
+
+  test("production preset (threshold 0.95, 12 bits/table): planted near-dups " +
+      "recalled with candidate volume far below corpus²") {
+    // The query entries run 4 bits/table because the Gaussian test corpus
+    // has no planted near-dups (top pair ≈ 0.51, the LSH-hostile 60°+
+    // regime). This is the configuration the operator ships for: a corpus
+    // WITH real near-duplicates (8.5° apart, per-bit collision ≈ 0.95),
+    // searched at 12 bits/table — where hyperplane LSH delivers high recall
+    // AND real pruning at the same time.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vdim = 32
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val base = (0 until 400).map(i =>
+      i.toLong -> unit(Array.fill(vdim)(rnd.nextGaussian())))
+    // every 5th vector gets a planted near-dup: unit(v + noise), |noise| ≈
+    // 0.15 → cosine ≈ 1/sqrt(1+0.15²) ≈ 0.989, above the 0.95 threshold
+    val planted = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (id + 10000L) -> unit(v.zip(
+        Array.fill(vdim)(rnd.nextGaussian() * 0.15 / math.sqrt(vdim)))
+        .map { case (a, b) => a + b }.toArray)
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "emb")
+    val exact = Similarity.embeddingNearDupsExact(corpus, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= planted.size,
+      s"only ${exact.size} true pairs — planting failed")
+    val approx = Similarity
+      .embeddingNearDups(corpus, threshold = 0.95, numTables = 8, bitsPerTable = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"production-preset recall $recall below 0.9")
+    // pruning: the bucket-join candidate volume (Σ c·(c−1)/2 over (table,
+    // bucket)) must be a small fraction of the n·(n−1)/2 pair space
+    val n = base.size + planted.size
+    val cand = Similarity.lshBuckets(corpus, "emb", numTables = 8, bitsPerTable = 12)
+      .groupBy("table", "bucket").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getDouble(0)
+    val pairSpace = n.toDouble * (n - 1) / 2
+    assert(cand <= 0.05 * pairSpace,
+      f"candidate volume $cand%.0f is ${cand / pairSpace * 100}%.1f%% of the pair space — no pruning")
+    info(f"recall $recall%.3f, candidates $cand%.0f = ${cand / pairSpace * 100}%.2f%% of $pairSpace%.0f pairs")
   }
 
   test("LSH and near-dup plans contain no cartesian product") {

@@ -52,4 +52,23 @@ class UtilSpec extends AnyFunSuite {
     rc.setRunning(false)
     assert(!rc.isRunning)
   }
+
+  test("IndexSidecar: round-trips props + matrix, rejects wrong kind") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecar-test").toString
+    val m = Array(Array(1.5, -2.25, 0.1), Array(3.0, 4.0, 1e-17))
+    IndexSidecar.write(dir, "ivf",
+      Map("centroids" -> IndexSidecar.encodeMatrix(m), "lloydIters" -> "2"))
+    val back = IndexSidecar.read(dir, "ivf")
+    assert(back("kind") === "ivf" && back("lloydIters") === "2")
+    val m2 = IndexSidecar.decodeMatrix(back("centroids"))
+    assert(m2.length === m.length)
+    m.zip(m2).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // a MinHash reader pointed at this IVF index must fail loudly
+    val e = intercept[IllegalArgumentException](IndexSidecar.read(dir, "minhash"))
+    assert(e.getMessage.contains("kind=ivf"))
+    // newlines in values would corrupt the key=value format
+    intercept[IllegalArgumentException](
+      IndexSidecar.write(dir, "x", Map("a" -> "b\nc")))
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
