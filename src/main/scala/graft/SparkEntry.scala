@@ -52,6 +52,9 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangId _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    // PII scrubbing (planted-from-doc_id emails/IPs/phones; regex parity
+    // proven byte-identically vs the DuckDB oracle)
+    "pii_redact" -> (TextAnalysis.piiRedact _),
     "ann_topk" -> (Similarity.annTopK _),
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
@@ -726,6 +729,27 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PII planted from doc_id on both sides (the corpus itself carries
+    // none), then identical alternation-free regexes — see
+    // TextAnalysis.redactPii for why alternation-free means Java and RE2
+    // match byte-identically
+    "pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' reach u' || doc_id || '@ex' || (doc_id % 7) || '.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' or admin' || doc_id || '@mail.example.org' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' node 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' up' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +' || (doc_id + 14000000000) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        |  len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
     // ---- near-dup / similarity family ----
     // The gram CTE mirrors TextHashes.normalize (lowercase, collapse
     // whitespace, trim) + distinct char-4-gram sets; counting distinct grams

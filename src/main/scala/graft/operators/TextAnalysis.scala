@@ -250,4 +250,65 @@ object TextAnalysis {
       col("doc_id"),
       fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  // ---- PII redaction (the Dolma/FineWeb scrubbing step) ----
+
+  /** The three scrub patterns every public-web training pipeline runs
+    * (emails, IPv4 addresses, E.164-style phone numbers). Deliberately
+    * alternation-free and anchor-free: greedy character classes behave
+    * identically under Java's backtracking (leftmost-first) and
+    * RE2-family (leftmost-longest) engines, so the DuckDB oracle matches
+    * the Spark kernel byte for byte — an alternation could legally pick
+    * different branches per engine. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "\\+[0-9]{7,15}"
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, `+`-prefixed phones →
+    * `<PHONE>` in `textCol`, and report per-document match counts. Counts
+    * are taken on the ORIGINAL text per pattern (independent, not
+    * sequential), so a span matching two patterns — a dotted quad inside
+    * an email domain — counts under both; the replace chain then resolves
+    * such overlaps by precedence (email > IP > phone), and since the
+    * placeholders contain no digits or `@`, a replace can never
+    * manufacture a NEW match for a later pattern (suite-pinned). Pure
+    * scan-stage codegen'd regexps: at 100 TB this is a zero-shuffle pass
+    * like the other text kernels. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Pattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhonePattern)).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"))
+  }
+
+  /** Query entry (oracle-checked): the synthetic corpus carries no PII, so
+    * deterministic PII is PLANTED from doc_id (emails on %3, a second one
+    * on %9, IPs on %2, phones on %5 — 12 count combinations) and the same
+    * construction runs in the DuckDB oracle; the compare then proves the
+    * regex kernels — counts and replaced text — byte-identically across
+    * engines, the same plant-then-check pattern the LSH demo suites use. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = Tables.documents(spark, dir).withColumn("text", concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" reach u"), id.cast("string"),
+        lit("@ex"), (id % 7).cast("string"), lit(".example.com"))).otherwise(""),
+      when(id % 9 === 0, concat(lit(" or admin"), id.cast("string"),
+        lit("@mail.example.org"))).otherwise(""),
+      when(id % 2 === 0, concat(lit(" node 10."), (id % 256).cast("string"),
+        lit(".0."), (id % 100).cast("string"), lit(" up"))).otherwise(""),
+      when(id % 5 === 0, concat(lit(" call +"),
+        (id + 14000000000L).cast("string"))).otherwise("")))
+    redactPii(planted)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("text").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
 }
