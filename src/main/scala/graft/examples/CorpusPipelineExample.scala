@@ -54,7 +54,7 @@ object CorpusPipelineExample {
 
     // 4. pack into 2048-token training sequences
     val packed = CorpusPipeline.packSequences(mixed)
-    val nSeqs = packed.agg(countDistinct(col("source"), col("seq_id"))).head.getLong(0)
+    val nSeqs = packed.agg(countDistinct(col("source"), col("seq_id"))).head().getLong(0)
 
     println(s"corpus:   $total docs")
     println(s"deduped:  $nDeduped docs")

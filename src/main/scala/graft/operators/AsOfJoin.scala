@@ -41,7 +41,7 @@ object AsOfJoin {
     val rSide = right.select(
       Seq(col(key), col(ts), lit(0).as("_side")) ++
         leftOnly.map(c => lit(null).cast(left.schema(left.schema.fieldIndex(c)).dataType).as(c)) :+
-        struct(rightOnly.map(col): _*).as("_r"): _*)
+        struct(rightOnly.map(col).toIndexedSeq: _*).as("_r"): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_side").asc)

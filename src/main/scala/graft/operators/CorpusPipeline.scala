@@ -329,7 +329,7 @@ object CorpusPipeline {
     // the checkpointed vocabulary — a single Long to the driver (same
     // driver-sized-census contract as the IVF centroids), NOT a global
     // window, which would drag the whole vocabulary into one partition
-    val total = freq.agg(sum("c")).head.getLong(0)
+    val total = freq.agg(sum("c")).head().getLong(0)
     val scored = freq.withColumn("logp",
       log(col("c").cast("double") / lit(total.toDouble)))
     // tolerance note: avg over doubles is accumulation-order dependent and

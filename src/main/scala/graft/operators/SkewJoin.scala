@@ -28,7 +28,7 @@ object SkewJoin {
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "inputs already have a _salt column; rename it before salting")
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

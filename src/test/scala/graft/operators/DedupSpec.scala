@@ -335,7 +335,7 @@ class DedupSpec extends SparkSpec {
     // the repeated-segment set derives from an aggregate (stats unknowable)
     // — the join back must stay shuffle-hash, not a gambled broadcast
     assert(!plan.contains("BroadcastHashJoin"), s"broadcast of unbounded set:\n$plan")
-    val dropped = out.agg(sum("n_dropped")).head.getLong(0)
+    val dropped = out.agg(sum("n_dropped")).head().getLong(0)
     assert(dropped > 0, "planted template corpus must contain repeated segments")
   }
 }

@@ -339,7 +339,7 @@ class SimilaritySpec extends SparkSpec {
     // real corpus: every component in [0,255], each dim hits both extremes
     val real = Similarity.quantizeEmbeddings(Tables.embeddings(spark, sfDir))
     val flat = real.select(posexplode(col("qemb")).as(Seq("i", "qv")))
-    val range = flat.agg(min("qv"), max("qv")).head
+    val range = flat.agg(min("qv"), max("qv")).head()
     assert(range.getInt(0) === 0 && range.getInt(1) === 255)
     val perDim = flat.groupBy("i").agg(min("qv").as("lo"), max("qv").as("hi")).collect()
     perDim.foreach(r => assert(r.getInt(1) === 0 && r.getInt(2) === 255,

@@ -24,7 +24,7 @@ class SkewJoinSpec extends SparkSpec {
     import spark.implicits._
     val big = (0 until 1000).map(i => (7L, s"v$i")).toDF("k", "payload")
     val salts = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8)).cast("int"))
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(8)).cast("int"))
       .select("_salt").distinct().count()
     assert(salts === 8) // deterministic hash salt covers the full range
   }
