@@ -29,7 +29,8 @@ object PlanDump {
       "dedup_incremental", "chunk_documents", "corpus_shuffle", "ann_ivf_indexed",
       "segment_dedup", "domain_resample", "corpus_split", "quantize_embeddings",
       "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats",
-      "ann_ivf_refined", "text_lsh_clusters", "pii_redact")
+      "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
+      "winnow_fingerprint")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -70,8 +71,9 @@ object PlanDump {
     sb.append("cluster-keyed aggregation over the converged label table;\n")
     sb.append("`bucketed_join` now PERSISTS its bucketed sides per JVM+dir, so\n")
     sb.append("the plan here is the steady-state zero-Exchange join, not the\n")
-    sb.append("rebuild; `pii_redact` must be pure scan-stage (regexp kernels +\n")
-    sb.append("the planted-PII concat, no Exchange below the final orderBy).\n")
+    sb.append("rebuild; `pii_redact` and `winnow_fingerprint` must be pure\n")
+    sb.append("scan-stage (regexp / higher-order array kernels, no Exchange\n")
+    sb.append("below the final orderBy).\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

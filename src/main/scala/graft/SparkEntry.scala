@@ -55,6 +55,8 @@ object SparkEntry {
     // PII scrubbing (planted-from-doc_id emails/IPs/phones; regex parity
     // proven byte-identically vs the DuckDB oracle)
     "pii_redact" -> (TextAnalysis.piiRedact _),
+    // winnowing (MOSS) span-level fingerprints, md5 parity with the oracle
+    "winnow_fingerprint" -> (TextAnalysis.winnowFingerprint _),
     "ann_topk" -> (Similarity.annTopK _),
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
@@ -729,6 +731,31 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same winnowing pass as TextAnalysis.winnowFingerprints: k=8 char
+    // grams md5'd, window-of-4 minima, distinct-sorted set digested.
+    // DuckDB's 1-based inclusive slices s[i:i+7] / hs[j:j+3] mirror Spark's
+    // substring(_, i, 8) / slice(_, j, 4); range(1, m+1) == sequence(1, m)
+    "winnow_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, greatest(len(s) - 7, 0) AS n_grams,
+        |    CASE WHEN len(s) >= 8
+        |      THEN list_transform(range(1, len(s) - 6), i -> md5(s[i:i+7]))
+        |      ELSE [] END AS hs
+        |  FROM n),
+        |w AS (
+        |  SELECT doc_id, n_grams,
+        |    CASE WHEN n_grams >= 4
+        |      THEN list_transform(range(1, n_grams - 2), j -> list_min(hs[j:j+3]))
+        |      WHEN n_grams > 0 THEN [list_min(hs)]
+        |      ELSE [] END AS wins
+        |  FROM g)
+        |SELECT doc_id, n_grams,
+        |  len(list_distinct(wins)) AS n_fps,
+        |  md5(coalesce(array_to_string(list_sort(list_distinct(wins)), ','), '')) AS fp_digest
+        |FROM w ORDER BY doc_id""".stripMargin,
     // PII planted from doc_id on both sides (the corpus itself carries
     // none), then identical alternation-free regexes — see
     // TextAnalysis.redactPii for why alternation-free means Java and RE2

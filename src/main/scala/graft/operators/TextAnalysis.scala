@@ -251,6 +251,64 @@ object TextAnalysis {
       fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // ---- winnowing fingerprints (Schleimer et al. 2003, the MOSS kernel) ----
+
+  /**
+   * Winnowing document fingerprints: md5 each overlapping `k`-char gram of
+   * the normalized text, slide a `w`-gram window and keep each window's
+   * MINIMUM hash — the selected set is position-independent (ties collapse
+   * under the set semantics), local (the guarantee: any shared substring of
+   * length >= k + w - 1 contributes at least one SHARED fingerprint to both
+   * documents), and ~2/(w+1) dense. This is the span-level attribution tool
+   * [[fingerprint]]'s single whole-doc hash cannot give: two docs sharing a
+   * paragraph share fingerprints even when everything else differs.
+   *
+   * Entirely scan-stage higher-order array expressions (transform/sequence/
+   * slice/array_min) — no explode, no shuffle, 100 TB cost is one corpus
+   * pass. md5 (not the faster xxhash) because the DuckDB oracle must
+   * reproduce every hash byte-identically; a production deployment would
+   * swap in xxhash64 via the same kernel shape.
+   *
+   * Output columns: n_grams, the fingerprint count, and an md5 digest of
+   * the sorted fingerprint set — compact enough to verify row-for-row at
+   * any corpus size while still pinning every selected hash.
+   */
+  /** md5("") — the fp_digest of a document with no fingerprints. */
+  val winnowEmptyDigest = "d41d8cd98f00b204e9800998ecf8427e"
+
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, s"degenerate winnowing config k=$k w=$w")
+    val emptyArr = expr("cast(array() as array<string>)")
+    docs
+      .withColumn("_norm",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      .withColumn("n_grams",
+        greatest(length(col("_norm")) - (k - 1), lit(0)).cast("long"))
+      .withColumn("_hs", when(col("n_grams") > 0,
+        expr(s"transform(sequence(1, cast(n_grams as int)), i -> md5(substring(_norm, i, $k)))"))
+        .otherwise(emptyArr))
+      // full windows when there are >= w grams; a short doc's single
+      // "window" is all of it; an empty doc has no fingerprints
+      .withColumn("_wins", when(col("n_grams") >= w,
+        expr(s"transform(sequence(1, cast(n_grams - ${w - 1} as int)), j -> array_min(slice(_hs, j, $w)))"))
+        .when(col("n_grams") > 0, array(array_min(col("_hs"))))
+        .otherwise(emptyArr))
+      .withColumn("fps", array_sort(array_distinct(col("_wins"))))
+      .withColumn("n_fps", size(col("fps")).cast("long"))
+      .withColumn("fp_digest", md5(concat_ws(",", col("fps"))))
+      .drop("_norm", "_hs", "_wins")
+  }
+
+  /** Query entry (oracle-checked): winnowing fingerprints of every corpus
+    * document at k=8/w=4 — gram count, fingerprint count, and the digest of
+    * the sorted fingerprint set, all reproduced hash-for-hash by the DuckDB
+    * oracle's list-comprehension formulation of the same algorithm. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"), col("fp_digest"))
+      .orderBy(col("doc_id"))
+
   // ---- PII redaction (the Dolma/FineWeb scrubbing step) ----
 
   /** The three scrub patterns every public-web training pipeline runs

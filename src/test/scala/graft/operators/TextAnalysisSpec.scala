@@ -41,6 +41,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) === (("<EMAIL><PHONE>", 1L, 0L, 1L)))
   }
 
+  test("winnowFingerprints: the winnowing guarantee and the edge cases") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"PREFIX AAA $shared SUFFIX BBB"),
+      (2L, s"totally different framing text here $shared and more trailing words"),
+      (3L, "unrelated content with no overlap whatsoever in any span"),
+      (4L, "tiny"),      // 4 chars < k=8 → zero grams, zero fingerprints
+      (5L, "ten chars!"), // 10 chars → 3 grams < w=4 → one fingerprint
+      (6L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.winnowFingerprints(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(x.fieldIndex("n_grams")), x.getLong(x.fieldIndex("n_fps")),
+          x.getSeq[String](x.fieldIndex("fps")).toSet,
+          x.getString(x.fieldIndex("fp_digest"))))
+      .toMap
+    // guarantee: docs 1 and 2 share a substring far longer than k+w-1=11,
+    // so their fingerprint SETS must intersect; doc 3 shares no span
+    assert(r(1L)._3.intersect(r(2L)._3).nonEmpty, "shared span produced no shared fingerprint")
+    assert(r(1L)._3.intersect(r(3L)._3).isEmpty, "disjoint docs share a fingerprint")
+    // density: ~2/(w+1) of grams become fingerprints, never more than windows
+    assert(r(1L)._2 < r(1L)._1 && r(1L)._2 > r(1L)._1 / 8)
+    // edge cases
+    assert(r(4L) ===((0L, 0L, Set.empty[String], TextAnalysis.winnowEmptyDigest)))
+    assert(r(5L)._1 === 3L && r(5L)._2 === 1L)
+    assert(r(6L)._1 === 0L && r(6L)._2 === 0L)
+    // digest pins the set: same text → same digest, deterministic
+    val again = TextAnalysis.winnowFingerprints(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(x.fieldIndex("fp_digest"))).toMap
+    assert(again === r.view.mapValues(_._4).toMap)
+  }
+
   test("pii_redact entry: every planted pattern lands and the corpus text survives around it") {
     val out = TextAnalysis.piiRedact(spark, sfDir).collect()
     assert(out.nonEmpty)
