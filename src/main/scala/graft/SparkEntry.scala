@@ -57,6 +57,13 @@ object SparkEntry {
     "pii_redact" -> (TextAnalysis.piiRedact _),
     // winnowing (MOSS) span-level fingerprints, md5 parity with the oracle
     "winnow_fingerprint" -> (TextAnalysis.winnowFingerprint _),
+    // cross-document shared passages (winnow fps in 2..50 docs, df-capped)
+    "duplicate_passages" -> (TextAnalysis.duplicatePassagesEntry _),
+    // NFC canonicalization via the custom Catalyst expression (planted
+    // decomposed sequences; digest parity vs DuckDB's native nfc_normalize)
+    "text_normalize" -> (TextAnalysis.textNormalize _),
+    // per-document tf·idf keywords (ln(N/df), 4-dp rounded rank)
+    "tfidf_topterms" -> (TextAnalysis.tfidfTopTermsEntry _),
     "ann_topk" -> (Similarity.annTopK _),
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
@@ -756,6 +763,67 @@ object SparkEntry {
         |  len(list_distinct(wins)) AS n_fps,
         |  md5(coalesce(array_to_string(list_sort(list_distinct(wins)), ','), '')) AS fp_digest
         |FROM w ORDER BY doc_id""".stripMargin,
+    // the winnow_fingerprint CTEs + cross-doc grouping: fingerprints in
+    // 2..50 distinct docs (the df cap that keeps boilerplate spans from
+    // collecting thousand-doc lists), doc list digested sorted-as-strings
+    // exactly like Spark's array_sort(collect_list(cast(string)))
+    "duplicate_passages" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, greatest(len(s) - 7, 0) AS n_grams,
+        |    CASE WHEN len(s) >= 8
+        |      THEN list_transform(range(1, len(s) - 6), i -> md5(s[i:i+7]))
+        |      ELSE [] END AS hs
+        |  FROM n),
+        |w AS (
+        |  SELECT doc_id, n_grams,
+        |    CASE WHEN n_grams >= 4
+        |      THEN list_transform(range(1, n_grams - 2), j -> list_min(hs[j:j+3]))
+        |      WHEN n_grams > 0 THEN [list_min(hs)]
+        |      ELSE [] END AS wins
+        |  FROM g),
+        |f AS (SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w),
+        |c AS (SELECT fp, count(*) AS n_docs FROM f GROUP BY 1
+        |      HAVING count(*) BETWEEN 2 AND 50)
+        |SELECT fp, n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  md5(array_to_string(list_sort(list(doc_id::VARCHAR)), ',')) AS doc_digest
+        |FROM f JOIN c USING (fp) GROUP BY 1, 2 ORDER BY fp""".stripMargin,
+    // identical codepoint plants (chr() args = the \uXXXX escapes in
+    // TextAnalysis.textNormalize), then DuckDB's native ICU nfc_normalize
+    // vs the custom Catalyst NfcNormalizeExpr — digests must agree byte
+    // for byte
+    "text_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, len(t) AS n_raw, len(nfc_normalize(t)) AS n_norm,
+        |  t <> nfc_normalize(t) AS changed,
+        |  md5(nfc_normalize(t)) AS norm_digest
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    // tf over lowercased letter-runs >= 3 chars, df re-aggregated from tf,
+    // idf = ln(N/df); rank over the 4-dp ROUNDED score (desc, term asc) in
+    // both engines so identical values rank identically
+    "tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln(n.n / df::DOUBLE), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, score FROM r
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     // PII planted from doc_id on both sides (the corpus itself carries
     // none), then identical alternation-free regexes — see
     // TextAnalysis.redactPii for why alternation-free means Java and RE2

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -84,6 +84,32 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Unicode NFC canonical normalization (java.text.Normalizer) — the
+ * canonicalization step that must run BEFORE any hash-based dedup at corpus
+ * scale: "café" composed (U+00E9) and decomposed (e + U+0301) are different
+ * byte strings, so every downstream md5/MinHash/SimHash kernel sees two
+ * unrelated documents unless the corpus is normalized first. Spark ships no
+ * normalization builtin, hence the custom expression; NFC (not NFK*) because
+ * canonical composition is lossless — compatibility folding is a separate
+ * policy decision a pipeline makes per-field. Scan-stage, zero-shuffle; the
+ * fast path (`Normalizer.isNormalized`, true for ~all real web text) skips
+ * the copy entirely, so the 100 TB cost is a per-row check, not a rewrite.
+ */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override def prettyName: String = "graft_nfc_normalize"
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
 }
 
 /**
@@ -432,6 +458,9 @@ object GraftFunctions {
   def simHash128(text: Column): Column =
     ExpressionUtils.column(SimHash128Expr(ExpressionUtils.expression(text)))
 
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(text)))
+
   def simHashBandKeys128(w0: Column, w1: Column, rotations: Int): Column =
     ExpressionUtils.column(SimHashBandKeys128Expr(
       ExpressionUtils.expression(w0), ExpressionUtils.expression(w1), rotations))
@@ -493,7 +522,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => TextSignalsExpr(args(0))),
     ("graft_text_repetition",
       new ExpressionInfo(classOf[TextRepetitionExpr].getName, "graft_text_repetition"),
-      (args: Seq[Expression]) => TextRepetitionExpr(args(0))))
+      (args: Seq[Expression]) => TextRepetitionExpr(args(0))),
+    ("graft_nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

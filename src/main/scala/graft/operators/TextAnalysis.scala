@@ -352,6 +352,149 @@ object TextAnalysis {
     * construction runs in the DuckDB oracle; the compare then proves the
     * regex kernels — counts and replaced text — byte-identically across
     * engines, the same plant-then-check pattern the LSH demo suites use. */
+  // ---- Unicode NFC normalization (pre-dedup canonicalization) ----
+
+  /**
+   * Canonical-normalize `textCol` to Unicode NFC via the custom
+   * [[graft.functions.GraftFunctions.nfcNormalize]] expression (Spark has no
+   * normalization builtin) and report per-document codepoint lengths before/
+   * after plus a digest of the normalized text. This is the step every
+   * hash-keyed operator in this library implicitly assumes: composed "é"
+   * (U+00E9) and decomposed "e"+U+0301 md5/MinHash/SimHash to unrelated
+   * values, so un-normalized corpora silently under-deduplicate. Pure
+   * scan-stage kernel — zero shuffle, and the expression's isNormalized fast
+   * path makes the 100 TB cost a per-row check for already-clean text.
+   */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = graft.functions.GraftFunctions.nfcNormalize(col(textCol))
+    docs
+      .withColumn("n_raw", length(col(textCol)).cast("long"))
+      .withColumn("_norm", norm)
+      .withColumn("n_norm", length(col("_norm")).cast("long"))
+      .withColumn("changed", col(textCol) =!= col("_norm"))
+      .withColumn("norm_digest", md5(col("_norm")))
+      .drop("_norm")
+  }
+
+  /** Query entry (oracle-checked): the synthetic corpus is pure ASCII (NFC
+    * trivially), so decomposed sequences are PLANTED from doc_id — %2 docs
+    * get "e"+combining-acute (composes, −1 codepoint), %3 docs get
+    * "A"+U+030A and "o"+U+0308 (compose to Å/ö, −2), %5 docs get an
+    * already-composed "café" (NFC fixpoint, unchanged) — and the DuckDB
+    * oracle plants the identical codepoints and runs its native
+    * nfc_normalize. Byte-identical digests then prove the custom Catalyst
+    * expression against ICU's NFC, the [[piiRedact]] plant-then-check
+    * pattern applied to normalization. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = Tables.documents(spark, dir).withColumn("text", concat(
+      col("text"),
+      // decomposed: e + U+0301 combining acute -- NFC composes it
+      when(id % 2 === 0, lit(" cafe\u0301")).otherwise(""),
+      // decomposed: A + U+030A ring, o + U+0308 diaeresis -- both compose
+      when(id % 3 === 0, lit(" A\u030Angstro\u0308m")).otherwise(""),
+      // already composed U+00E9 -- an NFC fixpoint, must survive unchanged
+      when(id % 5 === 0, lit(" caf\u00e9")).otherwise("")))
+    normalizeText(planted)
+      .select(col("doc_id"), col("n_raw"), col("n_norm"), col("changed"),
+        col("norm_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- TF-IDF top terms (per-document keyword extraction) ----
+
+  /**
+   * Top-`k` characteristic terms per document by tf·idf with
+   * idf = ln(N/df) — the classic keyword-extraction / topic-labeling pass a
+   * curation pipeline runs to tag documents before domain mixing. Terms are
+   * lowercased letter-runs of length ≥ 3 (regexp_extract_all, identical
+   * semantics under Java and RE2 regex engines for this alternation-free
+   * pattern).
+   *
+   * Scale shape: explode feeds a map-side-combined (doc, term) count; df is
+   * a re-aggregation of that tf table (vocabulary-sized, never a second
+   * corpus pass) and is joined back shuffle-hash — vocabulary cardinality
+   * is unbounded at corpus scale, so a broadcast is a gamble and the
+   * [[CorpusPipeline.unigramLogProb]] pin applies. N is one driver scalar
+   * (the driver-sized-census contract). The final top-k is a per-document
+   * window over that document's own vocabulary — bounded state per key, no
+   * global sort. Ranking uses the 4-dp ROUNDED score (desc, then term asc)
+   * so both engines rank identical values; the residual ulp-at-boundary
+   * risk is the documented [[CorpusPipeline.unigramLogProb]] class.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val scored = tf.join(dfreq.hint("shuffle_hash"), "term")
+      .withColumn("score", round(col("tf") * log(lit(n) / col("df").cast("double")), 4))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(byScore))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "df", "score")
+  }
+
+  /** Query entry (oracle-checked): top-5 tf·idf terms of every document. */
+  def tfidfTopTermsEntry(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("rnk"))
+
+  // ---- cross-document duplicate passages (shared winnowing fingerprints) ----
+
+  /**
+   * Passages shared across documents: every winnowing fingerprint
+   * ([[winnowFingerprints]] — any shared substring of length ≥ k+w−1 is
+   * guaranteed to surface at least one shared fingerprint) that occurs in
+   * 2..`maxDocs` distinct documents, with the count, id range, and a digest
+   * of the full sorted document list. This is the span-level CROSS-document
+   * report [[winnowFingerprint]]'s per-document rows can't give: which
+   * passages recur, and exactly where.
+   *
+   * The `maxDocs` cap is load-bearing at scale, not cosmetic: boilerplate
+   * spans (license headers, navigation chrome) land in thousands of
+   * documents, and collecting those lists is both a straggler and useless
+   * output — the synthetic corpus itself has template fingerprints in 300+
+   * docs. So the shape is two-pass, the [[Dedup.ngramJaccardInverted]]
+   * df-cap pattern: a fingerprint-count aggregate filtered to the cap
+   * (checkpointed — it is the small side), then a shuffle-hash join back to
+   * the fingerprint stream so document lists are collected ONLY for
+   * fingerprints that passed. Per-group state is ≤ maxDocs ids by
+   * construction; no collect can straggle.
+   */
+  def duplicatePassages(docs: DataFrame, k: Int = 8, w: Int = 4,
+      maxDocs: Int = 50): DataFrame = {
+    // explode_outer, NOT explode: for a plain explode the optimizer's
+    // InferFiltersFromGenerate adds `size(fps) > 0` and predicate pushdown
+    // then inlines the ENTIRE winnow expression tree into a pre-scan Filter
+    // — with the md5-gram array nested inside the window lambda, i.e.
+    // O(n_grams²) md5 calls per document (measured: >300 s for 500 docs vs
+    // seconds). The outer Generate is exempt from that rule; the cheap
+    // isNotNull on the GENERATED attribute (which cannot be pushed below
+    // the Generate) restores exact explode semantics.
+    val fps = winnowFingerprints(docs, "text", k, w)
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+    val shared = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= maxDocs)
+      .localCheckpoint()
+    fps.join(shared.hint("shuffle_hash"), "fp")
+      .groupBy("fp", "n_docs")
+      .agg(
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        md5(concat_ws(",",
+          array_sort(collect_list(col("doc_id").cast("string"))))).as("doc_digest"))
+      .select("fp", "n_docs", "min_doc", "max_doc", "doc_digest")
+  }
+
+  /** Query entry (oracle-checked): all passages shared by 2..50 documents
+    * at the [[winnowFingerprint]] k=8/w=4 configuration. */
+  def duplicatePassagesEntry(spark: SparkSession, dir: String): DataFrame =
+    duplicatePassages(Tables.documents(spark, dir)).orderBy(col("fp"))
+
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val planted = Tables.documents(spark, dir).withColumn("text", concat(

@@ -89,4 +89,91 @@ class TextAnalysisSpec extends SparkSpec {
       assert("<EMAIL>".r.findAllIn(redacted).size === expEmails)
     }
   }
+
+  test("nfcNormalize: composes decomposed sequences, fixes nothing already NFC") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.nfcNormalize
+    val rows = Seq(
+      (1L, "cafe\u0301"),          // e + combining acute -> U+00E9
+      (2L, "caf\u00e9"),           // already composed: fixpoint
+      (3L, "A\u030Angstro\u0308m"), // ring + diaeresis -> \u00C5 / \u00F6
+      (4L, "plain ascii stays"),
+      (5L, "")).toDF("doc_id", "text")
+    val r = rows.select($"doc_id", nfcNormalize($"text").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "caf\u00e9")
+    assert(r(2L) === "caf\u00e9")
+    assert(r(3L) === "\u00C5ngstr\u00F6m")
+    assert(r(4L) === "plain ascii stays")
+    assert(r(5L) === "")
+    // null-safe (UnaryExpression nullSafeEval contract)
+    val withNull = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(withNull.select(nfcNormalize($"text")).head().isNullAt(0))
+    // the normalization collapses hash-distinct spellings into one key --
+    // the reason this must run BEFORE any dedup kernel
+    val dedupKey = rows.filter($"doc_id" <= 2)
+      .select(md5(nfcNormalize($"text"))).distinct().count()
+    assert(dedupKey === 1L)
+  }
+
+  test("normalizeText: lengths, changed flag, digest parity across spellings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x cafe\u0301 y"),  // 9 codepoints raw -> 8 after composition
+      (2L, "x caf\u00e9 y")    // 8 codepoints, already NFC
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(x.fieldIndex("n_raw")),
+        x.getLong(x.fieldIndex("n_norm")), x.getBoolean(x.fieldIndex("changed")),
+        x.getString(x.fieldIndex("norm_digest"))))).toMap
+    assert(r(1L)._1 === 9L && r(1L)._2 === 8L && r(1L)._3 === true)
+    assert(r(2L)._1 === 8L && r(2L)._2 === 8L && r(2L)._3 === false)
+    assert(r(1L)._4 === r(2L)._4, "NFC-equal texts must share a digest")
+  }
+
+  test("tfidfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    import spark.implicits._
+    // "common" is in every doc (df = N -> idf = ln(1) = 0); each doc also
+    // carries a private term (df = 1 -> max idf) and doc 1 repeats its
+    // private term so tf breaks the within-doc ordering
+    val docs = Seq(
+      (1L, "common zebra zebra apple"),
+      (2L, "common yak"),
+      (3L, "common xerus")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getDouble(5)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._3) === Seq("zebra", "apple"))
+    assert(byDoc(1L).head._4 > byDoc(1L)(1)._4, "tf=2 private term outranks tf=1")
+    assert(byDoc(2L).map(_._3) === Seq("yak", "common"))
+    // ubiquitous term scores exactly 0.0
+    assert(byDoc(2L)(1)._4 === 0.0)
+    // short tokens (< 3 letters) and digits never appear as terms
+    val docs2 = Seq((1L, "ab x9 12 no terms of len two")).toDF("doc_id", "text")
+    val terms2 = TextAnalysis.tfidfTopTerms(docs2, k = 10).collect().map(_.getString(2))
+    assert(terms2.toSet === Set("terms", "len", "two"))
+  }
+
+  test("duplicatePassages: shared spans surface, the df cap suppresses boilerplate") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val boiler = "all rights reserved by the corpus licensing department"
+    // docs 1-2 share `passage`; docs 10-15 (6 docs) all carry `boiler`
+    val docs = (Seq(
+      (1L, s"alpha framing $passage omega"),
+      (2L, s"beta $passage gamma closing words"),
+      (3L, "unrelated text with no shared span at all here")) ++
+      (10L to 15L).map(i => (i, s"doc number $i text $boiler")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatePassages(docs, maxDocs = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // winnowing guarantee: a shared span of len >= k+w-1 yields >= 1 shared
+    // fingerprint -> at least one (n_docs=2, docs 1..2) row
+    val pair = out.filter(r => r._2 === 2L && r._3 === 1L && r._4 === 2L)
+    assert(pair.nonEmpty, "shared passage produced no cross-doc fingerprint")
+    // the 6-doc boilerplate exceeds maxDocs=5: no row may span docs 10..15
+    assert(!out.exists(r => r._3 >= 10L && r._4 <= 15L && r._2 >= 6L))
+    // doc 3 shares nothing: it appears in no group
+    assert(!out.exists(r => r._3 === 3L || r._4 === 3L))
+  }
 }
