@@ -30,7 +30,8 @@ object PlanDump {
       "segment_dedup", "domain_resample", "corpus_split", "quantize_embeddings",
       "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats",
       "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
-      "winnow_fingerprint")
+      "winnow_fingerprint", "duplicate_passages", "text_normalize",
+      "tfidf_topterms")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -73,7 +74,15 @@ object PlanDump {
     sb.append("the plan here is the steady-state zero-Exchange join, not the\n")
     sb.append("rebuild; `pii_redact` and `winnow_fingerprint` must be pure\n")
     sb.append("scan-stage (regexp / higher-order array kernels, no Exchange\n")
-    sb.append("below the final orderBy).\n")
+    sb.append("below the final orderBy). Late round-9 additions:\n")
+    sb.append("`duplicate_passages` must show an OUTER Generate (a plain explode\n")
+    sb.append("lets InferFiltersFromGenerate inline the winnow tree into a\n")
+    sb.append("quadratic pre-scan filter) and a shuffle-hash join of the\n")
+    sb.append("df-capped shared-fingerprint set back to the fingerprint stream;\n")
+    sb.append("`text_normalize` must be pure scan-stage (the NfcNormalizeExpr\n")
+    sb.append("kernel, no Exchange below the orderBy); `tfidf_topterms` must\n")
+    sb.append("re-aggregate df from the tf table (one corpus explode only) and\n")
+    sb.append("rank inside per-doc window partitions, df joined shuffle-hash.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")
