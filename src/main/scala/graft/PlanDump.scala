@@ -31,7 +31,7 @@ object PlanDump {
       "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats",
       "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
-      "tfidf_topterms")
+      "tfidf_topterms", "dedup_exact_nfc")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -82,7 +82,9 @@ object PlanDump {
     sb.append("`text_normalize` must be pure scan-stage (the NfcNormalizeExpr\n")
     sb.append("kernel, no Exchange below the orderBy); `tfidf_topterms` must\n")
     sb.append("re-aggregate df from the tf table (one corpus explode only) and\n")
-    sb.append("rank inside per-doc window partitions, df joined shuffle-hash.\n")
+    sb.append("rank inside per-doc window partitions, df joined shuffle-hash;\n")
+    sb.append("`dedup_exact_nfc` is one hash aggregate over the scan-stage\n")
+    sb.append("NfcNormalizeExpr key (the dedup_exact shape, normalized).\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -64,6 +64,9 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.textNormalize _),
     // per-document tf·idf keywords (ln(N/df), 4-dp rounded rank)
     "tfidf_topterms" -> (TextAnalysis.tfidfTopTermsEntry _),
+    // canonicalize-then-dedup: planted composed/decomposed twins collapse
+    // to one normalized key (byte-level dedup would keep both)
+    "dedup_exact_nfc" -> (TextAnalysis.dedupExactNfc _),
     "ann_topk" -> (Similarity.annTopK _),
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
@@ -790,6 +793,18 @@ object SparkEntry {
         |SELECT fp, n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  md5(array_to_string(list_sort(list(doc_id::VARCHAR)), ',')) AS doc_digest
         |FROM f JOIN c USING (fp) GROUP BY 1, 2 ORDER BY fp""".stripMargin,
+    // every doc gets the COMPOSED suffix; %10 docs get a +1e6-id twin with
+    // the DECOMPOSED spelling — group keys, survivors and copy counts must
+    // agree after both engines' NFC
+    "dedup_exact_nfc" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' cafe' || chr(769)
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(nfc_normalize(t)) AS key, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY key""".stripMargin,
     // identical codepoint plants (chr() args = the \uXXXX escapes in
     // TextAnalysis.textNormalize), then DuckDB's native ICU nfc_normalize
     // vs the custom Catalyst NfcNormalizeExpr — digests must agree byte

@@ -495,6 +495,41 @@ object TextAnalysis {
   def duplicatePassagesEntry(spark: SparkSession, dir: String): DataFrame =
     duplicatePassages(Tables.documents(spark, dir)).orderBy(col("fp"))
 
+  // ---- canonicalize-then-dedup (NFC composed with exact dedup) ----
+
+  /**
+   * Exact deduplication over the NFC-NORMALIZED text: group by
+   * md5(nfc(text)), keep the minimum doc id, report copies per group. The
+   * composition this entry pins is the reason [[normalizeText]] exists:
+   * byte-level exact dedup misses duplicates whose only difference is
+   * composed vs decomposed spelling, and every real multi-source web
+   * corpus mixes both (different crawlers normalize differently). Same
+   * scale shape as the plain exact dedup: one map-side-combined aggregate
+   * shuffled on the hash key, the normalization itself scan-stage.
+   */
+  def dedupExactNormalized(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("key", md5(graft.functions.GraftFunctions.nfcNormalize(col(textCol))))
+      .groupBy("key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("key", "keep_id", "n_copies")
+
+  /** Query entry (oracle-checked): every document gets a COMPOSED suffix;
+    * docs on %10 additionally get a twin (id + 1,000,000) carrying the
+    * DECOMPOSED spelling of the same suffix. Byte-level dedup would see
+    * two distinct texts per twin pair; the normalized key collapses each
+    * pair (suite-pinned), and the DuckDB oracle reproduces group keys,
+    * survivors and counts exactly via its native nfc_normalize. */
+  def dedupExactNfc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val composed = docs.withColumn("text",
+      concat(col("text"), lit(" caf\u00e9")))
+    val twins = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" cafe\u0301")))
+    dedupExactNormalized(composed.unionByName(twins)).orderBy(col("key"))
+  }
+
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val planted = Tables.documents(spark, dir).withColumn("text", concat(

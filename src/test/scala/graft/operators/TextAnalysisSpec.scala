@@ -176,4 +176,20 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 3 shares nothing: it appears in no group
     assert(!out.exists(r => r._3 === 3L || r._4 === 3L))
   }
+
+  test("dedupExactNormalized: spelling twins collapse; byte-level dedup keeps both") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared body caf\u00e9"),   // composed
+      (2L, "shared body cafe\u0301"),  // decomposed twin of doc 1
+      (3L, "a different document")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupExactNormalized(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.length === 2, s"expected 2 normalized groups, got ${r.toSeq}")
+    val twinGroup = r.find(_._3 === 2L).get
+    assert(twinGroup._2 === 1L, "survivor must be the minimum doc id")
+    // the contrast that motivates the operator: raw-byte keys see 3 groups
+    val raw = docs.groupBy(md5($"text")).count().count()
+    assert(raw === 3L)
+  }
 }
