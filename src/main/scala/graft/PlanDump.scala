@@ -31,7 +31,7 @@ object PlanDump {
       "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats",
       "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
-      "tfidf_topterms", "dedup_exact_nfc")
+      "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -85,6 +85,10 @@ object PlanDump {
     sb.append("rank inside per-doc window partitions, df joined shuffle-hash;\n")
     sb.append("`dedup_exact_nfc` is one hash aggregate over the scan-stage\n")
     sb.append("NfcNormalizeExpr key (the dedup_exact shape, normalized).\n")
+    sb.append("`knn_graph`/`knn_graph_probe` must join cells SHUFFLE-HASH —\n")
+    sb.append("the probe side is the corpus itself, so the ivfTopK broadcast\n")
+    sb.append("shape would broadcast the whole corpus; per-vector top-k runs\n")
+    sb.append("inside src_id window partitions (WindowGroupLimit partial+final).\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -88,6 +88,10 @@ object SparkEntry {
     "corpus_stats" -> (CorpusPipeline.corpusStatsQuery _),
     // quantized-path ANN: rows-only, eager recall gate vs full precision
     "ann_quantized" -> (Similarity.annQuantized _),
+    // all-vectors 5-NN graph, exhaustive through the IVF cells (EXACT)
+    "knn_graph" -> (Similarity.knnGraphQuery _),
+    // pruned-nprobe graph, eager edge-recall gate vs the exact graph
+    "knn_graph_probe" -> (Similarity.knnGraphProbe _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -1012,6 +1016,7 @@ object SparkEntry {
     // IVF over the persisted partitioned index) are identical by
     // construction — the cells partition the corpus — so all three share
     // the brute-force oracle
+    "knn_graph" -> knnGraphOracle,
     "ann_ivf" -> annExactOracle,
     "ann_ivf_indexed" -> annExactOracle,
     "ann_ivf_refined" -> annExactOracle,
@@ -1032,6 +1037,20 @@ object SparkEntry {
         |SELECT vec_id, string_agg(qv::VARCHAR, ',' ORDER BY i) AS qemb_csv
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
+
+  /** Brute-force all-pairs 5-NN graph — the knn_graph entry's exhaustive
+    * IVF search (nprobe = numCentroids) must reproduce it exactly, the
+    * annExactOracle equivalence extended corpus-wide. */
+  private val knnGraphOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |s AS (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+      |  round(list_dot_product(b.emb, a.emb)
+      |    / (sqrt(list_dot_product(b.emb, b.emb)) * sqrt(list_dot_product(a.emb, a.emb))), 4) AS sim
+      | FROM e a, e b WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT src_id, neighbor_id, sim,
+      |  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+      |SELECT src_id, neighbor_id, sim FROM r WHERE rn <= 5
+      |ORDER BY src_id, sim DESC, neighbor_id""".stripMargin
 
   private val annExactOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -291,6 +291,75 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  // ---- kNN graph (all-vectors top-k neighbors) ----
+
+  /**
+   * kNN graph: top-`k` cosine neighbors of EVERY corpus vector -- the
+   * building block SemDeDup-style clustering, graph dedup and diversity
+   * sampling start from. Same IVF cell machinery as [[ivfTopK]], with the
+   * one change that matters at scale: the probe side IS the corpus, so the
+   * cell equi-join is pinned shuffle-hash -- broadcasting a corpus-sized
+   * probe set is the thing [[ivfTopK]]'s broadcast shape must never do
+   * here. Candidate volume is nprobe x |cell| per vector (N/K expected),
+   * i.e. subquadratic for nprobe < K; with nprobe = K the cells partition
+   * the corpus, every ordered pair appears exactly once, and the graph
+   * equals the brute-force graph EXACTLY (each neighbor lives in exactly
+   * one home cell -- no LSH-style candidate dedup stage needed, which is
+   * why the IVF formulation wins this operator). Per-vector window state
+   * is that vector's candidate list, never the corpus.
+   */
+  def knnGraph(corpus: DataFrame, k: Int = 5,
+      numCentroids: Int = 16, nprobe: Int = 16,
+      lloydIters: Int = 0): DataFrame = {
+    val sampled = sampleCentroids(corpus, numCentroids)
+    val centroids =
+      if (lloydIters > 0) lloydRefine(corpus.select("vec_id", "emb"), "emb", sampled, lloydIters)
+      else sampled
+    val probeN = math.min(nprobe, centroids.length)
+    val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
+    val probeCells = corpus
+      .select(col("vec_id").as("src_id"), col("emb").as("q_emb"))
+      .withColumn("centroid_id", explode(
+        graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(probeCells.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("src_id"))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src_id"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Query entry (oracle-checked): the full 5-NN graph with nprobe =
+    * numCentroids -- exhaustive through the IVF machinery, so it must equal
+    * the brute-force all-pairs graph exactly (the [[annIvf]] equivalence,
+    * corpus-wide). */
+  def knnGraphQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16)
+      .orderBy(col("src_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** Query entry (rows-only + eager recall gate): the pruned graph --
+    * nprobe=4 of 16 Lloyd-refined cells searches ~a quarter of the corpus
+    * per vector. Gate: edge recall vs the exact graph (measured 0.72
+    * sf0.001 / 0.75 sf0.01 on the Gaussian embeddings; floor 0.5 -- the
+    * cluster-structure trade documented at [[lshTopK]] applies: real
+    * embedding corpora are far more clusterable than the synthetic
+    * Gaussian, this entry pins the machinery and measures honestly). */
+  def knnGraphProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val approx = knnGraph(emb, k = 5, numCentroids = 16, nprobe = 4, lloydIters = 1)
+    assertRecall(
+      approx.withColumnRenamed("src_id", "query_id"),
+      knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16)
+        .withColumnRenamed("src_id", "query_id"),
+      minRecall = 0.5, what = "knn_graph_probe")
+    approx.orderBy(col("src_id"), col("sim").desc, col("neighbor_id"))
+  }
+
   // ---- persisted IVF index ----
 
   /**

@@ -362,4 +362,34 @@ class SimilaritySpec extends SparkSpec {
         s"dim $i reconstruction error ${r.getDouble(1)} exceeds half-step ${steps(i)}")
     }
   }
+
+  test("knnGraph: exhaustive == brute force per vector; pruned probe keeps recall; " +
+      "the cell join never broadcasts the corpus-sized probe side") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val exact = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16)
+    // exhaustive IVF graph == brute force where probes = corpus (top-5 of
+    // bruteForceTopK with every vector as its own query)
+    val probes = emb.select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val brute = Similarity.bruteForceTopK(emb, probes, 5)
+      .select(col("query_id").as("src_id"), col("neighbor_id"), col("sim"))
+    assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty,
+      "exhaustive knnGraph differs from the brute-force graph")
+    // plan shape: shuffle-hash on the cell key, no broadcast join anywhere
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-sized probe side must not be broadcast:\n$plan")
+    // pruned graph: nprobe=4 of 16 searches ~1/4 of the corpus per vector;
+    // edge recall vs the exact graph on the Gaussian corpus
+    val approx = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 4,
+      lloydIters = 1)
+    val total = exact.count()
+    val caught = exact.select("src_id", "neighbor_id")
+      .join(approx.select("src_id", "neighbor_id"), Seq("src_id", "neighbor_id"), "left_semi")
+      .count()
+    val recall = caught.toDouble / total
+    assert(total === emb.count() * 5, "exact graph must have k edges per vector")
+    assert(recall >= 0.5, f"pruned-graph recall $recall%.3f below 0.5")
+  }
 }
