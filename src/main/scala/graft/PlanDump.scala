@@ -31,7 +31,8 @@ object PlanDump {
       "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats",
       "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
-      "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe")
+      "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe",
+      "bm25_search")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -89,6 +90,9 @@ object PlanDump {
     sb.append("the probe side is the corpus itself, so the ivfTopK broadcast\n")
     sb.append("shape would broadcast the whole corpus; per-vector top-k runs\n")
     sb.append("inside src_id window partitions (WindowGroupLimit partial+final).\n")
+    sb.append("`bm25_search` must show ONE corpus explode feeding tf, the\n")
+    sb.append("query-term attach as a BroadcastHashJoin (config-sized build)\n")
+    sb.append("and the corpus-doc-sized dl attach as a ShuffledHashJoin.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

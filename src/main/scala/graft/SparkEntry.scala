@@ -64,6 +64,8 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.textNormalize _),
     // per-document tf·idf keywords (ln(N/df), 4-dp rounded rank)
     "tfidf_topterms" -> (TextAnalysis.tfidfTopTermsEntry _),
+    // BM25 ranked retrieval: top-10 docs per corpus-derived query
+    "bm25_search" -> (TextAnalysis.bm25SearchEntry _),
     // canonicalize-then-dedup: planted composed/decomposed twins collapse
     // to one normalized key (byte-level dedup would keep both)
     "dedup_exact_nfc" -> (TextAnalysis.dedupExactNfc _),
@@ -843,6 +845,32 @@ object SparkEntry {
         |      FROM scored)
         |SELECT doc_id, rnk, term, tf, df, score FROM r
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    // BM25 (k1=1.2, b=0.75, Lucene idf): queries = 20 highest-df terms
+    // (df desc, term asc) round-robined into 4 queries; df and dl both
+    // re-aggregated from tf exactly as the Spark side does; rank over the
+    // 4-dp ROUNDED score (desc, doc_id asc) in both engines
+    "bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+        |      FROM dfreq ORDER BY df DESC, term LIMIT 20),
+        |qq AS (SELECT (rn - 1) % 4 AS query_id, term, df FROM q),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT avg(dl::DOUBLE) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+        |scored AS (
+        |  SELECT query_id, tf.doc_id,
+        |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))), 4) AS score
+        |  FROM tf JOIN qq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        |      FROM scored)
+        |SELECT query_id, rnk, doc_id, score FROM r
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // PII planted from doc_id on both sides (the corpus itself carries
     // none), then identical alternation-free regexes — see
     // TextAnalysis.redactPii for why alternation-free means Java and RE2

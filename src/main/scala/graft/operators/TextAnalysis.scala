@@ -443,6 +443,73 @@ object TextAnalysis {
     tfidfTopTerms(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("rnk"))
 
+  // ---- BM25 keyword search (corpus retrieval ranking) ----
+
+  /**
+   * BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-default
+   * scoring a curation pipeline uses to pull topical slices out of a raw
+   * corpus): for each query, the top-`k` documents by
+   * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` with
+   * `idf = ln(1 + (N-df+0.5)/(df+0.5))`. Terms are the [[tfidfTopTerms]]
+   * letter-run tokens, so both engines tokenize identically.
+   *
+   * Queries here are corpus-derived for determinism: the `numTerms`
+   * highest-df terms (df desc, term asc) round-robined into `numQueries`
+   * queries — the driver census is `numTerms` rows (the IVF-centroid
+   * contract: query sets are config-sized, never data-sized; a production
+   * caller passes its own literal term lists).
+   *
+   * Scale shape: ONE corpus explode feeds the map-side-combined (doc, term)
+   * tf table; df and doc length are both RE-aggregations of tf (vocabulary-
+   * resp. doc-bounded — the text is never scanned twice); the query-term
+   * attach is a broadcast of `numTerms` rows, so only query-term postings
+   * survive into scoring; dl re-attaches shuffle-hash on doc_id (corpus-
+   * doc-sized — never a gambled broadcast); the final top-k ranks inside
+   * per-query window partitions over the 4-dp ROUNDED score (desc, doc_id
+   * asc) so both engines rank identical values. Residual risk is the
+   * [[CorpusPipeline.unigramLogProb]] ulp-at-boundary class on the ≤
+   * terms-per-query-element sum.
+   */
+  def bm25Search(docs: DataFrame, numTerms: Int = 20, numQueries: Int = 4,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // numTerms-row driver census defines the query set; df rides along so
+    // scoring needs no second join against the vocabulary table
+    val top = dfreq.orderBy(col("df").desc, col("term")).limit(numTerms).collect()
+    val queries = top.zipWithIndex.map { case (r, i) =>
+      (i % numQueries, r.getString(0), r.getLong(1))
+    }.toSeq.toDF("query_id", "term", "df")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // scored corpus = docs with >= 1 token (tokenless docs cannot match)
+    val statsRow = dl.agg(avg(col("dl").cast("double")), count(lit(1))).head()
+    val avgdl = statsRow.getDouble(0)
+    val n = statsRow.getLong(1).toDouble
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(queries), "term")
+      .join(dl.hint("shuffle_hash"), "doc_id")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), 4).as("score"))
+      .withColumn("rnk", row_number().over(byScore))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "score")
+  }
+
+  /** Query entry (oracle-checked incl. 4-dp rounded BM25 scores): top-10
+    * docs for each of 4 queries built from the 20 highest-df terms. */
+  def bm25SearchEntry(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(Tables.documents(spark, dir))
+      .orderBy(col("query_id"), col("rnk"))
+
   // ---- cross-document duplicate passages (shared winnowing fingerprints) ----
 
   /**

@@ -154,6 +154,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(terms2.toSet === Set("terms", "len", "two"))
   }
 
+  test("bm25Search: hand-computed scores match, rank is dense per query, " +
+      "query-term attach broadcasts and the corpus-sized dl join does not") {
+    import spark.implicits._
+    // 4 docs, vocabulary built so the top-2 df terms are deterministic:
+    // "alpha" in all 4 docs (df=4), "beta" in 3 (df=3). numTerms=2,
+    // numQueries=2 -> query 0 = {alpha}, query 1 = {beta}.
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha beta"),
+      (3L, "alpha beta delta delta"),
+      (4L, "alpha epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, numTerms = 2, numQueries = 2, k = 4)
+    val rows = out.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // hand-computed BM25 (k1=1.2, b=0.75, N=4, avgdl=3.0):
+    // idf(alpha) = ln(1 + 0.5/4.5); doc 2 has tf=2, dl=3 ->
+    // tfnorm = 2*2.2/(2+1.2*1) = 1.375, the highest for alpha
+    val n = 4.0; val avgdl = 3.0
+    def score(tf: Double, df: Double, dlen: Double): Double = {
+      val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+      val norm = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+      math.rint(idf * norm * 1e4) / 1e4
+    }
+    val q0 = rows.filter(_._1 == 0).sortBy(_._2)
+    assert(q0.map(_._3) === Seq(2L, 4L, 1L, 3L),
+      "alpha ranking: tf=2 doc first, then shortest doc, dl breaks ties")
+    assert(q0.head._4 === score(2, 4, 3))
+    assert(q0(1)._4 === score(1, 4, 2))
+    val q1 = rows.filter(_._1 == 1).sortBy(_._2)
+    // docs 1 and 2 tie exactly (tf=1, dl=3) -> doc_id breaks the tie
+    assert(q1.map(_._3) === Seq(1L, 2L, 3L), "beta: doc 4 has no beta -> absent")
+    assert(q1.head._4 === score(1, 3, 3) && q1(1)._4 === q1.head._4)
+    assert(q1(2)._4 === score(1, 3, 4))
+    // rnk dense 1..k' per query
+    assert(q0.map(_._2) === (1 to 4) && q1.map(_._2) === (1 to 3))
+    // plan: the 20-row query set broadcasts; nothing corpus-sized does
+    val plan = TextAnalysis.bm25Search(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query-term attach should broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"dl attach must stay shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no nested-loop anywhere:\n$plan")
+  }
+
   test("duplicatePassages: shared spans surface, the df cap suppresses boilerplate") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog tonight"
