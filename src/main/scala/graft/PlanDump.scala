@@ -32,7 +32,7 @@ object PlanDump {
       "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
       "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe",
-      "bm25_search")
+      "bm25_search", "image_phash_dedup")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -93,6 +93,9 @@ object PlanDump {
     sb.append("`bm25_search` must show ONE corpus explode feeding tf, the\n")
     sb.append("query-term attach as a BroadcastHashJoin (config-sized build)\n")
     sb.append("and the corpus-doc-sized dl attach as a ShuffledHashJoin.\n")
+    sb.append("`image_phash_dedup` must show the narrow codec stage feeding a\n")
+    sb.append("band-keyed ShuffledHashJoin self-join (no nested loop — the\n")
+    sb.append("brute-force formulation lives only in the DuckDB oracle).\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -119,6 +119,9 @@ object SparkEntry {
     "semantic_dedup" -> (Similarity.semanticDedupQuery _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
+    // perceptual-hash image dedup: banded 60-bit dHash, hamming<=3 pairs;
+    // pigeonhole makes LSH == brute force, so the oracle is exact
+    "image_phash_dedup" -> (Multimodal.imagePhashDedup _),
     // rows-only WITH an eager in-query recall assertion against the exact
     // baseline (the output itself is engine-specific: SimHash bits / pruned
     // approximate search on Gaussian test embeddings).
@@ -1040,6 +1043,39 @@ object SparkEntry {
         |  FROM f WHERE frame_idx % 2 = 0 GROUP BY 1, 2)
         |SELECT media_id, frame_idx, frame_len, frame_sum FROM k
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // stub dHash replayed term for term: payload byte i of a w×h×c image
+    // is ((i*31+w)%251), twins (doc_id%5=0, media_id+1e6) re-value the
+    // byte at the start of block k=doc_id%59 to ((v+97)%251); 61 block
+    // sums (block(i) = i*61//plen), bit j = s(j) > s(j+1); pairs =
+    // ALL-PAIRS hamming<=3 — equal to the banded join by pigeonhole
+    "image_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, FALSE AS twin, 0::BIGINT AS k,
+        |    (doc_id % 64 + 16)::BIGINT AS w, (doc_id % 48 + 16)::BIGINT AS h,
+        |    (doc_id % 3 + 1)::BIGINT AS c FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, TRUE, doc_id % 59,
+        |    (doc_id % 64 + 16), (doc_id % 48 + 16), (doc_id % 3 + 1)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (SELECT media_id, twin, k, w, least(w*h*c, 4096) AS plen FROM d),
+        |i AS (SELECT media_id, twin, k, w, plen,
+        |  unnest(generate_series(0, plen - 1)) AS i FROM p),
+        |by AS (SELECT media_id, (i * 61) // plen AS blk,
+        |  CASE WHEN twin AND i = (k * plen + 60) // 61
+        |       THEN ((i*31 + w) % 251 + 97) % 251
+        |       ELSE (i*31 + w) % 251 END AS v FROM i),
+        |s AS (SELECT media_id, blk, sum(v) AS s FROM by GROUP BY 1, 2),
+        |bits AS (SELECT a.media_id, a.blk AS j,
+        |    CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM s a JOIN s b ON a.media_id = b.media_id AND b.blk = a.blk + 1
+        |  WHERE a.blk <= 59),
+        |hsh AS (SELECT media_id, sum(bit::BIGINT << j)::BIGINT AS phash
+        |  FROM bits GROUP BY 1),
+        |pairs AS (SELECT x.media_id AS media_a, y.media_id AS media_b,
+        |    bit_count(xor(x.phash, y.phash))::INT AS hamming
+        |  FROM hsh x JOIN hsh y ON x.media_id < y.media_id)
+        |SELECT media_a, media_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin,
     // exhaustive searches (brute force / IVF with nprobe = numCentroids /
     // IVF over the persisted partitioned index) are identical by
     // construction — the cells partition the corpus — so all three share

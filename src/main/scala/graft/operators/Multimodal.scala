@@ -207,4 +207,135 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  // ---- perceptual-hash image dedup (near-dup detection over binary) ----
+
+  /** Stub encode with ONE payload byte re-valued — the "re-encoded or
+    * lightly edited copy" a crawl keeps yielding. The byte sits at the
+    * start of dHash block `k` (k in 0..58), so the twin's [[pHash60]]
+    * differs from the original's in AT MOST the two bits that compare
+    * block k against its neighbors — guaranteed inside the hamming<=3
+    * ball that [[phashNearDups]]' 4-band pigeonhole covers exactly. */
+  def encodeStubPerturbed(width: Int, height: Int, channels: Int, k: Int): Array[Byte] = {
+    require(k >= 0 && k <= 58, s"perturbed block out of range: $k")
+    val out = encodeStub(width, height, channels)
+    val plen = out.length - 12
+    val q = (k * plen + 60) / 61 // first byte of dHash block k
+    val v = out(12 + q) & 0xFF
+    out(12 + q) = ((v + 97) % 251).toByte
+    out
+  }
+
+  /**
+   * 60-bit dHash (gradient hash) of stub-codec content: payload bytes
+   * (unsigned) fall into 61 blocks (`block(i) = i*61/plen`), bit j set iff
+   * `blocksum(j) > blocksum(j+1)`. A real impl would average grayscale
+   * cells of the decoded image; the block-sum-of-bytes stub keeps the
+   * locality property that matters (a local edit touches O(1) blocks →
+   * O(1) bits) while every bit is reproducible in plain SQL.
+   */
+  def pHash60(content: Array[Byte]): Long = {
+    val plen = content.length - 12
+    require(plen >= 61, s"payload too short for 61 dHash blocks: $plen")
+    val s = new Array[Long](61)
+    var i = 0
+    while (i < plen) { s((i.toLong * 61 / plen).toInt) += (content(12 + i) & 0xFF); i += 1 }
+    var hash = 0L
+    var j = 0
+    while (j < 60) { if (s(j) > s(j + 1)) hash |= 1L << j; j += 1 }
+    hash
+  }
+
+  /** Add a `phash` column via the batch-codec contract ([[withDecodedMeta]]
+    * shape: mapPartitions so a real perceptual hasher could amortize
+    * per-batch init); rows with corrupt/short content get a null hash. */
+  def withPHash(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = StructType(df.schema.fields :+ StructField("phash", LongType))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](idx)
+        val h: Any =
+          if (content == null || content.length < 12 + 61) null
+          else pHash60(content)
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Near-duplicate media pairs with pHash hamming distance <= `maxHamming`:
+   * the [[graft.operators.Dedup.simHashNearDups]] banding argument over the
+   * 60-bit hash — (maxHamming+1) disjoint bands, pigeonhole guarantees any
+   * pair within the ball agrees exactly on >= 1 band, so the band equi-join
+   * has GUARANTEED recall and the result equals brute-force all-pairs
+   * (which is how the DuckDB oracle checks it, exactly, not as a gate).
+   * Scale: candidates are bounded by band-bucket density (15-bit keys keep
+   * entropy); the self-join is pinned shuffle-hash — at corpus scale
+   * neither side is broadcastable.
+   */
+  def phashNearDups(media: DataFrame, idCol: String = "media_id",
+      maxHamming: Int = 3): DataFrame = {
+    val numBands = maxHamming + 1
+    require(numBands >= 2 && 60 % numBands == 0, s"bands must divide 60: $numBands")
+    val width = 60 / numBands
+    val hashes = media.select(col(idCol), col("phash"))
+      .filter(col("phash").isNotNull)
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("band_bits"))
+    }
+    val banded = hashes
+      .select(col(idCol), col("phash"), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("phash"), col("bb.band"), col("bb.band_bits"))
+    val left = banded.select(col(idCol).as("media_a"), col("phash").as("ph_a"),
+      col("band"), col("band_bits"))
+    val right = banded.select(col(idCol).as("media_b"), col("phash").as("ph_b"),
+      col("band"), col("band_bits"))
+    left.join(right.hint("shuffle_hash"), Seq("band", "band_bits"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Query entry (oracle-checked EXACTLY, not gated): near-dup image pairs
+   * over the stub corpus plus planted edited twins (every 5th doc gets a
+   * one-byte-perturbed copy at media_id + 1_000_000). Pairs come from three
+   * planted phenomena, all replayed byte-for-byte by the SQL oracle: twin
+   * vs original (hamming <= 2 by construction), docs whose dims coincide
+   * (period lcm(64,48,3) = 192 → identical stub content, hamming 0), and
+   * twins of dim-coinciding docs. The banded join's equality to brute
+   * force is the pigeonhole guarantee, so DuckDB's quadratic all-pairs
+   * formulation IS the oracle of the linear-ish LSH plan.
+   */
+  def imagePhashDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    phashNearDups(withPHash(imagePhashMediaForTest(spark, dir)))
+      .orderBy(col("media_a"), col("media_b"))
+
+  /** The entry's media table — stub corpus plus planted one-byte-edited
+    * twins — exposed so the suite can brute-force the same hashes. */
+  private[operators] def imagePhashMediaForTest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mediaSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("content", BinaryType)))
+    val twins = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + 1000000L, "image",
+            encodeStubPerturbed((id % 64 + 16).toInt, (id % 48 + 16).toInt,
+              (id % 3 + 1).toInt, (id % 59).toInt))
+        }
+      }(Encoders.row(mediaSchema))
+    stubMedia(spark, dir).unionByName(twins)
+  }
 }

@@ -88,4 +88,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.filter(col("meta").isNull).count() === 0)
   }
+
+  test("pHash60 locality: a one-byte edit moves <= 2 bits; perturbed twin " +
+      "stays inside the hamming<=3 ball for every block position") {
+    for (k <- Seq(0, 1, 29, 58); (w, h, c) <- Seq((16, 16, 1), (79, 63, 3))) {
+      val a = Multimodal.pHash60(Multimodal.encodeStub(w, h, c))
+      val b = Multimodal.pHash60(Multimodal.encodeStubPerturbed(w, h, c, k))
+      val ham = java.lang.Long.bitCount(a ^ b)
+      assert(ham <= 2, s"k=$k dims=($w,$h,$c): hamming $ham > 2")
+      // the perturbation really changed exactly one byte
+      val ca = Multimodal.encodeStub(w, h, c)
+      val cb = Multimodal.encodeStubPerturbed(w, h, c, k)
+      assert(ca.zip(cb).count { case (x, y) => x != y } === 1)
+    }
+  }
+
+  test("phashNearDups == brute-force all-pairs hamming<=3 (the pigeonhole " +
+      "guarantee), twins are found, and the band self-join is shuffle-hash") {
+    val pairs = Multimodal.imagePhashDedup(spark, sfDir)
+    // brute force over the same hashed table
+    val hashed = Multimodal.withPHash(
+      Multimodal.imagePhashMediaForTest(spark, sfDir))
+      .select(col("media_id"), col("phash"))
+    val a = hashed.select(col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val b = hashed.select(col("media_id").as("media_b"), col("phash").as("ph_b"))
+    val brute = a.join(b, col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(pairs.exceptAll(brute).isEmpty && brute.exceptAll(pairs).isEmpty,
+      "banded result differs from brute force")
+    // every planted twin pairs with its original
+    val twinPairs = pairs.filter(col("media_b") === col("media_a") + 1000000L).count()
+    val planted = hashed.filter(col("media_id") >= 1000000L).count()
+    assert(twinPairs === planted, s"$twinPairs of $planted twins found")
+    assert(planted > 0, "test corpus must plant twins")
+    // plan: band self-join pinned shuffle-hash, nothing nested-loop
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"band join must be shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no quadratic join in the LSH plan:\n$plan")
+  }
 }
