@@ -32,7 +32,7 @@ object PlanDump {
       "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
       "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe",
-      "bm25_search", "image_phash_dedup")
+      "bm25_search", "image_phash_dedup", "collocations_pmi")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

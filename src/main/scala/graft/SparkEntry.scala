@@ -66,6 +66,8 @@ object SparkEntry {
     "tfidf_topterms" -> (TextAnalysis.tfidfTopTermsEntry _),
     // BM25 ranked retrieval: top-10 docs per corpus-derived query
     "bm25_search" -> (TextAnalysis.bm25SearchEntry _),
+    // PMI-ranked collocations: top-50 word pairs co-occurring above chance
+    "collocations_pmi" -> (CorpusPipeline.collocationsPmiEntry _),
     // canonicalize-then-dedup: planted composed/decomposed twins collapse
     // to one normalized key (byte-level dedup would keep both)
     "dedup_exact_nfc" -> (TextAnalysis.dedupExactNfc _),
@@ -484,6 +486,25 @@ object SparkEntry {
         | round(avg(ln(c12::DOUBLE / c1::DOUBLE)), 4) AS logprob
         |FROM bg JOIN f USING (w1, w2) JOIN cx USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // PMI over the bigram table: marginals and T re-derived from the same
+    // counts in both engines; rank/limit over the 4-dp ROUNDED pmi with
+    // (w1, w2) tie-break so identical values order identically
+    "collocations_pmi" ->
+      raw"""WITH d AS (
+        | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |dd AS (SELECT t FROM d WHERE len(t) >= 2),
+        |bg AS (SELECT t[u.i] AS w1, t[u.i+1] AS w2
+        | FROM dd, unnest(range(1, len(t))) AS u(i)),
+        |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |lm AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM f GROUP BY 1),
+        |rm AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM f GROUP BY 1),
+        |tt AS (SELECT sum(c12)::DOUBLE AS t FROM f)
+        |SELECT w1, w2, c12, c1, c2,
+        | round(ln(c12::DOUBLE * tt.t / (c1::DOUBLE * c2::DOUBLE)), 4) AS pmi
+        |FROM f JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     // the sharded global rank must equal the naive single-window rank
     "corpus_shuffle" ->
       """SELECT doc_id,

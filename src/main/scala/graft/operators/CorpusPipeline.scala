@@ -388,6 +388,51 @@ object CorpusPipeline {
     bigramLogProb(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /**
+   * PMI-ranked collocations (Church & Hanks 1990): the word pairs that
+   * co-occur far above chance — `pmi = ln(c12·T / (c1·c2))` over the
+   * corpus bigram table, marginals `c1` (left) and `c2` (right) and total
+   * `T` all derived FROM that table. The corpus-analysis pass that surfaces
+   * multi-word expressions ("new york", "machine learning") before
+   * tokenizer training or phrase mining.
+   *
+   * Scale shape: one corpus explode feeds the map-side-combined bigram
+   * count; both marginals are re-aggregations of it (bigram-vocabulary-
+   * bounded, the [[bigramLogProb]] shape) joined back shuffle-hash (bigram
+   * vocab is unbounded — never a gambled broadcast); `T` is one driver
+   * scalar (census contract). The `minCount` filter applies BEFORE the
+   * marginal joins, so rare-pair noise (PMI's classic failure mode, and
+   * most of the table) never reaches the join; final top-k sorts the
+   * filtered survivors only.
+   */
+  def collocationsPmi(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = docs.select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(
+      explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val freq = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val left = freq.groupBy("w1").agg(sum("c12").as("c1"))
+    val right = freq.groupBy("w2").agg(sum("c12").as("c2"))
+    val t = freq.agg(sum("c12")).head.getLong(0).toDouble
+    freq.filter(col("c12") >= minCount)
+      .join(left.hint("shuffle_hash"), "w1")
+      .join(right.hint("shuffle_hash"), "w2")
+      .withColumn("pmi", round(log(col("c12").cast("double") * lit(t)
+        / (col("c1").cast("double") * col("c2").cast("double"))), 4))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c12", "c1", "c2", "pmi")
+  }
+
+  /** Query entry (oracle-checked incl. 4-dp rounded PMI): top-50
+    * collocations with pair count >= 5. */
+  def collocationsPmiEntry(spark: SparkSession, dir: String): DataFrame =
+    collocationsPmi(Tables.documents(spark, dir))
+
+  /**
    * End-to-end training-corpus assembly — the composed contract over the
    * individual stages, the way [[Dedup.cleanCorpus]] composes the cleaning
    * stages: per-language quality gate ([[qualityFilter]]) → RELATIVE

@@ -339,4 +339,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"SMJ would shuffle exploded corpus rows:\n$plan")
   }
+
+  test("collocationsPmi: hand-computed pmi, minCount gates rare pairs, " +
+      "marginal joins stay shuffle-hash") {
+    import spark.implicits._
+    // "tick tock" 5x in one doc, "tick tack" once, filler pairs distinct.
+    // T = 12 bigrams total; c12(tick,tock)=5, c1(tick)=6, c2(tock)=5.
+    val docs = Seq(
+      (1L, "tick tock tick tock tick tock tick tock tick tock"), // 9 bigrams, 5x (tick,tock)
+      (2L, "tick tack"),
+      (3L, "red blue"),
+      (4L, "green shoe")).toDF("doc_id", "text")
+    val out = CorpusPipeline.collocationsPmi(docs, minCount = 5, k = 10).collect()
+    assert(out.length === 1, "only (tick, tock) reaches minCount=5")
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      (("tick", "tock", 5L, 6L, 5L)))
+    // doc1 yields 9 bigrams: (tick,tock) x5 and (tock,tick) x4; T = 12
+    val expected = math.rint(math.log(5.0 * 12.0 / (6.0 * 5.0)) * 1e4) / 1e4
+    assert(r.getDouble(5) === expected)
+    // rare pairs below minCount never reach the marginal joins
+    val all = CorpusPipeline.collocationsPmi(docs, minCount = 1, k = 100).collect()
+    assert(all.length === 5, s"5 distinct pairs expected, got ${all.length}")
+    val plan = CorpusPipeline.collocationsPmi(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"marginals must join shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no quadratic joins:\n$plan")
+  }
 }
