@@ -101,6 +101,9 @@ object SparkEntry {
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
+    // bloom-routed incremental exact dedup: Spark's runtime-filter
+    // expressions as an operator; bloom routes, the exact anti-join decides
+    "dedup_bloom" -> (Dedup.dedupBloom _),
     "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
     "ngram_jaccard_inverted" -> (Dedup.ngramJaccardInvertedQuery _),
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
@@ -383,6 +386,21 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    // bloom routing is invisible to the result: batch (with every 9th doc
+    // carrying its history-side successor's text — planted cross-set
+    // duplicates) anti-joined against history content hashes
+    "dedup_bloom" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT a.doc_id, b.text FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 9 = 0),
+        |h AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, md5(text) AS content_hash FROM batch
+        |WHERE md5(text) NOT IN (SELECT k FROM h)
+        |ORDER BY doc_id""".stripMargin,
     "deser_documents" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin,
     "mq_roundtrip_events" ->

@@ -457,6 +457,85 @@ object Dedup {
       .distinct()
   }
 
+  // ---- Bloom-routed incremental exact dedup ----
+
+  /**
+   * Incremental EXACT dedup against a history corpus with a Bloom-filter
+   * fast path — Spark's own runtime-filter machinery
+   * (`BloomFilterAggregate` / `BloomFilterMightContain`, the expressions
+   * behind `InjectRuntimeFilter`) turned into an operator: the history's
+   * content-hash keys aggregate into one bloom (distributed partial
+   * sketches OR-merged — one history pass, no driver-side key set); batch
+   * rows the bloom rejects are DEFINITELY new and bypass the history join
+   * entirely; only bloom-positives (true dups + ~fpp of the batch) reach
+   * the exact anti-join, so the result is EXACT — the bloom routes rows,
+   * it never decides them. False 64-bit xxhash collisions are absorbed the
+   * same way (a colliding key is just a bloom-positive that the md5-keyed
+   * anti-join clears).
+   *
+   * Scale: for a mostly-new batch (the streaming-ingest norm) the exact
+   * join processes ~fpp·|batch| rows instead of |batch|. The bloom is
+   * `ceil(n·ln(1/fpp)/ln²2)` bits (~1.2 MB per million history keys at
+   * 1%) — task-broadcast as a literal; at 10^10-key history shard the
+   * bloom by key range. The history side of the residual anti-join is the
+   * un-indexed cost — persist history keys through [[graft.operators.Bucketed]]
+   * (bucketed by `content_hash`) and it joins zero-Exchange.
+   */
+  def dedupBloomIncremental(batch: DataFrame, history: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val (definitelyNew, maybe) =
+      bloomRoute(batch, history, textCol, idCol, expectedItems, fpp)
+    val hKeys = history.select(md5(col(textCol)).as("content_hash"))
+    val confirmedNew = maybe
+      .join(hKeys.distinct().hint("shuffle_hash"), Seq("content_hash"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).select(col(idCol), col("content_hash"))
+  }
+
+  /** The bloom routing stage of [[dedupBloomIncremental]]: batch keyed by
+    * content hash, split into (definitely-new, maybe-duplicate) by the
+    * history bloom. Exposed so the suite can measure routing volume and
+    * false-positive rate on the same bloom the operator uses. */
+  private[operators] def bloomRoute(batch: DataFrame, history: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      expectedItems: Long = 0L, fpp: Double = 0.01): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+    val hKeys = history.select(md5(col(textCol)).as("k"))
+    val n = math.max(1L, if (expectedItems > 0) expectedItems else hKeys.count())
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = new BloomFilterAggregate(
+      ColumnShim.expression(xxhash64(col("k"))),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    val bloomBytes = hKeys.select(ColumnShim.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val keyed = batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val mightContain = ColumnShim.column(new BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      ColumnShim.expression(xxhash64(col("content_hash")))))
+    (keyed.filter(!mightContain), keyed.filter(mightContain))
+  }
+
+  /** Query entry (oracle-checked): the %3==0 docs arrive as the new batch
+    * (every 9th carrying the text of its history-side successor — planted
+    * cross-set exact duplicates, the corpus itself has none) against the
+    * rest as history; output = the genuinely new batch docs. The bloom
+    * routing is invisible to the result — DuckDB's plain anti-join IS the
+    * oracle. */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dup = docs.as("a").filter(col("a.doc_id") % 9 === 0)
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("b.text").as("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 9 =!= 0)
+      .select("doc_id", "text").unionByName(dup)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    dedupBloomIncremental(batch, history).orderBy(col("doc_id"))
+  }
+
   /** Query entry (oracle-checked): the %3==0 docs arrive as the new batch
     * against the rest as the historical corpus; exact cross-set Jaccard >=
     * 0.7 decides, so DuckDB reproduces the full answer (banding recall as

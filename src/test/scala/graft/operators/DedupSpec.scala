@@ -338,4 +338,40 @@ class DedupSpec extends SparkSpec {
     val dropped = out.agg(sum("n_dropped")).head().getLong(0)
     assert(dropped > 0, "planted template corpus must contain repeated segments")
   }
+
+  test("dedupBloomIncremental: result == plain anti-join, planted dups all " +
+      "dropped, bloom never false-negatives and routes most of the batch " +
+      "around the join") {
+    val docs = Tables.documents(spark, sfDir)
+    val dup = docs.as("a").filter(col("a.doc_id") % 9 === 0)
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("b.text").as("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 9 =!= 0)
+      .select("doc_id", "text").unionByName(dup)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val out = Dedup.dedupBloomIncremental(batch, history)
+    val plain = batch.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(history.select(md5(col("text")).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty,
+      "bloom-routed result differs from the plain anti-join")
+    // every planted duplicate was dropped
+    val plantedIds = dup.select("doc_id")
+    assert(out.join(plantedIds, Seq("doc_id"), "left_semi").count() === 0,
+      "a planted cross-set duplicate survived")
+    assert(plantedIds.count() > 0, "test corpus must plant duplicates")
+    // routing: no false negatives (definitely-new really absent from
+    // history), and the join side is a small slice of the batch
+    val (defNew, maybe) = Dedup.bloomRoute(batch, history)
+    val hKeys = history.select(md5(col("text")).as("content_hash")).distinct()
+    assert(defNew.join(hKeys, Seq("content_hash"), "left_semi").count() === 0,
+      "bloom false negative: a definitely-new doc IS in history")
+    val nBatch = batch.count().toDouble
+    val nDups = plantedIds.count().toDouble
+    val nMaybe = maybe.count().toDouble
+    // fpp=0.01: allow generous slack over expected fpp * |batch| + dups
+    assert(nMaybe <= nDups + 0.1 * nBatch,
+      s"bloom routed $nMaybe of $nBatch to the join (dups: $nDups)")
+  }
 }
