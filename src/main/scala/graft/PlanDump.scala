@@ -32,7 +32,7 @@ object PlanDump {
       "ann_ivf_refined", "text_lsh_clusters", "pii_redact",
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
       "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe",
-      "bm25_search", "image_phash_dedup", "collocations_pmi")
+      "bm25_search", "image_phash_dedup", "collocations_pmi", "dedup_bloom")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 9)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -96,6 +96,13 @@ object PlanDump {
     sb.append("`image_phash_dedup` must show the narrow codec stage feeding a\n")
     sb.append("band-keyed ShuffledHashJoin self-join (no nested loop — the\n")
     sb.append("brute-force formulation lives only in the DuckDB oracle).\n")
+    sb.append("`dedup_bloom` must show the batch split into two SCAN-STAGE\n")
+    sb.append("filters over one bloom literal (might_contain of the broadcast\n")
+    sb.append("history sketch — the bloom itself is built by a separate\n")
+    sb.append("one-pass aggregate job, only its bytes reach the driver) with\n")
+    sb.append("ONLY the bloom-positive slice reaching the shuffle-hash LEFT\n")
+    sb.append("ANTI join against history keys; the definitely-new slice must\n")
+    sb.append("union in with no join or Exchange on its path.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")
