@@ -103,6 +103,11 @@ object PlanDump {
     sb.append("ONLY the bloom-positive slice reaching the shuffle-hash LEFT\n")
     sb.append("ANTI join against history keys; the definitely-new slice must\n")
     sb.append("union in with no join or Exchange on its path.\n")
+    sb.append("`bpe_merges` is NOT dumped: its result is a driver-built merge\n")
+    sb.append("table (the audit-worthy plans are the per-iteration argmax\n")
+    sb.append("jobs — vocab-bounded pair aggregates with map-side partials\n")
+    sb.append("over the once-checkpointed word table, asserted in\n")
+    sb.append("CorpusPipelineSpec, not recoverable from the output lineage).\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -68,6 +68,9 @@ object SparkEntry {
     "bm25_search" -> (TextAnalysis.bm25SearchEntry _),
     // PMI-ranked collocations: top-50 word pairs co-occurring above chance
     "collocations_pmi" -> (CorpusPipeline.collocationsPmiEntry _),
+    // distributed BPE tokenizer training: first 5 merge rules; the DuckDB
+    // oracle replays the identical iterations as chained CTEs
+    "bpe_merges" -> (CorpusPipeline.bpeMergesEntry _),
     // canonicalize-then-dedup: planted composed/decomposed twins collapse
     // to one normalized key (byte-level dedup would keep both)
     "dedup_exact_nfc" -> (TextAnalysis.dedupExactNfc _),
@@ -523,6 +526,57 @@ object SparkEntry {
         |FROM f JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt
         |WHERE c12 >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // BPE merge loop replayed as chained CTEs: same ascii word filter, the
+    // same chr(1)/chr(2)-wrapped segmentation encoding (adjacent matches
+    // share no chars, so replace() == leftmost-greedy BPE merge in both
+    // engines), same (count desc, l, r) arg-max total order per step
+    "bpe_merges" ->
+      raw"""WITH words AS (
+        |  SELECT token AS w, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM documents) t
+        |  WHERE regexp_matches(token, '^[a-z0-9]+$$') GROUP BY token),
+        |seg0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS seg, cnt
+        |  FROM words),
+        |pairs1 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg0), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best1 AS (SELECT l, r, c FROM pairs1 ORDER BY c DESC, l, r LIMIT 1),
+        |seg1 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg0 s CROSS JOIN best1 b),
+        |pairs2 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg1), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best2 AS (SELECT l, r, c FROM pairs2 ORDER BY c DESC, l, r LIMIT 1),
+        |seg2 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg1 s CROSS JOIN best2 b),
+        |pairs3 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg2), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best3 AS (SELECT l, r, c FROM pairs3 ORDER BY c DESC, l, r LIMIT 1),
+        |seg3 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg2 s CROSS JOIN best3 b),
+        |pairs4 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg3), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best4 AS (SELECT l, r, c FROM pairs4 ORDER BY c DESC, l, r LIMIT 1),
+        |seg4 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg3 s CROSS JOIN best4 b),
+        |pairs5 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg4), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best5 AS (SELECT l, r, c FROM pairs5 ORDER BY c DESC, l, r LIMIT 1)
+        |SELECT step, lhs, rhs, pair_count FROM (
+        |  SELECT 1 AS step, l AS lhs, r AS rhs, c AS pair_count FROM best1
+        |  UNION ALL SELECT 2, l, r, c FROM best2
+        |  UNION ALL SELECT 3, l, r, c FROM best3
+        |  UNION ALL SELECT 4, l, r, c FROM best4
+        |  UNION ALL SELECT 5, l, r, c FROM best5)
+        |ORDER BY step""".stripMargin,
     // the sharded global rank must equal the naive single-window rank
     "corpus_shuffle" ->
       """SELECT doc_id,

@@ -433,6 +433,93 @@ object CorpusPipeline {
     collocationsPmi(Tables.documents(spark, dir))
 
   /**
+   * Distributed BPE tokenizer training (Sennrich et al. 2016): the first
+   * `nMerges` merge rules over the corpus, exactly as a tokenizer trainer
+   * would compute them. The corpus is scanned ONCE into a word-frequency
+   * table (word cardinality, not token count — the shuffle the whole
+   * algorithm runs on ever after; at 100 TB the vocab is ~10^8 rows, the
+   * corpus ~10^13 tokens, so collapsing first is the difference between a
+   * tractable loop and N corpus passes). Each iteration then: (a) explodes
+   * the CURRENT per-word segmentation into adjacent symbol pairs weighted
+   * by word count — a map-side-combined aggregate bounded by the pair
+   * vocabulary; (b) takes the arg-max pair under the total order
+   * (count desc, left asc, right asc) — ONE row to the driver, the same
+   * census contract as [[collocationsPmi]]'s `T`; (c) rewrites every
+   * word's segmentation by merging that pair. No driver-side vocabulary,
+   * no corpus re-scan, no unbounded state: iteration cost is
+   * O(vocab · avg word length) with a one-row collect.
+   *
+   * Segmentations are carried as a STRING with every symbol wrapped in
+   * U+0001...U+0002 sentinels, so a merge is a literal non-overlapping
+   * left-to-right `replace` of "<S>l<E><S>r<E>" — adjacent
+   * matches share no characters, which makes Spark's `replace`, DuckDB's
+   * `replace` and classic BPE's leftmost-greedy merge the SAME operation
+   * (space-joined encodings break here: the pattern " l r " consumes the
+   * shared boundary space, silently skipping every second occurrence in a
+   * run). Words are restricted to `^[a-z0-9]+$` AFTER lowercasing so the
+   * per-character split, `lower`, and the sentinel wrap are byte-identical
+   * across engines (no surrogate-pair or locale-casing divergence).
+   *
+   * Ties in pair counts resolve by the lexicographic total order, so the
+   * merge table is fully deterministic — reproducible across engines, runs
+   * and cluster sizes, which is the property that lets a tokenizer trained
+   * on the cluster be re-derived and audited off it.
+   *
+   * Returns one row per merge: (step, lhs, rhs, pair_count).
+   */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // the loop re-reads this table every iteration; checkpoint so the
+      // corpus explode+aggregate runs once, not nMerges times
+      .localCheckpoint()
+    val S = "\u0001"; val E = "\u0002"
+    var seg = words.select(
+      regexp_replace(col("w"), "(.)", s"$S$$1$E").as("seg"), col("cnt"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val best = bpePairCounts(seg)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).as[(String, String, Long)].head()
+      merges += ((step, best._1, best._2, best._3))
+      seg = seg.withColumn("seg",
+        replace(col("seg"), lit(s"$S${best._1}$E$S${best._2}$E"),
+          lit(s"$S${best._1}${best._2}$E")))
+    }
+    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy("step")
+  }
+
+  /** One iteration's weighted pair-count aggregate over a sentinel-encoded
+    * segmentation table (seg, cnt) — the job [[bpeMerges]]' argmax runs on.
+    * Exposed so the suite can assert its plan: a map-side-combined hash
+    * aggregate bounded by the pair vocabulary, no corpus scan. */
+  private[operators] def bpePairCounts(seg: DataFrame): DataFrame = {
+    val S = "\u0001"; val E = "\u0002"
+    val syms = slice(split(translate(col("seg"), E, ""), S), 2, Int.MaxValue)
+    seg
+      .select(syms.as("s"), col("cnt"))
+      // sequence(1, 0) DESCENDS in Spark — single-symbol words must not
+      // reach the pair transform (they contribute no pairs anyway)
+      .filter(size(col("s")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("l"),
+          element_at(col("s"), i + 1).as("r")))).as("p"), col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").as("c"))
+  }
+
+  /** Query entry (oracle-checked: DuckDB replays the same 5 merges as
+    * chained CTEs — same word filter, same sentinel encoding, same
+    * arg-max total order). */
+  def bpeMergesEntry(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, dir))
+
+  /**
    * End-to-end training-corpus assembly — the composed contract over the
    * individual stages, the way [[Dedup.cleanCorpus]] composes the cleaning
    * stages: per-language quality gate ([[qualityFilter]]) → RELATIVE

@@ -366,4 +366,67 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"no quadratic joins:\n$plan")
   }
+
+  test("bpeMerges chains multi-char merges: a merged symbol wins a later step") {
+    import spark.implicits._
+    // "xyz" x10: pairs (x,y) and (y,z) tie at 10 -> (x,y) wins the lexico
+    // tie-break; step 2 must then merge the MULTI-CHAR symbol (xy, z)
+    val docs = (1L to 10L).map(i => (i, "xyz")).toDF("doc_id", "text")
+    val m = CorpusPipeline.bpeMerges(docs, nMerges = 2).collect()
+    assert(m.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      === Seq((1, "x", "y", 10L), (2, "xy", "z", 10L)))
+  }
+
+  test("bpeMerges merges left-to-right non-overlapping, like classic BPE") {
+    import spark.implicits._
+    // "aaaa": pairs (a,a) x3 per word; the merge must pair symbols 1-2 and
+    // 3-4 (leftmost-greedy), NOT 2-3 -> next round sees exactly (aa, aa)
+    val docs = (1L to 4L).map(i => (i, "aaaa")).toDF("doc_id", "text")
+    val m = CorpusPipeline.bpeMerges(docs, nMerges = 2).collect()
+    assert(m.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      === Seq((1, "a", "a", 12L), (2, "aa", "aa", 4L)))
+  }
+
+  test("bpeMerges ignores non-ascii words and is deterministic across runs") {
+    import spark.implicits._
+    val docs = Seq((1L, "foo bar foo Bar FOO café café café x"),
+      (2L, "foo bar baz 123abc")).toDF("doc_id", "text")
+    // café repeats most but is non-ascii after lowering -> must not win
+    val m = CorpusPipeline.bpeMerges(docs, nMerges = 1).collect()
+    assert(m.head.getString(1) != "caf" && !m.head.getString(2).contains("é"))
+    val again = CorpusPipeline.bpeMerges(docs, nMerges = 1).collect()
+    assert(m.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("bpeMerges on the sf corpus: five deterministic merges, counts monotone " +
+      "under the argmax order and vocab scan happens once (checkpointed)") {
+    val m = CorpusPipeline.bpeMerges(docs, nMerges = 5).collect()
+    assert(m.length === 5)
+    assert(m.map(_.getInt(0)).toSeq === (1 to 5))
+    // each step's count can only be <= the previous step's AT THE TIME of
+    // its selection if no merge created a more frequent pair; merged pairs
+    // only shrink existing pair counts here (no planted chains), so the
+    // winning counts are non-increasing on this corpus
+    val counts = m.map(_.getLong(3))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"expected non-increasing winner counts, got ${counts.mkString(",")}")
+  }
+
+  test("bpePairCounts plan: map-side-combined hash aggregate, no join, no " +
+      "corpus FileScan once the word table is checkpointed") {
+    import spark.implicits._
+    val seg = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+      .select(regexp_replace(col("w"), "(.)", "\u0001$1\u0002").as("seg"), col("cnt"))
+    val plan = CorpusPipeline.bpePairCounts(seg).queryExecution.executedPlan.toString
+    // partial + final aggregate around the one pair-vocab-bounded exchange
+    assert(plan.contains("partial_sum"), s"map-side partials expected:\n$plan")
+    assert(!plan.contains("FileScan"),
+      s"iteration job must run on the checkpointed word table, not the corpus:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"pair counting is a pure aggregate:\n$plan")
+  }
 }
