@@ -51,10 +51,10 @@ object StreamingQueries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamDir = symlinkDir(dir, "graft-events-stream")
-    val stream = spark.readStream
-      .schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(streamDir.toString))
 
     val windowed = Watermarks.withBoundedOutOfOrderness(stream, "ts", 5000)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -99,25 +99,38 @@ object StreamingQueries {
     val gapMs = 12 * 3600 * 1000L
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val schema = raw.schema
-    val streamDir = symlinkDir(dir, "graft-events-sess")
+    // Encoding-tagged dir: a /tmp sentinel written under the other ts
+    // encoding (pre-regeneration events.parquet) must not be reused.
+    val streamDir = symlinkDir(dir, s"graft-events-sess-${schema("ts").dataType.typeName}")
     val sentinelFile = java.nio.file.Paths.get(streamDir, "sentinels.parquet")
     if (!java.nio.file.Files.exists(sentinelFile)) {
-      val sentinelNs = raw.agg(max(col("ts"))).head().getLong(0) + 2 * gapMs * 1000000L
-      val sentinels = raw.select(col("user_id")).distinct().select(
-        (lit(-1L) - col("user_id")).as("event_id"),
-        lit(sentinelNs).as("ts"),
-        col("user_id"),
-        lit("__flush").as("event_type"),
-        lit(0.0).as("value"),
-        lit(null).cast(schema("props").dataType).as("props"))
+      // The sentinel file must carry the SAME ts encoding as events.parquet
+      // (the stream reads both under one schema) — compute max(ts)+2×gap in
+      // expression land so no driver-side type branching is needed.
+      val sentinelTs = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("max_ts") + lit(2 * gapMs * 1000000L)).as("ts")
+        case _ =>
+          expr(s"max_ts + INTERVAL '${2 * gapMs}' MILLISECOND").cast(schema("ts").dataType).as("ts")
+      }
+      val maxTs = raw.agg(max(col("ts")).as("max_ts"))
+      val sentinels = raw.select(col("user_id")).distinct()
+        .crossJoin(broadcast(maxTs))
+        .select(
+          (lit(-1L) - col("user_id")).as("event_id"),
+          sentinelTs,
+          col("user_id"),
+          lit("__flush").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast(schema("props").dataType).as("props"))
       val tmpOut = java.nio.file.Files.createTempDirectory("graft-sess-sent")
       sentinels.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
       val part = java.nio.file.Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
       java.nio.file.Files.move(part, sentinelFile)
     }
-    val stream = spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir))
       .select(col("user_id"), col("ts"), col("value"))
     import spark.implicits._
     val sessions = Sessionize.sessions(stream.as[UserEvent], gapMs)
@@ -145,8 +158,8 @@ object StreamingQueries {
     // long-lived state far larger than executor heap.
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamDir = symlinkDir(dir, "graft-events-dd")
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
       .withWatermark("ts", "5 seconds")
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))

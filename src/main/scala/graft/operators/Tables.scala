@@ -8,14 +8,32 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long and convert to a microsecond
-    * timestamp (matches DuckDB, whose TIMESTAMP is also µs-precision). */
+  /** events.parquet has shipped with two physical encodings for `ts`:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read nanos
+    * as long via the legacy conf and convert) and plain timestamp[us]
+    * (which Spark reads natively, as TIMESTAMP_NTZ when the file carries no
+    * UTC-adjustment flag). Inspect the loaded schema and normalize either
+    * encoding to a µs-precision TimestampType column with identical values
+    * (matches DuckDB, whose TIMESTAMP is also naive µs-precision; the
+    * session timezone is pinned to UTC so the NTZ→TZ cast is value-exact). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      // integer DIV: ns→µs on int64 (a double division here loses 1µs ulps)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize the `ts` column of an events DataFrame from either physical
+    * encoding to µs TimestampType. Branches on the analyzed schema only, so
+    * it works identically on batch and streaming DataFrames. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer DIV: ns→µs on int64 (a double division here loses 1µs ulps)
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
