@@ -1178,6 +1178,17 @@ object SparkEntry {
     "ann_ivf_indexed" -> annExactOracle,
     "ann_ivf_refined" -> annExactOracle,
     "ann_topk" -> annExactOracle,
+    // the PRUNED IVF paths replicated end-to-end: knuth-hash quantizer
+    // selection, cell assignment by dot x (1/|c|) with ties to the smaller
+    // centroid index, nprobe probe cells per query, per-query top-k over
+    // the probed cells only — deterministic in both engines, so the
+    // approximate result is still hash-exact
+    "ann_ivf_probe" -> ivfProbeOracle(
+      queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5",
+      queryCol = "query_id", nprobe = 8, k = 10),
+    "knn_graph_probe" -> ivfProbeOracle(
+      queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e",
+      queryCol = "src_id", nprobe = 6, k = 5),
     // int8 scalar quantization: per-dim min/max + round((x-mn)/span*255);
     // float->double is exact and subtract/divide/round are IEEE-identical
     // across engines, so the compare is bit-exact per component
@@ -1194,6 +1205,51 @@ object SparkEntry {
         |SELECT vec_id, string_agg(qv::VARCHAR, ',' ORDER BY i) AS qemb_csv
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
+
+  /** The pruned IVF search replicated in DuckDB, exactly. Centroids are
+    * the 16 vectors with the smallest (vec_id * 2654435761) % 2^32 (knuth
+    * hash — exact via HUGEINT; the Spark side computes the identical value
+    * with overflow-free split arithmetic). Cell assignment ranks centroids
+    * by dot(x, c) * (1.0 / sqrt(dot(c, c))) — the MULTIPLY-BY-INVERSE form,
+    * matching IvfAssignExpr's ulps — with ties to the smaller centroid
+    * index. Candidates are the vectors whose (unique) home cell is among
+    * the query's nprobe probe cells; top-k by (round(cosine,4) DESC,
+    * vec_id). No Lloyd refinement: `avg` summation order differs across
+    * engines, so Lloyd cells are not ulp-replicable. */
+  private def ivfProbeOracle(queries: String, queryCol: String,
+      nprobe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |cent AS (
+      |  SELECT row_number() OVER (
+      |      ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
+      |    emb AS cemb
+      |  FROM e
+      |  ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id
+      |  LIMIT 16),
+      |cn AS (SELECT cid, cemb, 1.0 / sqrt(list_dot_product(cemb, cemb)) AS inv FROM cent),
+      |a AS (SELECT e.vec_id, cn.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.emb, cn.cemb) * cn.inv DESC, cn.cid) AS rn
+      |  FROM e, cn),
+      |home AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+      |q AS ($queries),
+      |pa AS (SELECT q.query_id, cn.cid,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_dot_product(q.q_emb, cn.cemb) * cn.inv DESC, cn.cid) AS rn
+      |  FROM q, cn),
+      |probe AS (SELECT query_id, cid FROM pa WHERE rn <= $nprobe),
+      |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(e.emb, q.q_emb)
+      |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS sim
+      |  FROM probe p
+      |  JOIN home h ON h.cid = p.cid
+      |  JOIN e ON e.vec_id = h.vec_id
+      |  JOIN q ON q.query_id = p.query_id
+      |  WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+      |SELECT query_id AS $queryCol, neighbor_id, sim FROM r WHERE rn <= $k
+      |ORDER BY $queryCol, sim DESC, neighbor_id""".stripMargin
 
   /** Brute-force all-pairs 5-NN graph — the knn_graph entry's exhaustive
     * IVF search (nprobe = numCentroids) must reproduce it exactly, the
