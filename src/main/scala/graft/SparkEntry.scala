@@ -47,6 +47,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "deser_documents" -> (Deser.deserDocuments _),
+    "deser_dirty" -> (MqRoundtrip.deserDirty _),
     "mq_roundtrip_events" -> (MqRoundtrip.mqRoundtripEvents _),
     "text_stats" -> (TextAnalysis.textStats _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -406,6 +407,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "deser_documents" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+    // lengthCheck=PAD row effects: mod-4 corruption classes — 1 padded
+    // (null n_chars), 2 cut (junk extra dropped), 3 skipped (bad long)
+    "deser_dirty" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN doc_id % 4 = 1 THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 4 <> 3 ORDER BY doc_id""".stripMargin,
     "mq_roundtrip_events" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,

@@ -111,6 +111,50 @@ object MqRoundtrip {
   }
 
   /**
+   * Oracle-checked dirty-data pipeline: deterministically corrupted
+   * document rows written through the connector sink, read back with the
+   * graft-mq batch source, and parsed by [[graft.serde.RowDeserializer]]
+   * under the lengthCheck=PAD shorthand — skip format errors, pad missing
+   * fields, cut extras (reference:
+   * source/reader/deserializer/RowDeserializationSchema.java:284-400 and
+   * the builder shorthand at :538-569). doc_id mod 4 selects the
+   * corruption: 0 well-formed; 1 drops the last field (PAD → null
+   * n_chars); 2 appends a junk field (CUT drops it); 3 writes an
+   * unparsable n_chars (format error → row dropped). The DuckDB oracle is
+   * the same CASE arithmetic on the clean table, so every strategy's
+   * row-level effect is hash-checked end-to-end through the SQL surface,
+   * not just the unit suite.
+   */
+  def deserDirty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = sessionRoot("mq-dirty", dir)
+    val topic = "docs_dirty"
+    TopicLog.deleteTopic(root, topic)
+    val soh = graft.serde.Delimiters.Soh
+    val m = col("doc_id") % 4
+    val bodies = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(m === 1, concat_ws(soh, col("doc_id"), col("lang")))
+        .when(m === 2, concat_ws(soh, col("doc_id"), col("lang"), col("n_chars"), lit("junk")))
+        .when(m === 3, concat_ws(soh, col("doc_id"), col("lang"), lit("x9")))
+        .otherwise(concat_ws(soh, col("doc_id"), col("lang"), col("n_chars"))).as("body"))
+    val conv = new RowMessageConverter(
+      bodies.schema, fieldDelimiter = soh, keyColumns = Seq("doc_id"))
+    MessageQueueSink.write(
+      bodies, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = spark.read.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "dirty").option("rootDir", root)
+      .load()
+    Deser.parseBodies(back, "body", schema, fieldDelimiter = soh, lengthCheck = "PAD")
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Streaming corpus scoring through the connector: documents → sink →
    * MICRO-BATCH DSv2 source (Trigger.AvailableNow) → quality kernel per
    * micro-batch → memory sink. The oracle is the batch text_quality SQL,
