@@ -131,9 +131,11 @@ object SparkEntry {
     // perceptual-hash image dedup: banded 60-bit dHash, hamming<=3 pairs;
     // pigeonhole makes LSH == brute force, so the oracle is exact
     "image_phash_dedup" -> (Multimodal.imagePhashDedup _),
-    // rows-only WITH an eager in-query recall assertion against the exact
-    // baseline (the output itself is engine-specific: SimHash bits / pruned
-    // approximate search on Gaussian test embeddings).
+    // approximate operators, each BOTH oracle-exact (the full approximate
+    // pipeline — LCG hyperplanes / knuth-hash quantizer / FNV+splitmix
+    // SimHash — is replicated in exact integer/IEEE arithmetic on the
+    // DuckDB side) AND recall/agreement-gated against its exact baseline,
+    // so the oracle pins the machinery while the gate pins the semantics.
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf_probe" -> (Similarity.annIvfProbe _),
@@ -1196,6 +1198,125 @@ object SparkEntry {
     "knn_graph_probe" -> ivfProbeOracle(
       queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e",
       queryCol = "src_id", nprobe = 6, k = 5),
+    // char-4-gram SimHash128 replicated bit-for-bit: FNV-1a per UTF-16
+    // unit (the corpus is ASCII, so unicode() == the code unit) with the
+    // xorshift avalanche and splitmix64 finalizer as chained HUGEINT CTE
+    // steps (64-bit wrapping multiplies via 32-bit splits), 128 majority
+    // votes over per-doc DISTINCT gram hashes, 12 rotated 32-bit band
+    // keys, banded pair join, hamming <= 14 — the full lossy pipeline,
+    // so the approximate pair set hash-checks exactly
+    "dedup_simhash" ->
+      """WITH docs AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i FROM docs),
+        |dg AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS g FROM pos),
+        |gs AS (SELECT DISTINCT g FROM dg),
+        |h0 AS (SELECT g, unicode(substr(g,1,1))::HUGEINT AS c1, unicode(substr(g,2,1))::HUGEINT AS c2, unicode(substr(g,3,1))::HUGEINT AS c3, unicode(substr(g,4,1))::HUGEINT AS c4, 14695981039346656037::HUGEINT AS h FROM gs),
+        |h1 AS (SELECT g, c1, c2, c3, c4, (((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c1 >= 9223372036854775808::HUGEINT THEN (c1 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c1)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 435) % 18446744073709551616::HUGEINT + ((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c1 >= 9223372036854775808::HUGEINT THEN (c1 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c1)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h0),
+        |h2 AS (SELECT g, c1, c2, c3, c4, (((h * 435) % 18446744073709551616::HUGEINT + ((h * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h1),
+        |h3 AS (SELECT g, c1, c2, c3, c4, (((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c2 >= 9223372036854775808::HUGEINT THEN (c2 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c2)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 435) % 18446744073709551616::HUGEINT + ((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c2 >= 9223372036854775808::HUGEINT THEN (c2 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c2)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h2),
+        |h4 AS (SELECT g, c1, c2, c3, c4, (((h * 435) % 18446744073709551616::HUGEINT + ((h * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h3),
+        |h5 AS (SELECT g, c1, c2, c3, c4, (((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c3 >= 9223372036854775808::HUGEINT THEN (c3 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c3)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 435) % 18446744073709551616::HUGEINT + ((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c3 >= 9223372036854775808::HUGEINT THEN (c3 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c3)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h4),
+        |h6 AS (SELECT g, c1, c2, c3, c4, (((h * 435) % 18446744073709551616::HUGEINT + ((h * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h5),
+        |h7 AS (SELECT g, c1, c2, c3, c4, (((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c4 >= 9223372036854775808::HUGEINT THEN (c4 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c4)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 435) % 18446744073709551616::HUGEINT + ((((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN c4 >= 9223372036854775808::HUGEINT THEN (c4 - 18446744073709551616::HUGEINT)::BIGINT ELSE (c4)::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h6),
+        |h8 AS (SELECT g, c1, c2, c3, c4, (((h * 435) % 18446744073709551616::HUGEINT + ((h * 256) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h7),
+        |h9 AS (SELECT g, c1, c2, c3, c4, ((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN (h // 8589934592) >= 9223372036854775808::HUGEINT THEN ((h // 8589934592) - 18446744073709551616::HUGEINT)::BIGINT ELSE ((h // 8589934592))::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS h FROM h8),
+        |h10 AS (SELECT g, c1, c2, c3, c4, (((h * 3981806797) % 18446744073709551616::HUGEINT + ((h * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS h FROM h9),
+        |h11 AS (SELECT g, c1, c2, c3, c4, ((xor((CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE (h)::BIGINT END), (CASE WHEN (h // 8589934592) >= 9223372036854775808::HUGEINT THEN ((h // 8589934592) - 18446744073709551616::HUGEINT)::BIGINT ELSE ((h // 8589934592))::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS h FROM h10),
+        |m1 AS (SELECT g, h, (h + 11400714819323198485) % 18446744073709551616::HUGEINT AS m FROM h11),
+        |m2 AS (SELECT g, h, (((((xor((CASE WHEN m >= 9223372036854775808::HUGEINT THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE (m)::BIGINT END), (CASE WHEN (m // 1073741824) >= 9223372036854775808::HUGEINT THEN ((m // 1073741824) - 18446744073709551616::HUGEINT)::BIGINT ELSE ((m // 1073741824))::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 484763065) % 18446744073709551616::HUGEINT + ((((xor((CASE WHEN m >= 9223372036854775808::HUGEINT THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE (m)::BIGINT END), (CASE WHEN (m // 1073741824) >= 9223372036854775808::HUGEINT THEN ((m // 1073741824) - 18446744073709551616::HUGEINT)::BIGINT ELSE ((m // 1073741824))::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS m FROM m1),
+        |m3 AS (SELECT g, h, (((((xor((CASE WHEN m >= 9223372036854775808::HUGEINT THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE (m)::BIGINT END), (CASE WHEN (m // 134217728) >= 9223372036854775808::HUGEINT THEN ((m // 134217728) - 18446744073709551616::HUGEINT)::BIGINT ELSE ((m // 134217728))::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 321982955) % 18446744073709551616::HUGEINT + ((((xor((CASE WHEN m >= 9223372036854775808::HUGEINT THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE (m)::BIGINT END), (CASE WHEN (m // 134217728) >= 9223372036854775808::HUGEINT THEN ((m // 134217728) - 18446744073709551616::HUGEINT)::BIGINT ELSE ((m // 134217728))::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT) AS m FROM m2),
+        |m4 AS (SELECT g, h, ((xor((CASE WHEN m >= 9223372036854775808::HUGEINT THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE (m)::BIGINT END), (CASE WHEN (m // 2147483648) >= 9223372036854775808::HUGEINT THEN ((m // 2147483648) - 18446744073709551616::HUGEINT)::BIGINT ELSE ((m // 2147483648))::BIGINT END))::HUGEINT + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS m FROM m3),
+        |gh AS (SELECT g, h, m AS h2 FROM m4),
+        |dh AS (SELECT DISTINCT doc_id, h, h2 FROM dg JOIN gh USING (g)),
+        |gn AS (SELECT doc_id, count(*) AS grams FROM dh GROUP BY doc_id),
+        |votes AS (SELECT doc_id, b, sum(((CASE WHEN b < 64 THEN h ELSE h2 END) // power(2, b % 64)::HUGEINT) % 2) AS ones FROM dh, range(128) AS bb(b) GROUP BY doc_id, b),
+        |words AS (SELECT v.doc_id, sum(CASE WHEN v.b < 64  AND 2*v.ones > g.grams THEN power(2, v.b)::HUGEINT ELSE 0::HUGEINT END) AS w0, sum(CASE WHEN v.b >= 64 AND 2*v.ones > g.grams THEN power(2, v.b - 64)::HUGEINT ELSE 0::HUGEINT END) AS w1 FROM votes v JOIN gn g USING (doc_id) GROUP BY v.doc_id),
+        |bandbit AS (SELECT doc_id, k, i, ((k % 4)*32 + ((k // 4)*32)//3 + i) % 128 AS bit, w0, w1 FROM words, range(12) AS kk(k), range(32) AS ii(i)),
+        |banded AS (SELECT doc_id, k, (k::BIGINT << 32) + sum((((CASE WHEN bit < 64 THEN w0 ELSE w1 END) // power(2, bit % 64)::HUGEINT) % 2)::BIGINT * (1::BIGINT << i)) AS band_key FROM bandbit GROUP BY doc_id, k, w0, w1),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |ham AS (SELECT doc_a, doc_b, (bit_count(xor((CASE WHEN x.w0 >= 9223372036854775808::HUGEINT THEN (x.w0 - 18446744073709551616::HUGEINT)::BIGINT ELSE (x.w0)::BIGINT END), (CASE WHEN y.w0 >= 9223372036854775808::HUGEINT THEN (y.w0 - 18446744073709551616::HUGEINT)::BIGINT ELSE (y.w0)::BIGINT END))) + bit_count(xor((CASE WHEN x.w1 >= 9223372036854775808::HUGEINT THEN (x.w1 - 18446744073709551616::HUGEINT)::BIGINT ELSE (x.w1)::BIGINT END), (CASE WHEN y.w1 >= 9223372036854775808::HUGEINT THEN (y.w1 - 18446744073709551616::HUGEINT)::BIGINT ELSE (y.w1)::BIGINT END))))::BIGINT AS hamming FROM pairs JOIN words x ON x.doc_id = doc_a JOIN words y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 14 ORDER BY doc_a, doc_b""".stripMargin,
+    // hyperplane-LSH paths replicated end-to-end (see lshBucketCtes):
+    // candidates share any (table, bucket); exact cosine on candidates
+    "ann_lsh" ->
+      s"""WITH RECURSIVE $lshBucketCtes,
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |s AS (
+        |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        |    round(list_dot_product(c.emb, q.emb)
+        |      / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.emb, q.emb))), 4) AS sim
+        |  FROM cand
+        |  JOIN e c ON c.vec_id = cand.vec_id
+        |  JOIN e q ON q.vec_id = cand.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+    "embed_neardup" ->
+      s"""WITH RECURSIVE $lshBucketCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |s AS (
+        |  SELECT vec_a, vec_b,
+        |    round(list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 4) AS sim
+        |  FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)
+        |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // LSH pair stage + the semantic_dedup reach tail: keep decisions over
+    // the replicated approximate pair graph
+    "semantic_dedup_lsh" ->
+      s"""WITH RECURSIVE $lshBucketCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT vec_a, vec_b FROM (
+        |    SELECT vec_a, vec_b,
+        |      round(list_dot_product(x.emb, y.emb)
+        |        / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 4) AS sim
+        |    FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)
+        |  WHERE sim >= 0.4),
+        |edges AS (SELECT vec_a AS a, vec_b AS b FROM p UNION SELECT vec_b, vec_a FROM p),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT r2.id, ed.b FROM reach r2 JOIN edges ed ON ed.a = r2.r)
+        |SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // quantize -> dequantize -> brute-force top-k: the same per-dim grid as
+    // quantize_embeddings (bit-exact cross-engine), reconstruction
+    // mn + q/255*span in the kernel's operation order, then the
+    // annExactOracle search shape over the reconstructed vectors — the
+    // approximate entry's output is deterministic, so it hash-checks
+    "ann_quantized" ->
+      """WITH u AS (
+        |  SELECT vec_id, ui.i, embedding[ui.i]::DOUBLE AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS ui(i)),
+        |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+        |q AS (
+        |  SELECT vec_id, u.i,
+        |    CASE WHEN mx = mn THEN 0 ELSE round((u.x - mn) / (mx - mn) * 255)::INT END AS qv,
+        |    mn, mx - mn AS span
+        |  FROM u JOIN stats USING (i)),
+        |dq AS (SELECT vec_id, list(mn + qv::DOUBLE / 255.0 * span ORDER BY i) AS emb FROM q GROUP BY vec_id),
+        |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM dq WHERE vec_id < 5),
+        |s AS (SELECT p.query_id, d.vec_id AS neighbor_id,
+        |  round(list_dot_product(d.emb, p.q_emb)
+        |    / (sqrt(list_dot_product(d.emb, d.emb)) * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS sim
+        |  FROM dq d, p WHERE d.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
     // int8 scalar quantization: per-dim min/max + round((x-mn)/span*255);
     // float->double is exact and subtract/divide/round are IEEE-identical
     // across engines, so the compare is bit-exact per component
@@ -1257,6 +1378,52 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
       |SELECT query_id AS $queryCol, neighbor_id, sim FROM r WHERE rn <= $k
       |ORDER BY $queryCol, sim DESC, neighbor_id""".stripMargin
+
+  /** Engine-portable hyperplane-LSH machinery shared by the ann_lsh /
+    * embed_neardup / semantic_dedup_lsh oracles: replays
+    * GraftFunctions.hyperplanes' LCG (state = state*6364136223846793005 +
+    * 1442695040888963407 mod 2^64; uniform = (state >>> 11)/2^53 - 0.5;
+    * each plane component the LEFT-ASSOCIATIVE sum of 4 consecutive
+    * uniforms) in exact 64-bit arithmetic via HUGEINT 32-bit-split
+    * multiplication, then rebuilds each table's sign-pattern bucket
+    * ((dim << 44) | bits, dot products via list_dot_product so the
+    * summation order matches the kernel). All three entries run 16 tables
+    * x 4 bits at seed 42 (per-table seed 42 + t*1000), so one prefix
+    * serves all. Emits CTEs: `e` (vec_id, emb DOUBLE[]) and `bk`
+    * (vec_id, t, bucket). Must run under WITH RECURSIVE. */
+  private val lshBucketCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
+      |rng(t, n, s) AS (
+      |  SELECT t, 0, (42 + t*1000)::HUGEINT FROM range(16) AS tt(t)
+      |  UNION ALL
+      |  SELECT t, n+1,
+      |    ((s % 4294967296) * 6364136223846793005
+      |     + ((s // 4294967296) * 6364136223846793005 % 4294967296) * 4294967296
+      |     + 1442695040888963407) % 18446744073709551616::HUGEINT
+      |  FROM rng WHERE n < 16 * (SELECT dim FROM d)),
+      |uni AS (
+      |  SELECT t, n - 1 AS n0,
+      |    ((s // 2048)::DOUBLE / 9007199254740992.0 - 0.5) AS v
+      |  FROM rng WHERE n >= 1),
+      |pw AS (
+      |  SELECT t,
+      |    n0 // (4 * (SELECT dim FROM d)) AS p,
+      |    (n0 % (4 * (SELECT dim FROM d))) // 4 AS i,
+      |    n0 % 4 AS j, v
+      |  FROM uni),
+      |comp AS (
+      |  SELECT t, p, i,
+      |    ((max(CASE WHEN j=0 THEN v END) + max(CASE WHEN j=1 THEN v END))
+      |      + max(CASE WHEN j=2 THEN v END)) + max(CASE WHEN j=3 THEN v END) AS w
+      |  FROM pw GROUP BY t, p, i),
+      |planes AS (
+      |  SELECT t, p, list(w ORDER BY i) AS pl FROM comp GROUP BY t, p),
+      |bk AS (
+      |  SELECT e.vec_id, pla.t,
+      |    ((SELECT dim FROM d)::BIGINT << 44)
+      |      + sum(CASE WHEN list_dot_product(e.emb, pla.pl) >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+      |  FROM e, planes pla GROUP BY e.vec_id, pla.t)""".stripMargin
 
   /** Brute-force all-pairs 5-NN graph — the knn_graph entry's exhaustive
     * IVF search (nprobe = numCentroids) must reproduce it exactly, the
