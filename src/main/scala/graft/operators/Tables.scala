@@ -43,8 +43,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The round-9 events regeneration taught the lesson: driver testdata can
+    * change physical type between rounds. The two LLM-pipeline tables get
+    * the same insurance as events — integer id/count columns normalized to
+    * long (a no-op cast today, analysis-time eliminated), so a future
+    * int32-encoded regeneration can't break every downstream operator. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "documents")
+    raw.select(raw.columns.map {
+      case c @ ("doc_id" | "n_chars") => col(c).cast("long").as(c)
+      case c => col(c)
+    }.toIndexedSeq: _*)
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "embeddings")
+    raw.select(raw.columns.map {
+      case c @ "vec_id" => col(c).cast("long").as(c)
+      case c => col(c)
+    }.toIndexedSeq: _*)
+  }
 
   /** The approximate-operator entries carry eager in-query recall
     * assertions (extra Spark jobs) for the correctness gate. The bench main

@@ -55,6 +55,24 @@ class TablesSpec extends SparkSpec {
     assert(us(fromNtz) === expected)
   }
 
+  test("documents/embeddings loaders normalize narrow integer encodings to long") {
+    import spark.implicits._
+    val docDir = writeFixture("docs32") {
+      Seq((1, "en", 10, "hello world"), (2, "de", 5, "hallo"))
+        .toDF("doc_id", "lang", "n_chars", "text")
+        .select(col("doc_id").cast(IntegerType), col("lang"),
+          col("n_chars").cast(IntegerType), col("text"))
+    }
+    // reuse the events.parquet-named fixture dir for a documents table
+    val src = java.nio.file.Paths.get(docDir, "events.parquet")
+    val dst = java.nio.file.Paths.get(docDir, "documents.parquet")
+    java.nio.file.Files.move(src, dst)
+    val docs = Tables.documents(spark, docDir)
+    assert(docs.schema("doc_id").dataType === LongType)
+    assert(docs.schema("n_chars").dataType === LongType)
+    assert(docs.count() === 2)
+  }
+
   test("events on the real testdata yields µs TimestampType") {
     val ev = Tables.events(spark, sfDir)
     assert(ev.schema("ts").dataType === TimestampType)
