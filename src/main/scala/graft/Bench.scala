@@ -119,6 +119,7 @@ object Bench {
       else if (v >= 100) f"$v%.0f"
       else if (v >= 10) { if (coarse) f"$v%.0f" else f"$v%.1f" }
       else if (v >= 1) f"$v%.1f"
+      else if (coarse) f"$v%.1f".stripPrefix("0")
       else f"$v%.2f".stripPrefix("0")
     def sidecar(envKey: String, default: String, content: String): Unit =
       try {
@@ -144,7 +145,7 @@ object Bench {
       val qs = results.map { case (k, v) => s"$k:${sig(v, coarse)}" }.mkString(" ")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":"$qs","sf":"$sfName"}"""
     }
-    val out = if (line(coarse = false).length <= 1900) line(coarse = false) else line(coarse = true)
+    val out = if (line(coarse = false).length <= 1890) line(coarse = false) else line(coarse = true)
     println(out)
     spark.stop()
     System.out.flush()

@@ -33,7 +33,7 @@ object PlanDump {
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
       "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe",
       "bm25_search", "image_phash_dedup", "collocations_pmi", "dedup_bloom",
-      "deser_dirty", "ann_ivf_probe")
+      "deser_dirty", "ann_ivf_probe", "bpe_encode")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

@@ -72,6 +72,7 @@ object SparkEntry {
     // distributed BPE tokenizer training: first 5 merge rules; the DuckDB
     // oracle replays the identical iterations as chained CTEs
     "bpe_merges" -> (CorpusPipeline.bpeMergesEntry _),
+    "bpe_encode" -> (CorpusPipeline.bpeEncodeEntry _),
     // canonicalize-then-dedup: planted composed/decomposed twins collapse
     // to one normalized key (byte-level dedup would keep both)
     "dedup_exact_nfc" -> (TextAnalysis.dedupExactNfc _),
@@ -540,45 +541,7 @@ object SparkEntry {
     // share no chars, so replace() == leftmost-greedy BPE merge in both
     // engines), same (count desc, l, r) arg-max total order per step
     "bpe_merges" ->
-      raw"""WITH words AS (
-        |  SELECT token AS w, count(*)::BIGINT AS cnt FROM (
-        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
-        |    FROM documents) t
-        |  WHERE regexp_matches(token, '^[a-z0-9]+$$') GROUP BY token),
-        |seg0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS seg, cnt
-        |  FROM words),
-        |pairs1 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
-        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
-        |        FROM seg0), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
-        |best1 AS (SELECT l, r, c FROM pairs1 ORDER BY c DESC, l, r LIMIT 1),
-        |seg1 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
-        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
-        |  FROM seg0 s CROSS JOIN best1 b),
-        |pairs2 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
-        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
-        |        FROM seg1), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
-        |best2 AS (SELECT l, r, c FROM pairs2 ORDER BY c DESC, l, r LIMIT 1),
-        |seg2 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
-        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
-        |  FROM seg1 s CROSS JOIN best2 b),
-        |pairs3 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
-        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
-        |        FROM seg2), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
-        |best3 AS (SELECT l, r, c FROM pairs3 ORDER BY c DESC, l, r LIMIT 1),
-        |seg3 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
-        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
-        |  FROM seg2 s CROSS JOIN best3 b),
-        |pairs4 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
-        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
-        |        FROM seg3), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
-        |best4 AS (SELECT l, r, c FROM pairs4 ORDER BY c DESC, l, r LIMIT 1),
-        |seg4 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
-        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
-        |  FROM seg3 s CROSS JOIN best4 b),
-        |pairs5 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
-        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
-        |        FROM seg4), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
-        |best5 AS (SELECT l, r, c FROM pairs5 ORDER BY c DESC, l, r LIMIT 1)
+      raw"""WITH $bpeTrainCtes
         |SELECT step, lhs, rhs, pair_count FROM (
         |  SELECT 1 AS step, l AS lhs, r AS rhs, c AS pair_count FROM best1
         |  UNION ALL SELECT 2, l, r, c FROM best2
@@ -586,6 +549,26 @@ object SparkEntry {
         |  UNION ALL SELECT 4, l, r, c FROM best4
         |  UNION ALL SELECT 5, l, r, c FROM best5)
         |ORDER BY step""".stripMargin,
+    // trained merges re-derived (same CTEs as bpe_merges), then every
+    // document re-encoded: per-word sentinel wrap + the 5 merges applied
+    // in training order as literal replaces; token count = sentinel count
+    "bpe_encode" ->
+      raw"""WITH $bpeTrainCtes,
+        |dw AS (SELECT doc_id, token AS w FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM documents) t
+        |  WHERE regexp_matches(token, '^[a-z0-9]+$$')),
+        |e0 AS (SELECT doc_id, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS seg FROM dw),
+        |e1 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e0 CROSS JOIN best1 b),
+        |e2 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e1 CROSS JOIN best2 b),
+        |e3 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e2 CROSS JOIN best3 b),
+        |e4 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e3 CROSS JOIN best4 b),
+        |e5 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e4 CROSS JOIN best5 b),
+        |wt AS (SELECT doc_id, len(string_split(replace(seg, chr(2), ''), chr(1))[2:])::BIGINT AS toks FROM e5),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens FROM wt GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_words, 0::BIGINT) AS n_words, coalesce(n_tokens, 0::BIGINT) AS n_tokens
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the sharded global rank must equal the naive single-window rank
     "corpus_shuffle" ->
       """SELECT doc_id,
@@ -1378,6 +1361,52 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
       |SELECT query_id AS $queryCol, neighbor_id, sim FROM r WHERE rn <= $k
       |ORDER BY $queryCol, sim DESC, neighbor_id""".stripMargin
+
+  /** The bpe_merges training replay (words -> seg0 -> 5x (pairsN, bestN,
+    * segN)) shared by the bpe_merges and bpe_encode oracles — the encode
+    * oracle re-derives the SAME merge table before re-encoding, so one
+    * drifting CTE breaks both entries loudly. Interpolated under a `raw`
+    * interpolator; regex `$` is escaped as `$$` at the use sites. */
+  private val bpeTrainCtes: String =
+    raw"""words AS (
+        |  SELECT token AS w, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM documents) t
+        |  WHERE regexp_matches(token, '^[a-z0-9]+$$') GROUP BY token),
+        |seg0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS seg, cnt
+        |  FROM words),
+        |pairs1 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg0), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best1 AS (SELECT l, r, c FROM pairs1 ORDER BY c DESC, l, r LIMIT 1),
+        |seg1 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg0 s CROSS JOIN best1 b),
+        |pairs2 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg1), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best2 AS (SELECT l, r, c FROM pairs2 ORDER BY c DESC, l, r LIMIT 1),
+        |seg2 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg1 s CROSS JOIN best2 b),
+        |pairs3 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg2), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best3 AS (SELECT l, r, c FROM pairs3 ORDER BY c DESC, l, r LIMIT 1),
+        |seg3 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg2 s CROSS JOIN best3 b),
+        |pairs4 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg3), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best4 AS (SELECT l, r, c FROM pairs4 ORDER BY c DESC, l, r LIMIT 1),
+        |seg4 AS (SELECT replace(s.seg, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+        |    chr(1) || b.l || b.r || chr(2)) AS seg, s.cnt
+        |  FROM seg3 s CROSS JOIN best4 b),
+        |pairs5 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+        |  FROM (SELECT string_split(replace(seg, chr(2), ''), chr(1))[2:] AS syms, cnt
+        |        FROM seg4), unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |best5 AS (SELECT l, r, c FROM pairs5 ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
 
   /** Engine-portable hyperplane-LSH machinery shared by the ann_lsh /
     * embed_neardup / semantic_dedup_lsh oracles: replays

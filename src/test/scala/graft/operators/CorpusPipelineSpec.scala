@@ -398,6 +398,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(m.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("bpeEncode: token counts follow the merge table, word filter matches training") {
+    import spark.implicits._
+    val tiny = Seq((1L, "aa ab aa"), (2L, "xyz !punct"), (3L, "!! ??")).toDF("doc_id", "text")
+    // no merges: every kept word tokenizes to its characters
+    val plain = CorpusPipeline.bpeEncode(tiny, Nil).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(plain(1L) === ((3L, 6L))) // aa ab aa -> 2+2+2 chars
+    assert(plain(2L) === ((1L, 3L))) // xyz kept, !punct filtered
+    assert(plain(3L) === ((0L, 0L))) // nothing survives the word filter
+    // one merge (a,a): each "aa" collapses to one token; "ab" untouched
+    val merged = CorpusPipeline.bpeEncode(tiny, Seq(("a", "a"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(merged(1L) === 4L) // 1 + 2 + 1
+    assert(merged(2L) === 3L)
+    // chained multi-char merge: (a,a) then (aa,b) — "aab" -> one token
+    val chained = CorpusPipeline.bpeEncode(
+      Seq((1L, "aab")).toDF("doc_id", "text"), Seq(("a", "a"), ("aa", "b"))).collect()
+    assert(chained.head.getLong(2) === 1L)
+  }
+
   test("bpeMerges on the sf corpus: five deterministic merges, counts monotone " +
       "under the argmax order and vocab scan happens once (checkpointed)") {
     val m = CorpusPipeline.bpeMerges(docs, nMerges = 5).collect()
