@@ -11,7 +11,7 @@ object Bench {
   private val streamingEntries =
     Set("events_windowed_stream", "events_dedup_stream", "sessionize_stream",
       "corpus_quality_stream", "decontaminate_stream", "events_enrich_stream",
-      "purchase_attribution_stream")
+      "purchase_attribution_stream", "token_count_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

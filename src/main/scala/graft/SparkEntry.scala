@@ -36,6 +36,8 @@ object SparkEntry {
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
+    // tokenizer trained offline, applied per micro-batch on the stream
+    "token_count_stream" -> (MqRoundtrip.tokenCountStream _),
     "decontaminate_stream" -> (MqRoundtrip.decontaminateStream _),
     "dedup_incremental_stream" -> (MqRoundtrip.dedupIncrementalStream _),
     "events_enrich_stream" -> (MqRoundtrip.eventsEnrichStream _),
@@ -552,23 +554,9 @@ object SparkEntry {
     // trained merges re-derived (same CTEs as bpe_merges), then every
     // document re-encoded: per-word sentinel wrap + the 5 merges applied
     // in training order as literal replaces; token count = sentinel count
-    "bpe_encode" ->
-      raw"""WITH $bpeTrainCtes,
-        |dw AS (SELECT doc_id, token AS w FROM (
-        |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
-        |    FROM documents) t
-        |  WHERE regexp_matches(token, '^[a-z0-9]+$$')),
-        |e0 AS (SELECT doc_id, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS seg FROM dw),
-        |e1 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e0 CROSS JOIN best1 b),
-        |e2 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e1 CROSS JOIN best2 b),
-        |e3 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e2 CROSS JOIN best3 b),
-        |e4 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e3 CROSS JOIN best4 b),
-        |e5 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e4 CROSS JOIN best5 b),
-        |wt AS (SELECT doc_id, len(string_split(replace(seg, chr(2), ''), chr(1))[2:])::BIGINT AS toks FROM e5),
-        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens FROM wt GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(n_words, 0::BIGINT) AS n_words, coalesce(n_tokens, 0::BIGINT) AS n_tokens
-        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "bpe_encode" -> bpeEncodeOracle,
+    // the streamed corpus must tokenize identically to the batch entry
+    "token_count_stream" -> bpeEncodeOracle,
     // the sharded global rank must equal the naive single-window rank
     "corpus_shuffle" ->
       """SELECT doc_id,
@@ -1361,6 +1349,27 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
       |SELECT query_id AS $queryCol, neighbor_id, sim FROM r WHERE rn <= $k
       |ORDER BY $queryCol, sim DESC, neighbor_id""".stripMargin
+
+  /** Trained merges re-derived (same CTEs as bpe_merges), then every
+    * document re-encoded — shared by the batch bpe_encode entry and the
+    * streaming token_count_stream entry (identical expected output). */
+  private lazy val bpeEncodeOracle: String =
+    raw"""WITH $bpeTrainCtes,
+        |dw AS (SELECT doc_id, token AS w FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM documents) t
+        |  WHERE regexp_matches(token, '^[a-z0-9]+$$')),
+        |e0 AS (SELECT doc_id, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS seg FROM dw),
+        |e1 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e0 CROSS JOIN best1 b),
+        |e2 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e1 CROSS JOIN best2 b),
+        |e3 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e2 CROSS JOIN best3 b),
+        |e4 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e3 CROSS JOIN best4 b),
+        |e5 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e4 CROSS JOIN best5 b),
+        |wt AS (SELECT doc_id, len(string_split(replace(seg, chr(2), ''), chr(1))[2:])::BIGINT AS toks FROM e5),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens FROM wt GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_words, 0::BIGINT) AS n_words, coalesce(n_tokens, 0::BIGINT) AS n_tokens
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
 
   /** The bpe_merges training replay (words -> seg0 -> 5x (pairsN, bestN,
     * segN)) shared by the bpe_merges and bpe_encode oracles — the encode

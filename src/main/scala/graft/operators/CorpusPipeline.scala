@@ -546,29 +546,43 @@ object CorpusPipeline {
    *
    * Returns (doc_id, n_words, n_tokens).
    */
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** The (n_words, n_tokens) column pair for a text column under a trained
+    * merge list — the scan-stage encode kernel shared by [[bpeEncode]] and
+    * the streaming token counter ([[MqRoundtrip.tokenCountStream]]). */
+  private[operators] def bpeTokenCols(
+      textCol: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val S = "\u0001"; val E = "\u0002"
-    val words0 = split(lower(trim(col("text"))), "\\s+")
+    val words0 = split(lower(trim(textCol)), "\\s+")
     val kept = filter(words0, w => w.rlike("^[a-z0-9]+$"))
     val enc = transform(kept, w => merges.foldLeft(
         regexp_replace(w, "(.)", s"$S$$1$E")) { case (seg, (l, r)) =>
       replace(seg, lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E"))
     })
-    docs.select(col("doc_id"),
-      size(kept).cast("long").as("n_words"),
+    (size(kept).cast("long"),
       aggregate(enc, lit(0L),
-        (acc, seg) => acc + (size(split(seg, S)) - 1).cast("long")).as("n_tokens"))
+        (acc, seg) => acc + (size(split(seg, S)) - 1).cast("long")))
+  }
+
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val (nWords, nTokens) = bpeTokenCols(col("text"), merges)
+    docs.select(col("doc_id"), nWords.as("n_words"), nTokens.as("n_tokens"))
       .orderBy("doc_id")
   }
 
+  /** Trained merge table for `dir`'s corpus, once per JVM (see
+    * [[bpeTrained]]) — train offline, apply everywhere, including on the
+    * stream. */
+  private[operators] def trainedMerges(
+      spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeTrained.computeIfAbsent(dir, _ =>
+      bpeMerges(Tables.documents(spark, dir), 5)
+        .collect().map(r => (r.getString(1), r.getString(2)))).toIndexedSeq
+
   /** Query entry (oracle-checked): train once per JVM+dir, encode the
     * corpus with the learned merges. */
-  def bpeEncodeEntry(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val merges = bpeTrained.computeIfAbsent(dir, _ =>
-      bpeMerges(docs, 5).collect().map(r => (r.getString(1), r.getString(2))))
-    bpeEncode(docs, merges.toIndexedSeq)
-  }
+  def bpeEncodeEntry(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(spark, dir), trainedMerges(spark, dir))
 
   /**
    * End-to-end training-corpus assembly — the composed contract over the

@@ -165,6 +165,48 @@ object MqRoundtrip {
    * delimiter (document text contains no control chars by the corpus
    * contract; the wire layer escapes \t and \n regardless).
    */
+  /**
+   * Streaming tokenizer application through the connector: the merge table
+   * trains OFFLINE on the batch corpus ([[CorpusPipeline.trainedMerges]],
+   * once per JVM), then documents arriving through the MQ micro-batch
+   * source are token-counted per micro-batch with the same scan-stage
+   * encode kernel as the batch [[CorpusPipeline.bpeEncode]] — the
+   * train-once/apply-on-the-stream deployment of a production tokenizer.
+   * Stateless Append (no state store); the oracle is the batch bpe_encode
+   * SQL, so the compare proves the streamed corpus tokenizes identically.
+   */
+  def tokenCountStream(spark: SparkSession, dir: String): DataFrame = {
+    val merges = CorpusPipeline.trainedMerges(spark, dir)
+    val root = sessionRoot("mq-docs-tok", dir)
+    val topic = "docs_tok"
+    TopicLog.deleteTopic(root, topic)
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val conv = new RowMessageConverter(
+      docs.schema, fieldDelimiter = "\u0001",
+      keyColumns = Seq("doc_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      docs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    val (nWords, nTokens) = CorpusPipeline.bpeTokenCols(col("text"), merges)
+    val name = "docs_tok_" + math.abs(dir.hashCode)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "tokens")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "\u0001").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("text"))
+      .select(col("doc_id"), nWords.as("n_words"), nTokens.as("n_tokens"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TopicLog.deleteTopic(root, topic)
+    spark.table(name).orderBy(col("doc_id"))
+  }
+
   def corpusQualityStream(spark: SparkSession, dir: String): DataFrame = {
     val root = sessionRoot("mq-docs", dir)
     val topic = "docs_stream"
