@@ -32,6 +32,7 @@ object SparkEntry {
     "q18_percentiles" -> (Relational.q18Percentiles _),
     "q19_string_ops" -> (Relational.q19StringOps _),
     "q20_datetime" -> (Relational.q20Datetime _),
+    "q21_pivot" -> (Relational.q21Pivot _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
@@ -322,6 +323,15 @@ object SparkEntry {
         | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
         | concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // pivot == CASE/FILTER aggregation: one hash aggregate either way
+    "q21_pivot" ->
+      """SELECT user_id,
+        | round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+        | round(sum(value) FILTER (event_type = 'error'), 4) AS error,
+        | round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+        | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
+        | round(sum(value) FILTER (event_type = 'view'), 4) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q20_datetime" ->
       """SELECT o_orderkey,
         | EXTRACT(year FROM o_orderdate) AS yr,

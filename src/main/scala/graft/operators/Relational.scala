@@ -264,6 +264,23 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Pivot: per-user event-value totals spread across one column per event
+    * type. The pivot VALUES are declared literally — Spark's two-pass
+    * value-discovery variant (`pivot(col)` with no value list) runs an
+    * extra distinct job and caps cardinality at
+    * spark.sql.pivotMaxValues; a production pivot at scale always declares
+    * its (schema-stable) columns. Compiles to ONE hash aggregate with
+    * CASE-filtered partial aggs — same shuffle as a plain groupBy, no
+    * extra pass (the DuckDB oracle states that equivalence as FILTER
+    * aggregates). */
+  def q21Pivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 4))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
