@@ -33,7 +33,8 @@ object PlanDump {
       "winnow_fingerprint", "duplicate_passages", "text_normalize",
       "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe",
       "bm25_search", "image_phash_dedup", "collocations_pmi", "dedup_bloom",
-      "deser_dirty", "ann_ivf_probe", "bpe_encode")
+      "deser_dirty", "ann_ivf_probe", "bpe_encode", "q21_pivot",
+      "q22_json_props", "q23_ntile", "cluster_sample")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -124,6 +125,19 @@ object PlanDump {
     sb.append("object flatMap over the scan (no Exchange below the orderBy);\n")
     sb.append("`ann_ivf_probe` is the pruned ivfTopK broadcast-probe shape\n")
     sb.append("(knuth-hash quantizer; now oracle-exact, see SparkEntry).\n")
+    sb.append("`q21_pivot` must compile to ONE hash aggregate (CASE-filtered\n")
+    sb.append("partials — pivot with a literal value list adds no extra pass\n")
+    sb.append("or distinct job over a plain groupBy); `q22_json_props` must\n")
+    sb.append("evaluate get_json_object in the SCAN stage (project under the\n")
+    sb.append("partial aggregate, before the one tiny exchange);\n")
+    sb.append("`q23_ntile` is the exact rank-based form: one range exchange\n")
+    sb.append("per priority for the window sort, then the bucket census —\n")
+    sb.append("its 100 TB path (percentile_approx range-bucketing, no\n")
+    sb.append("per-key global sort) is documented on the operator.\n")
+    sb.append("`cluster_sample` must show the fused IvfAssign expression in\n")
+    sb.append("the SCAN stage and a WindowGroupLimit partial prune BELOW the\n")
+    sb.append("cell exchange — the shuffle carries at most K*B rows per input\n")
+    sb.append("partition, never the corpus.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -33,6 +33,8 @@ object SparkEntry {
     "q19_string_ops" -> (Relational.q19StringOps _),
     "q20_datetime" -> (Relational.q20Datetime _),
     "q21_pivot" -> (Relational.q21Pivot _),
+    "q22_json_props" -> (Relational.q22JsonProps _),
+    "q23_ntile" -> (Relational.q23Ntile _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
@@ -143,6 +145,8 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf_probe" -> (Similarity.annIvfProbe _),
+    // diversity-balanced selection over knuth-hash IVF cells (oracle-exact)
+    "cluster_sample" -> (Similarity.clusterSampleQuery _),
     "embed_neardup" -> (Similarity.embedNearDup _),
     // the scale path of semantic_dedup: LSH pair stage + identical
     // clustering, gated on measured keep-decision agreement vs the exact
@@ -332,6 +336,28 @@ object SparkEntry {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // json_extract_string == get_json_object: both return NULL on absent path
+    "q22_json_props" ->
+      """SELECT event_type,
+        | count(CASE WHEN k > 50 THEN 1 END) AS high_k,
+        | sum(k)::BIGINT AS sum_k,
+        | round(avg(k), 4) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ntile with a keyed tie-break is a total order -> engine-exact buckets
+    "q23_ntile" ->
+      """WITH b AS (
+        | SELECT o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        | FROM orders)
+        |SELECT o_orderpriority, quartile, count(*) AS n,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM b GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
     "q20_datetime" ->
       """SELECT o_orderkey,
         | EXTRACT(year FROM o_orderdate) AS yr,
@@ -1179,6 +1205,17 @@ object SparkEntry {
     "knn_graph_probe" -> ivfProbeOracle(
       queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e",
       queryCol = "src_id", nprobe = 6, k = 5),
+    // cluster-balanced selection replayed end-to-end: home cells from the
+    // shared quantizer CTEs, then the per-cell budget in knuth-hash order
+    // (bijective on sub-2^32 ids, so the sample is a total order -> exact)
+    "cluster_sample" ->
+      s"""WITH $ivfHomeCtes,
+        |r AS (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) AS rk
+        |  FROM home)
+        |SELECT vec_id, cid::BIGINT AS cell FROM r WHERE rk <= 16
+        |ORDER BY vec_id""".stripMargin,
     // char-4-gram SimHash128 replicated bit-for-bit: FNV-1a per UTF-16
     // unit (the corpus is ASCII, so unicode() == the code unit) with the
     // xorshift avalanche and splitmix64 finalizer as chained HUGEINT CTE
@@ -1325,9 +1362,14 @@ object SparkEntry {
     * the query's nprobe probe cells; top-k by (round(cosine,4) DESC,
     * vec_id). No Lloyd refinement: `avg` summation order differs across
     * engines, so Lloyd cells are not ulp-replicable. */
-  private def ivfProbeOracle(queries: String, queryCol: String,
-      nprobe: Int, k: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  /** Shared DuckDB CTE chain for the knuth-hash IVF quantizer: embeddings
+    * as double lists, the 16 smallest-hash centroids, inverse norms, and
+    * every vector's home cell (dot × invNorm rank, ties to the smaller
+    * cid) — the exact replica of knuthCentroids + IvfAssignExpr used by
+    * every pruned-IVF oracle AND the cluster_sample selection oracle, so
+    * the assignment logic lives in ONE place. */
+  private val ivfHomeCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |cent AS (
       |  SELECT row_number() OVER (
       |      ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
@@ -1340,7 +1382,11 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY list_dot_product(e.emb, cn.cemb) * cn.inv DESC, cn.cid) AS rn
       |  FROM e, cn),
-      |home AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+      |home AS (SELECT vec_id, cid FROM a WHERE rn = 1)""".stripMargin
+
+  private def ivfProbeOracle(queries: String, queryCol: String,
+      nprobe: Int, k: Int): String =
+    s"""WITH $ivfHomeCtes,
       |q AS ($queries),
       |pa AS (SELECT q.query_id, cn.cid,
       |    row_number() OVER (PARTITION BY q.query_id

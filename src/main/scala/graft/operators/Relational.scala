@@ -281,6 +281,48 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** JSON property extraction + conditional aggregation over the events
+    * `props` column (a JSON string). `get_json_object` evaluates in the
+    * SCAN stage — one JsonPath walk per row, no intermediate struct column
+    * — so at 100 TB the parse cost rides the scan and the only shuffle is
+    * the tiny per-type aggregate with map-side partials. `sum` over longs
+    * is integer-exact, so `avg` (= sum / count, rounded 4dp) reproduces
+    * across engines bit-for-bit; no float-summation-order hazard. */
+  def q22JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("k") > 50, 1)).as("high_k"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Window quantile assignment: ntile(4) price buckets within each order
+    * priority, then per-bucket census. The o_orderkey tie-break makes
+    * bucket membership a total order, so the result is engine-exact (ntile
+    * over tied prices alone is nondeterministic). Scale note: rank-based
+    * ntile needs a per-priority sort with ALL rows of one priority in one
+    * partition — with 5 priorities that is a 5-partition skew at 100 TB.
+    * The scale path swaps the exact ntile for range-bucketing on
+    * percentile_approx boundaries (one pass, no per-key sort); this entry
+    * keeps the exact form because bucket membership is the oracle-checked
+    * contract. */
+  def q23Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

@@ -498,6 +498,41 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  /** Diversity-balanced subsample (the cluster-balanced selection step of
+    * SemDeDup/DCLM-style curation): assign every vector to its IVF home
+    * cell, then keep an equal per-cell budget chosen by a deterministic
+    * engine-portable hash order (smallest [[knuthHash32]], vec_id
+    * tiebreak). Equal budgets flatten cluster mass — dense regions
+    * (boilerplate, near-dup families) stop dominating the sample while
+    * sparse regions keep representation. Scale shape: the quantizer is K
+    * driver-side vectors, assignment is one fused scan-stage expression
+    * ([[assignCells]]), and the per-cell budget is a row_number window
+    * that WindowGroupLimit pre-prunes to B rows per cell per input
+    * partition BEFORE the exchange — the shuffle never carries the corpus,
+    * only K×B×partitions candidate rows. */
+  def clusterSample(corpus: DataFrame, numCentroids: Int, perCell: Int,
+      quantizer: (DataFrame, Int) => Array[Array[Double]] = knuthCentroids): DataFrame = {
+    val centroids = quantizer(corpus, numCentroids)
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(knuthHash32(col("vec_id")), col("vec_id"))
+    assignCells(corpus.select(col("vec_id"), col("emb")), "emb", centroids)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCell)
+      .select(col("vec_id"), col("centroid_id").cast("long").as("cell"))
+  }
+
+  /** Query entry (oracle-exact): cluster-balanced sample, 16 per cell over
+    * 16 knuth-hash cells. Every stage is engine-portable (the
+    * [[annIvfProbe]] quantizer/assignment determinism argument plus the
+    * bijective knuth-hash within-cell order), so DuckDB replays the whole
+    * selection and the sample hash-checks exactly. */
+  def clusterSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    clusterSample(emb, numCentroids = 16, perCell = 16)
+      .orderBy(col("vec_id"))
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: bucket self-join (same table,
    * same bucket), exact cosine verify, distinct pairs. No cross join — the

@@ -98,4 +98,37 @@ class RelationalSpec extends SparkSpec {
     val total = rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum
     assert(total === Tables.events(spark, sfDir).count())
   }
+
+  test("q22 JSON extraction agrees with the from_json struct path") {
+    val rows = Relational.q22JsonProps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val viaStruct = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k LONG")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("sum_k")) === viaStruct(r.getString(0)),
+        s"sum_k mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("q23 ntile buckets are 1..4 per priority with sizes differing by at most 1") {
+    val rows = Relational.q23Ntile(spark, sfDir).collect()
+    val perPriority = rows.groupBy(_.getString(0))
+    perPriority.foreach { case (prio, bs) =>
+      assert(bs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L, 4L), s"$prio buckets")
+      val sizes = bs.map(_.getLong(bs.head.fieldIndex("n")))
+      assert(sizes.max - sizes.min <= 1, s"$prio sizes $sizes")
+      // buckets partition the price range in order
+      val sorted = bs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getDouble(lo.fieldIndex("max_price")) <=
+          hi.getDouble(hi.fieldIndex("min_price")) + 1e-9)
+      case _ => }
+    }
+    val total = rows.map(_.getLong(rows.head.fieldIndex("n"))).sum
+    assert(total === Tables.orders(spark, sfDir).count())
+  }
 }

@@ -392,4 +392,27 @@ class SimilaritySpec extends SparkSpec {
     assert(total === emb.count() * 5, "exact graph must have k edges per vector")
     assert(recall >= 0.5, f"pruned-graph recall $recall%.3f below 0.5")
   }
+
+  test("clusterSample: per-cell budget respected, sample ⊆ corpus, " +
+      "window pre-prunes before the exchange") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val df = Similarity.clusterSample(emb, numCentroids = 16, perCell = 16)
+    val rows = df.collect()
+    val perCell = rows.groupBy(_.getLong(1))
+    assert(perCell.values.forall(_.length <= 16), "cell over budget")
+    assert(perCell.keys.forall(c => c >= 0 && c < 16))
+    // a cell with >= 16 members must be filled to exactly its budget
+    val cellSizes = Similarity.assignCells(emb, "emb",
+        Similarity.knuthCentroids(emb, 16))
+      .groupBy(col("centroid_id")).count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    cellSizes.foreach { case (cid, n) =>
+      val got = perCell.get(cid).map(_.length).getOrElse(0)
+      assert(got === math.min(n, 16L).toInt, s"cell $cid: $got of $n")
+    }
+    // scale shape: WindowGroupLimit partial prune below the window exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
 }
