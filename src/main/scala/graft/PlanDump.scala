@@ -34,7 +34,8 @@ object PlanDump {
       "tfidf_topterms", "dedup_exact_nfc", "knn_graph", "knn_graph_probe",
       "bm25_search", "image_phash_dedup", "collocations_pmi", "dedup_bloom",
       "deser_dirty", "ann_ivf_probe", "bpe_encode", "q21_pivot",
-      "q22_json_props", "q23_ntile", "cluster_sample")
+      "q22_json_props", "q23_ntile", "cluster_sample", "q24_funnel",
+      "q25_retention")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -138,6 +139,13 @@ object PlanDump {
     sb.append("the SCAN stage and a WindowGroupLimit partial prune BELOW the\n")
     sb.append("cell exchange — the shuffle carries at most K*B rows per input\n")
     sb.append("partition, never the corpus.\n")
+    sb.append("`q24_funnel` must chain stage minima over user_id-keyed\n")
+    sb.append("aggregates and joins (no 3-way event self-join, no pair\n")
+    sb.append("explosion on hot users); its one unpartitioned window runs\n")
+    sb.append("over the THREE-row stage census, not the data.\n")
+    sb.append("`q25_retention` is two user_id-rooted aggregates with map-side\n")
+    sb.append("partials plus one equi-join — the countDistinct expands to a\n")
+    sb.append("two-phase exact-distinct aggregate, the scale-right form.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -35,6 +35,8 @@ object SparkEntry {
     "q21_pivot" -> (Relational.q21Pivot _),
     "q22_json_props" -> (Relational.q22JsonProps _),
     "q23_ntile" -> (Relational.q23Ntile _),
+    "q24_funnel" -> (Relational.q24Funnel _),
+    "q25_retention" -> (Relational.q25Retention _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
@@ -346,6 +348,45 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // chained stage minima (each stage >= the previous stage's timestamp),
+    // then exact-stage census + reached->=stage reverse running sum
+    "q24_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |staged AS (
+        |  SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |              WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |          LEFT JOIN t3 ON t1.user_id = t3.user_id),
+        |census AS (SELECT stage, count(*) AS n_exact FROM staged GROUP BY stage),
+        |filled AS (
+        |  SELECT s.stage, coalesce(census.n_exact, 0) AS n_exact
+        |  FROM (SELECT unnest([1,2,3]::BIGINT[]) AS stage) s
+        |  LEFT JOIN census ON s.stage = census.stage)
+        |SELECT stage, n_exact,
+        | (sum(n_exact) OVER (ORDER BY stage DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n_reached
+        |FROM filled ORDER BY stage""".stripMargin,
+    // first-seen-day cohorts x day offset, distinct active users
+    "q25_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // ntile with a keyed tie-break is a total order -> engine-exact buckets
     "q23_ntile" ->
       """WITH b AS (

@@ -323,6 +323,70 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("quartile"))
   }
 
+  /** Ordered conversion funnel view → click → purchase with a 6-hour
+    * conversion window per step (the same interval the stream-stream
+    * attribution entry bounds its state with): each stage's timestamp is
+    * the user's earliest qualifying event in [prev, prev + 6h] (chained
+    * min-aggregates, not a 3-way self-join — no pair explosion on hot
+    * users). All three aggregates and both joins
+    * key on user_id, so at scale the chain is co-partitioned: one
+    * user_id exchange feeds every step (AQE reuses the partitioning),
+    * and per-stage state is one timestamp per user. The final
+    * reached-≥-stage rollup windows over THREE rows (the stage census),
+    * not the data — an unpartitioned window is safe there and only
+    * there. */
+  def q24Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val win = expr("INTERVAL 6 HOURS")
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") >= col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val staged = t1
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .select(
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .otherwise(1L).as("stage"))
+    // always emit all three stages — a funnel where everyone converts must
+    // still report the empty early-exit rows (n_exact = 0)
+    val byStage = spark.range(1, 4).select(col("id").as("stage"))
+      .join(staged.groupBy(col("stage")).agg(count(lit(1)).as("n_exact")),
+        Seq("stage"), "left")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+    byStage
+      .withColumn("n_reached",
+        sum(col("n_exact")).over(
+          Window.orderBy(col("stage").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: users bucketed by first-seen day, then distinct
+    * active users per (cohort day, day offset). Two shuffles, both on
+    * user_id-rooted keys with map-side partials; the cohort attach is a
+    * plain equi-join that at scale rides the same hash partitioning as
+    * the first-seen aggregate. Day arithmetic on DATE (not timestamp)
+    * keeps the offset integer-exact across engines. */
+  def q25Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

@@ -131,4 +131,30 @@ class RelationalSpec extends SparkSpec {
     val total = rows.map(_.getLong(rows.head.fieldIndex("n"))).sum
     assert(total === Tables.orders(spark, sfDir).count())
   }
+
+  test("q24 funnel stages are monotone and stage-1 reach equals viewers") {
+    val rows = Relational.q24Funnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viewers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows(1)._2 === viewers, "stage-1 reach must equal distinct viewers")
+    // reach is a reverse cumulative sum: monotone nonincreasing in stage
+    val reaches = rows.toSeq.sortBy(_._1).map(_._2._2)
+    assert(reaches.sameElements(reaches.sorted.reverse))
+    assert(rows.values.map(_._1).sum === rows(1)._2, "exact stages partition stage-1 users")
+  }
+
+  test("q25 retention: offset-0 cell covers every cohort user, offsets nonnegative") {
+    val rows = Relational.q25Retention(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(1) >= 0))
+    val day0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val cohorts = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      .groupBy(col("cohort_day")).count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(day0 === cohorts, "every user is active on their own cohort day")
+  }
 }
