@@ -35,7 +35,7 @@ object PlanDump {
       "bm25_search", "image_phash_dedup", "collocations_pmi", "dedup_bloom",
       "deser_dirty", "ann_ivf_probe", "bpe_encode", "q21_pivot",
       "q22_json_props", "q23_ntile", "cluster_sample", "q24_funnel",
-      "q25_retention")
+      "q25_retention", "ann_pq")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -146,6 +146,11 @@ object PlanDump {
     sb.append("`q25_retention` is two user_id-rooted aggregates with map-side\n")
     sb.append("partials plus one equi-join — the countDistinct expands to a\n")
     sb.append("two-phase exact-distinct aggregate, the scale-right form.\n")
+    sb.append("`ann_pq` must encode + reconstruct entirely in the SCAN stage\n")
+    sb.append("(per-subspace slice -> fused IvfAssign -> literal codebook\n")
+    sb.append("lookup -> flatten, no join or exchange to attach codes) with\n")
+    sb.append("the probe side broadcast — the ann_topk baseline shape over the\n")
+    sb.append("16-bit-compressed corpus.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -149,6 +149,8 @@ object SparkEntry {
     "ann_ivf_probe" -> (Similarity.annIvfProbe _),
     // diversity-balanced selection over knuth-hash IVF cells (oracle-exact)
     "cluster_sample" -> (Similarity.clusterSampleQuery _),
+    // PQ-compressed ANN: 4x16 codebooks, asymmetric reconstruct + cosine
+    "ann_pq" -> (Similarity.annPq _),
     "embed_neardup" -> (Similarity.embedNearDup _),
     // the scale path of semantic_dedup: LSH pair stage + identical
     // clustering, gated on measured keep-decision agreement vs the exact
@@ -1246,6 +1248,34 @@ object SparkEntry {
     "knn_graph_probe" -> ivfProbeOracle(
       queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e",
       queryCol = "src_id", nprobe = 6, k = 5),
+    // the full PQ pipeline replayed: donor slicing into per-subspace
+    // codebooks, per-subspace dot x invNorm assignment (ties -> smaller
+    // cid), codeword reconstruction, asymmetric cosine top-k — every
+    // stage a total order, so the lossy result is still hash-exact
+    "ann_pq" ->
+      s"""WITH $ivfHomeCtes,
+        |ms AS (SELECT unnest([0,1,2,3]) AS m),
+        |sub AS (SELECT e.vec_id, ms.m, e.emb[ms.m*16+1 : ms.m*16+16] AS x FROM e, ms),
+        |cb AS (SELECT cent.cid, ms.m, cent.cemb[ms.m*16+1 : ms.m*16+16] AS c FROM cent, ms),
+        |cbn AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb),
+        |asg AS (SELECT s.vec_id, s.m, cbn.cid,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.x, cbn.c) * cbn.inv DESC, cbn.cid) AS rn
+        |  FROM sub s JOIN cbn ON s.m = cbn.m),
+        |code AS (SELECT vec_id, m, cid FROM asg WHERE rn = 1),
+        |recon AS (
+        |  SELECT code.vec_id, flatten(list(cbn.c ORDER BY code.m)) AS emb
+        |  FROM code JOIN cbn ON cbn.m = code.m AND cbn.cid = code.cid
+        |  GROUP BY code.vec_id),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |    round(list_dot_product(r.emb, q.q_emb)
+        |      / (sqrt(list_dot_product(r.emb, r.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS sim
+        |  FROM recon r, q WHERE r.vec_id <> q.query_id),
+        |rk AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
     // cluster-balanced selection replayed end-to-end: home cells from the
     // shared quantizer CTEs, then the per-cell budget in knuth-hash order
     // (bijective on sub-2^32 ids, so the sample is a total order -> exact)

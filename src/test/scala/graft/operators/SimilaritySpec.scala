@@ -415,4 +415,32 @@ class SimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
+
+  test("pqReconstruct: every output is a concatenation of codewords; a donor " +
+      "vector reconstructs to itself") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val cbs = Similarity.pqCodebooks(emb, m = 4, k = 16)
+    assert(cbs.length === 4 && cbs.forall(_.length === 16))
+    assert(cbs.forall(_.forall(_.length === 16)), "4 subspaces of 16 dims")
+    val recon = emb.select(col("vec_id"),
+      Similarity.pqReconstruct(col("emb"), cbs).as("r")).collect()
+    assert(recon.forall(_.getSeq[Double](1).length === 64))
+    // each reconstructed subvector must be one of that subspace's codewords
+    recon.foreach { row =>
+      val r = row.getSeq[Double](1)
+      for (m <- 0 until 4) {
+        val sub = r.slice(m * 16, (m + 1) * 16)
+        assert(cbs(m).exists(_.sameElements(sub)),
+          s"vec ${row.getLong(0)} subspace $m not a codeword")
+      }
+    }
+    // donors are their own nearest codeword in every subspace (exact self
+    // match maximizes dot x invNorm by Cauchy-Schwarz), so they round-trip
+    val donors = Similarity.knuthCentroids(emb, 16)
+    val reconMap = recon.map(r => r.getSeq[Double](1).toArray).toSeq
+    donors.foreach { d =>
+      assert(reconMap.exists(_.sameElements(d)), "donor must reconstruct exactly")
+    }
+  }
 }
