@@ -35,7 +35,7 @@ object PlanDump {
       "bm25_search", "image_phash_dedup", "collocations_pmi", "dedup_bloom",
       "deser_dirty", "ann_ivf_probe", "bpe_encode", "q21_pivot",
       "q22_json_props", "q23_ntile", "cluster_sample", "q24_funnel",
-      "q25_retention", "ann_pq")
+      "q25_retention", "ann_pq", "q26_hopping", "q27_zscore")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -151,6 +151,10 @@ object PlanDump {
     sb.append("lookup -> flatten, no join or exchange to attach codes) with\n")
     sb.append("the probe side broadcast — the ann_topk baseline shape over the\n")
     sb.append("16-bit-compressed corpus.\n")
+    sb.append("`q26_hopping` generates each event's two covering windows in\n")
+    sb.append("the scan-stage project (no standalone exploded table) and\n")
+    sb.append("shuffles only on window start; `q27_zscore` re-attaches the\n")
+    sb.append("5-row moment table as a BroadcastHashJoin onto the scan.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -37,6 +37,8 @@ object SparkEntry {
     "q23_ntile" -> (Relational.q23Ntile _),
     "q24_funnel" -> (Relational.q24Funnel _),
     "q25_retention" -> (Relational.q25Retention _),
+    "q26_hopping" -> (Relational.q26Hopping _),
+    "q27_zscore" -> (Relational.q27Zscore _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
@@ -350,6 +352,23 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // every event belongs to the two epoch-aligned 2h windows covering it
+    "q26_hopping" ->
+      """SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win_start, value
+        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // membership decided on the ROUNDED z on both engines (ulp safety)
+    "q27_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        | round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs(round((value - mu) / sigma, 4)) >= 1.5
+        |ORDER BY event_id""".stripMargin,
     // chained stage minima (each stage >= the previous stage's timestamp),
     // then exact-stage census + reached->=stage reverse running sum
     "q24_funnel" ->

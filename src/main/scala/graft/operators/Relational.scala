@@ -387,6 +387,38 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Hopping (sliding) event-time windows: 2-hour windows every hour, so
+    * each event lands in exactly two windows — Spark's `window(ts, size,
+    * slide)` generates the covering set per row BEFORE the aggregate, and
+    * the shuffle key is the window start, never an exploded event table
+    * materialized on its own. Epoch-aligned starts make the window set a
+    * pure function of ts, replayable in any engine. */
+  def q26Hopping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(window(col("ts"), "2 hours", "1 hour").as("w"), col("value"))
+      .groupBy(col("w.start").as("win_start"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("win_start"))
+  }
+
+  /** Per-type standardization + outlier flagging: each event's z-score
+    * against its type's mean/stddev, keeping |z| ≥ 1.5 (the test values
+    * are uniform, so a 3σ cut would be vacuous — the entry exercises the
+    * standardize-then-filter shape, not an anomaly claim). The 5-row
+    * moment table broadcasts back onto the scan; the filter compares the
+    * ROUNDED z on both engines so summation-order ulps in the moments
+    * cannot flip row membership. */
+  def q27Zscore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= 1.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-user event profile: conditional aggregation. */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

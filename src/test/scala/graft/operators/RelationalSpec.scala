@@ -145,6 +145,31 @@ class RelationalSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum === rows(1)._2, "exact stages partition stage-1 users")
   }
 
+  test("q26 hopping windows cover every event exactly twice, starts hour-aligned") {
+    val rows = Relational.q26Hopping(spark, sfDir).collect()
+    val totalN = rows.map(_.getLong(rows.head.fieldIndex("n"))).sum
+    assert(totalN === 2 * Tables.events(spark, sfDir).count(),
+      "2h windows sliding 1h must cover each event exactly twice")
+    rows.foreach { r =>
+      val ts = r.getTimestamp(0).getTime
+      assert(ts % (3600 * 1000L) === 0, s"window start not hour-aligned: $ts")
+    }
+  }
+
+  test("q27 z-scores: every kept row is beyond the cut and signed consistently") {
+    val rows = Relational.q27Zscore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val means = Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val z = r.getDouble(r.fieldIndex("z"))
+      assert(math.abs(z) >= 1.5)
+      val above = r.getDouble(r.fieldIndex("value")) > means(r.getString(1))
+      assert((z > 0) === above, "z sign must match side of the mean")
+    }
+  }
+
   test("q25 retention: offset-0 cell covers every cohort user, offsets nonnegative") {
     val rows = Relational.q25Retention(spark, sfDir).collect()
     assert(rows.forall(_.getLong(1) >= 0))
