@@ -25,6 +25,8 @@ object Bucketed {
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, key)
     (if (sortByKey) w.sortBy(key) else w).saveAsTable(table)
+    cleanupHook
+    createdDirs.put(warehouseDir(df.sparkSession, table).toString, ())
   }
 
   /** Build signature already persisted per table this JVM — the bucketed
@@ -36,6 +38,25 @@ object Bucketed {
     * per-JVM, so a fresh JVM pays one rebuild — same contract as
     * [[MqRoundtrip]]'s per-(kind, dir) topic logs. */
   private val built = scala.collection.concurrent.TrieMap[String, (String, String, Int)]()
+
+  /** Catalog tables live in the SHARED spark-warehouse directory, and the
+    * in-memory catalog is per-JVM — so two concurrent graft JVMs (e.g. a
+    * bench and a verify run on the same machine) would each Overwrite the
+    * same `spark-warehouse/<table>` path and read each other's half-written
+    * files (observed as FAILED_READ_FILE.FILE_NOT_EXIST mid-join). Table
+    * names are therefore process-scoped; the JVM cleans its own warehouse
+    * dirs on exit, and never touches another process's. */
+  private val pidSuffix = "_p" + ProcessHandle.current().pid()
+
+  /** Process-scoped physical name for a logical bucketed-table name. */
+  def scopedName(table: String): String = table + pidSuffix
+
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdDirs.keys.foreach(p =>
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(p)))))
+  }
+  private val createdDirs = scala.collection.concurrent.TrieMap[String, Unit]()
 
   /** [[writeBucketed]] that skips the write when `table` was already built
     * this JVM for the same (source `dir`, key, numBuckets) and is still in
@@ -58,13 +79,16 @@ object Bucketed {
    * table still dies with LOCATION_ALREADY_EXISTS on saveAsTable — drop
    * alone doesn't cover the orphaned-directory case.
    */
+  private def warehouseDir(spark: SparkSession, table: String): java.nio.file.Path = {
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    new java.io.File(
+      if (warehouse.getScheme == null) warehouse.toString else warehouse.getPath,
+      table.toLowerCase).toPath
+  }
+
   private def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val dir = new java.io.File(
-      if (warehouse.getScheme == null) warehouse.toString else warehouse.getPath,
-      table.toLowerCase)
-    graft.util.Fs.deleteRecursively(dir.toPath)
+    graft.util.Fs.deleteRecursively(warehouseDir(spark, table))
   }
 
   /**
@@ -95,9 +119,11 @@ object Bucketed {
       .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
     val customer = Tables.customer(spark, dir)
       .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
-    ensureBucketed(orders, "graft_bkt_orders", dir, "custkey", numBuckets = 8)
-    ensureBucketed(customer, "graft_bkt_customer", dir, "custkey", numBuckets = 8)
-    bucketedJoin(spark, "graft_bkt_orders", "graft_bkt_customer", "custkey")
+    val (tOrders, tCustomer) =
+      (scopedName("graft_bkt_orders"), scopedName("graft_bkt_customer"))
+    ensureBucketed(orders, tOrders, dir, "custkey", numBuckets = 8)
+    ensureBucketed(customer, tCustomer, dir, "custkey", numBuckets = 8)
+    bucketedJoin(spark, tOrders, tCustomer, "custkey")
       .select(col("o_orderkey"), col("custkey"), col("c_name"), col("c_mktsegment"),
         col("o_totalprice"))
       .orderBy(col("o_orderkey"))
