@@ -35,7 +35,8 @@ object PlanDump {
       "bm25_search", "image_phash_dedup", "collocations_pmi", "dedup_bloom",
       "deser_dirty", "ann_ivf_probe", "bpe_encode", "q21_pivot",
       "q22_json_props", "q23_ntile", "cluster_sample", "q24_funnel",
-      "q25_retention", "ann_pq", "q26_hopping", "q27_zscore")
+      "q25_retention", "ann_pq", "q26_hopping", "q27_zscore",
+      "q28_intersect")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

@@ -39,6 +39,7 @@ object SparkEntry {
     "q25_retention" -> (Relational.q25Retention _),
     "q26_hopping" -> (Relational.q26Hopping _),
     "q27_zscore" -> (Relational.q27Zscore _),
+    "q28_intersect" -> (Relational.q28Intersect _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
@@ -352,6 +353,11 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q28_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+        |ORDER BY custkey""".stripMargin,
     // every event belongs to the two epoch-aligned 2h windows covering it
     "q26_hopping" ->
       """SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -387,6 +387,18 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Set intersection (INTERSECT — the sibling of q16's EXCEPT): customers
+    * active in both 1997 and 1998. Spark plans INTERSECT as a left-semi
+    * aggregate join on the full row — one shuffle per side on the same
+    * key, co-partitioned at scale. */
+  def q28Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def active(yr: Int) = o
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey").as("custkey"))
+    active(1997).intersect(active(1998)).orderBy(col("custkey"))
+  }
+
   /** Hopping (sliding) event-time windows: 2-hour windows every hour, so
     * each event lands in exactly two windows — Spark's `window(ts, size,
     * slide)` generates the covering set per row BEFORE the aggregate, and

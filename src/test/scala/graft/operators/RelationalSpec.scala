@@ -170,6 +170,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q28 intersect equals the semi-join formulation and is duplicate-free") {
+    val rows = Relational.q28Intersect(spark, sfDir).collect().map(_.getLong(0))
+    assert(rows.distinct.length === rows.length)
+    val o = Tables.orders(spark, sfDir)
+    val by97 = o.filter(year(col("o_orderdate")) === 1997)
+      .select(col("o_custkey")).distinct()
+    val both = by97.join(
+      o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey")).distinct(),
+      Seq("o_custkey"), "left_semi").count()
+    assert(rows.length.toLong === both)
+  }
+
   test("q25 retention: offset-0 cell covers every cohort user, offsets nonnegative") {
     val rows = Relational.q25Retention(spark, sfDir).collect()
     assert(rows.forall(_.getLong(1) >= 0))
