@@ -40,6 +40,7 @@ object SparkEntry {
     "q26_hopping" -> (Relational.q26Hopping _),
     "q27_zscore" -> (Relational.q27Zscore _),
     "q28_intersect" -> (Relational.q28Intersect _),
+    "q29_moving_avg" -> (Relational.q29MovingAvg _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
@@ -353,6 +354,20 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // RANGE frame on the same epoch-microsecond integers on both engines;
+    // the 4dp average is a half-up INTEGER division ((200*cents + n) // 2n)
+    // because cents/(2^a*5^b frames) lands exactly on 4dp half boundaries,
+    // where engines' float round() disagree
+    "q29_moving_avg" ->
+      """SELECT event_id, user_id, ts, value,
+        | count(*) OVER w AS n_24h,
+        | CAST((sum(CAST(round(value * 100) AS BIGINT)) OVER w * 200
+        |       + count(*) OVER w) // (2 * count(*) OVER w) AS DOUBLE)
+        |   / 10000.0 AS avg_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q28_intersect" ->
       """SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
         |INTERSECT

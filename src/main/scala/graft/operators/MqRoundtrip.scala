@@ -23,22 +23,20 @@ object MqRoundtrip {
     * Bench iteration / test run; deleteTopic at the start of each run
     * wipes the previous log, so disk stays bounded at one copy per kind.
     *
-    * Contract: one JVM drives a given (kind, dir) at a time — the driver
-    * runs Verify/Bench sequentially, and within one run each entry fully
-    * materializes before its next invocation rewrites the log. Two
-    * CONCURRENT engines on the same testdata must isolate via distinct
-    * java.io.tmpdir (fresh-per-call dirs would silently re-leak instead). */
+    * Roots are PROCESS-scoped ([[graft.util.Fs.processScopedTmpDir]]):
+    * within one JVM each (kind, dir) log is written once and reused across
+    * invocations (each entry fully materializes before the next rewrites
+    * it), while two concurrent graft JVMs on the same testdata can never
+    * delete each other's topic mid-read; the shutdown hook bounds /tmp at
+    * one copy per live JVM (fresh-per-call dirs would silently re-leak). */
   /** Roots whose events_attr topic is already written this JVM — see
     * [[purchaseAttributionStream]]. */
   private val attrTopicWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def sessionRoot(kind: String, dir: String): String = {
-    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-$kind-${java.lang.Math.floorMod(dir.hashCode, 1 << 30)}")
-    Files.createDirectories(base)
-    base.toString
-  }
+  private def sessionRoot(kind: String, dir: String): String =
+    graft.util.Fs.processScopedTmpDir(
+      s"graft-$kind-${java.lang.Math.floorMod(dir.hashCode, 1 << 30)}").toString
 
   /** The shared events-topic wire format of [[eventsEnrichStream]] and
     * [[purchaseAttributionStream]]: (event_id, ts_us, user_id, event_type,

@@ -387,6 +387,35 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Trailing 24-hour moving average per user — a RANGE window frame over
+    * event time (q13's lag/lead is a ROWS frame; this is the value-based
+    * sibling). The frame bound is expressed on unix_micros so both engines
+    * compare the same integers (an interval-typed frame would be exact too,
+    * but the numeric form is the one Spark's rangeBetween takes). Per-user
+    * partitions keep the sort local to each user's events — no global
+    * sort, and frame evaluation is the standard sliding-sum O(n) per
+    * partition. The frame arithmetic stays INTEGER end to end: a float
+    * sliding sum associates differently per engine (observed 29.2012 vs
+    * 29.2013 after round), and even an exact cents sum divided by a
+    * 2^a·5^b frame count lands EXACTLY on the 4dp half boundary, where
+    * engines' round() disagree on the nearest double. So the 4dp average
+    * is computed as a half-up integer division — (200·cents + n) DIV 2n —
+    * and only the final /10^4 touches floating point (one exact op). */
+  def q29MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-(86400000000L - 1), Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_cents", sum(col("cents")).over(w))
+      .withColumn("avg_24h",
+        expr("CAST((sum_cents * 200 + n_24h) DIV (2 * n_24h) AS DOUBLE) / 10000.0"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("n_24h"), col("avg_24h"))
+      .orderBy(col("event_id"))
+  }
+
   /** Set intersection (INTERSECT — the sibling of q16's EXCEPT): customers
     * active in both 1997 and 1998. Spark plans INTERSECT as a left-semi
     * aggregate join on the full row — one shuffle per side on the same

@@ -489,7 +489,7 @@ object Similarity {
   def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val path = graft.util.Fs.processScopedTmpDir(
       s"graft-ivf-${math.abs(dir.hashCode)}").toString
     if (ivfBuilt.add(path)) writeIvfIndex(emb, path, numCentroids = 16)
     val probes = emb.filter(col("vec_id") < 5)

@@ -41,8 +41,11 @@ object StreamingQueries {
       System.getProperty("java.io.tmpdir"), s"$prefix-${math.abs(dir.hashCode)}")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
+    // the dir is shared read-only across JVMs (the link target is identical
+    // for a given `dir`), so a lost create race is benign — swallow it
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, abs)
+      try java.nio.file.Files.createSymbolicLink(link, abs)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     streamDir.toFile.deleteOnExit()
     streamDir.toString
   }

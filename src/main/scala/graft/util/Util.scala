@@ -65,4 +65,29 @@ object Fs {
       } finally walk.close()
     }
   }
+
+  /** A per-process scratch directory under java.io.tmpdir, deleted on JVM
+    * exit. Mutable per-JVM caches (the once-per-JVM IVF index, the MQ
+    * session topic logs) must NOT share a path across processes: two graft
+    * JVMs on one machine would Overwrite/delete each other's files
+    * mid-read (the bucketed-table collision class, observed as
+    * FAILED_READ_FILE in a concurrent board run). The pid suffix keeps the
+    * within-JVM write-once-reuse contract while isolating processes; the
+    * shutdown hook bounds /tmp at one copy per live JVM. */
+  def processScopedTmpDir(name: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"$name-p${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    cleanupHook
+    scopedDirs.put(p.toString, ())
+    p
+  }
+
+  private val scopedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scopedDirs.keySet.forEach(p =>
+        try deleteRecursively(java.nio.file.Paths.get(p))
+        catch { case _: Throwable => () })))
 }

@@ -170,6 +170,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q29 moving average matches a self-join reference on every event") {
+    val rows = Relational.q29MovingAvg(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val ref = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id").as("u"), unix_micros(col("ts")).as("t"))
+      .join(e, col("u") === col("user_id") &&
+        col("us") <= col("t") && col("us") > col("t") - 86400000000L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("ref_n"),
+        (expr("(sum(CAST(round(value * 100) AS LONG)) * 200 + count(1)) DIV (2 * count(1))")
+          .cast("double") / 10000.0).as("ref_avg"))
+    val joined = rows.join(ref, "event_id")
+    assert(joined.count() === rows.count())
+    val bad = joined.filter(col("n_24h") =!= col("ref_n") ||
+      col("avg_24h") =!= col("ref_avg")).count()
+    assert(bad === 0L, s"$bad events disagree with the self-join reference")
+  }
+
   test("q28 intersect equals the semi-join formulation and is duplicate-free") {
     val rows = Relational.q28Intersect(spark, sfDir).collect().map(_.getLong(0))
     assert(rows.distinct.length === rows.length)
