@@ -9,7 +9,8 @@ object Bench {
     * 3-6x. They run LAST, and StateStore providers are unloaded after each
     * so they only ever pay for themselves. */
   private val streamingEntries =
-    Set("events_windowed_stream", "events_dedup_stream", "sessionize_stream",
+    Set("events_windowed_stream", "events_hopping_stream",
+      "events_dedup_stream", "sessionize_stream",
       "corpus_quality_stream", "decontaminate_stream", "events_enrich_stream",
       "purchase_attribution_stream", "token_count_stream")
 

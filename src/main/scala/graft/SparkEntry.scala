@@ -42,6 +42,7 @@ object SparkEntry {
     "q28_intersect" -> (Relational.q28Intersect _),
     "q29_moving_avg" -> (Relational.q29MovingAvg _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
+    "events_hopping_stream" -> (StreamingQueries.eventsHoppingStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
@@ -162,6 +163,16 @@ object SparkEntry {
     // only ever keep extra docs, never drop extras)
     "semantic_dedup_lsh" -> (Similarity.semanticDedupLshQuery _),
   )
+
+  /** Every event belongs to the two epoch-aligned 2h windows covering it —
+    * shared by the batch `q26_hopping` entry and `events_hopping_stream`
+    * (whose contract is answering the identical question on the stream). */
+  private lazy val hoppingOracle: String =
+    """SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM (
+      |  SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win_start, value
+      |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
 
   /** Shared DuckDB CTE chain: normalized text → distinct char-4-gram sets →
     * per-doc gram counts → pairwise intersection sizes. Mirrors
@@ -373,13 +384,11 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
         |ORDER BY custkey""".stripMargin,
-    // every event belongs to the two epoch-aligned 2h windows covering it
-    "q26_hopping" ->
-      """SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM (
-        |  SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win_start, value
-        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
-        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // every event belongs to the two epoch-aligned 2h windows covering it;
+    // ONE definition for the batch entry and its streaming twin — the
+    // contract is that the stream answers the identical question
+    "q26_hopping" -> hoppingOracle,
+    "events_hopping_stream" -> hoppingOracle,
     // membership decided on the ROUNDED z on both engines (ulp safety)
     "q27_zscore" ->
       """WITH s AS (

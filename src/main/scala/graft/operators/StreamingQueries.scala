@@ -79,6 +79,42 @@ object StreamingQueries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming twin of the batch `q26_hopping` entry: the same 2h/1h
+    * SLIDING window aggregate driven through the micro-batch path with a
+    * bounded-out-of-orderness watermark (shared oracle — one SQL defines
+    * both). Each event updates size/slide = 2 open windows, so sliding
+    * windows multiply state versus tumbling; at steady state the store
+    * holds only windows the watermark hasn't closed. Complete mode +
+    * AvailableNow flushes the full window table at drain end, which is
+    * exactly the batch answer. */
+  def eventsHoppingStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = symlinkDir(dir, "graft-events-stream")
+    val stream = Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(streamDir.toString))
+
+    val windowed = Watermarks.withBoundedOutOfOrderness(stream, "ts", 5000)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+    val name = "events_hopping_" + math.abs(dir.hashCode)
+    withStreamShuffle(spark, 8) {
+      val q = windowed.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.table(name)
+      .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"))
+  }
+
   /**
    * Streaming stateful dedup parity: events streamed with a watermark +
    * dropDuplicates on the key, then aggregated — must equal batch
