@@ -28,7 +28,8 @@ object SparkEntry {
     "q14_scalar_subquery" -> (Relational.q14ScalarSubquery _),
     "q15_cube" -> (Relational.q15Cube _),
     "q16_except" -> (Relational.q16Except _),
-    "q17_sketches" -> (Relational.q17Sketches _), // rows-only: sketch estimates
+    // sketches run for real; output = exact count + within-tolerance flags
+    "q17_sketches" -> (Relational.q17Sketches _),
     "q18_percentiles" -> (Relational.q18Percentiles _),
     "q19_string_ops" -> (Relational.q19StringOps _),
     "q20_datetime" -> (Relational.q20Datetime _),
@@ -399,6 +400,14 @@ object SparkEntry {
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE abs(round((value - mu) / sigma, 4)) >= 1.5
         |ORDER BY event_id""".stripMargin,
+    // the last formerly-rows-only key: exact_users is hash-exact and each
+    // sketch estimate reaches the oracle as a within-tolerance boolean —
+    // the oracle emits literal TRUEs, so an out-of-bounds sketch flips a
+    // flag and fails the hash compare
+    "q17_sketches" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS acd_ok, TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // chained stage minima (each stage >= the previous stage's timestamp),
     // then exact-stage census + reached->=stage reverse running sum
     "q24_funnel" ->

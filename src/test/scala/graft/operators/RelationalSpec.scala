@@ -79,17 +79,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("q17 sketch estimates land within tolerance of exact answers") {
-    val approx = Relational.q17Sketches(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("q17 sketch flags are all true and exact_users matches countDistinct") {
+    val rows = Relational.q17Sketches(spark, sfDir).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (et, ex) =>
-      val (acd, hll) = approx(et)
-      assert(math.abs(acd - ex).toDouble / ex < 0.1, s"$et approx_count_distinct off: $acd vs $ex")
-      assert(math.abs(hll - ex).toDouble / ex < 0.1, s"$et hll off: $hll vs $ex")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("exact_users")) === exact(r.getString(0)))
+      Seq("acd_ok", "hll_ok", "p50_ok", "p99_ok").foreach { f =>
+        assert(r.getBoolean(r.fieldIndex(f)), s"${r.getString(0)} $f is false")
+      }
     }
   }
 
