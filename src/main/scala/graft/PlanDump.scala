@@ -36,7 +36,7 @@ object PlanDump {
       "deser_dirty", "ann_ivf_probe", "bpe_encode", "q21_pivot",
       "q22_json_props", "q23_ntile", "cluster_sample", "q24_funnel",
       "q25_retention", "ann_pq", "q26_hopping", "q27_zscore",
-      "q28_intersect", "q29_moving_avg")
+      "q28_intersect", "q29_moving_avg", "q30_grouping_sets")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

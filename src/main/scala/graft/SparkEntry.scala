@@ -42,6 +42,7 @@ object SparkEntry {
     "q27_zscore" -> (Relational.q27Zscore _),
     "q28_intersect" -> (Relational.q28Intersect _),
     "q29_moving_avg" -> (Relational.q29MovingAvg _),
+    "q30_grouping_sets" -> (Relational.q30GroupingSets _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_hopping_stream" -> (StreamingQueries.eventsHoppingStream _),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
@@ -380,6 +381,15 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // Spark's grouping_id bit order (first column = high bit) rebuilt from
+    // DuckDB's per-column GROUPING()
+    "q30_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(GROUPING(o_orderpriority)*2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q28_intersect" ->
       """SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
         |INTERSECT

@@ -402,6 +402,27 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize
+    * (q12/q15 cover those): an arbitrary set list ((priority, status),
+    * (status), ()) that neither rollup nor cube produces, with
+    * `grouping_id` disambiguating subtotal rows from genuine NULL groups.
+    * One expand + one hash aggregate, same shuffle as a plain groupBy ×
+    * set count. The oracle reconstructs Spark's grouping_id bit order
+    * (first listed column = high bit) from DuckDB's per-column
+    * GROUPING(). */
+  def q30GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
   /** Trailing 24-hour moving average per user — a RANGE window frame over
     * event time (q13's lag/lead is a ROWS frame; this is the value-based
     * sibling). The frame bound is expressed on unix_micros so both engines

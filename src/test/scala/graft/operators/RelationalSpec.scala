@@ -190,6 +190,19 @@ class RelationalSpec extends SparkSpec {
     assert(bad === 0L, s"$bad events disagree with the self-join reference")
   }
 
+  test("q30 grouping sets: gids partition the rows and totals reconcile") {
+    val rows = Relational.q30GroupingSets(spark, sfDir).collect()
+    val gids = rows.map(_.getLong(rows.head.fieldIndex("gid"))).distinct.sorted
+    assert(gids.toSeq === Seq(0L, 2L, 3L), s"unexpected grouping ids: ${gids.toSeq}")
+    val total = Tables.orders(spark, sfDir).count()
+    // each grouping set independently covers all rows
+    gids.foreach { g =>
+      val n = rows.filter(_.getLong(rows.head.fieldIndex("gid")) == g)
+        .map(_.getLong(rows.head.fieldIndex("n"))).sum
+      assert(n === total, s"gid $g covers $n of $total rows")
+    }
+  }
+
   test("q28 intersect equals the semi-join formulation and is duplicate-free") {
     val rows = Relational.q28Intersect(spark, sfDir).collect().map(_.getLong(0))
     assert(rows.distinct.length === rows.length)
