@@ -109,7 +109,8 @@ object SparkEntry {
     "corpus_split" -> (CorpusPipeline.corpusSplitQuery _),
     "split_leakage" -> (CorpusPipeline.splitLeakageQuery _),
     "corpus_stats" -> (CorpusPipeline.corpusStatsQuery _),
-    // quantized-path ANN: rows-only, eager recall gate vs full precision
+    // quantized-path ANN: oracle-exact on the bit-exact int8 grid, plus
+    // the eager recall gate vs full precision
     "ann_quantized" -> (Similarity.annQuantized _),
     // all-vectors 5-NN graph, exhaustive through the IVF cells (EXACT)
     "knn_graph" -> (Similarity.knnGraphQuery _),
