@@ -52,9 +52,12 @@ object Bucketed {
   def scopedName(table: String): String = table + pidSuffix
 
   private lazy val cleanupHook: Unit = {
+    // per-path try: Spark's own shutdown hooks run concurrently and may
+    // still be releasing files; one failed delete must not strand the rest
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       createdDirs.keys.foreach(p =>
-        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(p)))))
+        try graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(p))
+        catch { case _: Throwable => () })))
   }
   private val createdDirs = scala.collection.concurrent.TrieMap[String, Unit]()
 
