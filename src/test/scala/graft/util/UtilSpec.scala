@@ -71,4 +71,19 @@ class UtilSpec extends AnyFunSuite {
       IndexSidecar.write(dir, "x", Map("a" -> "b\nc")))
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("processScopedTmpDir: exists, pid-scoped, stable within the JVM") {
+    val a = Fs.processScopedTmpDir("graft-scoped-test")
+    val b = Fs.processScopedTmpDir("graft-scoped-test")
+    assert(java.nio.file.Files.isDirectory(a))
+    // same name -> same dir within one process (the write-once-reuse cache
+    // contract); the pid suffix is what isolates concurrent processes
+    assert(a === b)
+    assert(a.getFileName.toString ===
+      s"graft-scoped-test-p${ProcessHandle.current().pid()}")
+    // reuse must tolerate the dir already existing with content
+    java.nio.file.Files.writeString(a.resolve("marker"), "x")
+    val c = Fs.processScopedTmpDir("graft-scoped-test")
+    assert(java.nio.file.Files.exists(c.resolve("marker")))
+  }
 }
