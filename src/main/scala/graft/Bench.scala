@@ -79,7 +79,7 @@ object Bench {
     // rounds get one ISOLATED sample first (right after warmup, before the
     // board passes contend for page cache / JIT): min() then reports the
     // steady-state number even when the board passes land in a noise window.
-    val isolatedFirst = Seq("semantic_dedup_lsh", "dedup_incremental_stream")
+    val isolatedFirst = Seq("semantic_dedup", "dedup_incremental_stream")
     (selB ++ selS).filter(q => isolatedFirst.contains(q._1))
       .foreach { case (name, fn) => samples(name) :+= run(name, fn) }
     for (pass <- 0 until iters) {

@@ -25,7 +25,7 @@ object PlanDump {
       "corpus_sample", "vocab_topk", "decontaminate",
       "text_repetition", "quality_filter", "pack_sequences", "semantic_dedup",
       "domain_mix", "gram_coverage", "text_logprob",
-      "semantic_dedup_lsh", "corpus_assemble",
+      "semantic_dedup_exact", "corpus_assemble",
       "dedup_incremental", "chunk_documents", "corpus_shuffle", "ann_ivf_indexed",
       "segment_dedup", "domain_resample", "corpus_split", "quantize_embeddings",
       "split_leakage", "ann_quantized", "text_bigram_logprob", "corpus_stats",

@@ -141,7 +141,9 @@ object SparkEntry {
     "ann_ivf_refined" -> (Similarity.annIvfRefined _),
     "quantize_embeddings" -> (Similarity.quantizeEmbeddingsQuery _),
     "embed_neardup_exact" -> (Similarity.embedNearDupExact _),
-    "semantic_dedup" -> (Similarity.semanticDedupQuery _),
+    // ground-truth baseline of semantic_dedup: exact quadratic pair graph
+    // (row-count guarded), recursive-CTE transitive-closure oracle
+    "semantic_dedup_exact" -> (Similarity.semanticDedupExactQuery _),
     "multimodal_pipeline" -> (Multimodal.multimodalPipeline _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
     // perceptual-hash image dedup: banded 60-bit dHash, hamming<=3 pairs;
@@ -160,18 +162,20 @@ object SparkEntry {
     // PQ-compressed ANN: 4x16 codebooks, asymmetric reconstruct + cosine
     "ann_pq" -> (Similarity.annPq _),
     "embed_neardup" -> (Similarity.embedNearDup _),
-    // the scale path of semantic_dedup: LSH pair stage + identical
-    // clustering, gated on measured keep-decision agreement vs the exact
-    // entry (pairs are verified, so the approx graph is a subset — errors
-    // only ever keep extra docs, never drop extras)
-    "semantic_dedup_lsh" -> (Similarity.semanticDedupLshQuery _),
+    // DEFAULT semantic dedup = the scale path: LSH pair stage + pointer-
+    // jumping clustering, oracle-exact via the hyperplane-LCG replay AND
+    // gated on measured keep-decision agreement vs semantic_dedup_exact
+    // (pairs are verified, so the approx graph is a subset — errors only
+    // ever keep extra docs, never drop extras)
+    "semantic_dedup" -> (Similarity.semanticDedupQuery _),
   )
 
   /** Every event belongs to the two epoch-aligned 2h windows covering it —
     * shared by the batch `q26_hopping` entry and `events_hopping_stream`
     * (whose contract is answering the identical question on the stream). */
   private lazy val hoppingOracle: String =
-    """SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+    """SELECT win_start, count(*) AS n,
+      | round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
       |FROM (
       |  SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win_start, value
       |  FROM events, (SELECT unnest([0, 1]) AS k) k)
@@ -365,7 +369,7 @@ object SparkEntry {
         | sum(k)::BIGINT AS sum_k,
         | round(avg(k), 4) AS avg_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // RANGE frame on the same epoch-microsecond integers on both engines;
@@ -1223,7 +1227,7 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
-    "semantic_dedup" ->
+    "semantic_dedup_exact" ->
       """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.emb, b.emb)
@@ -1428,9 +1432,10 @@ object SparkEntry {
         |  FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)
         |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
-    // LSH pair stage + the semantic_dedup reach tail: keep decisions over
-    // the replicated approximate pair graph
-    "semantic_dedup_lsh" ->
+    // DEFAULT semantic_dedup oracle: LSH pair stage (hyperplane-LCG replay)
+    // + the transitive-closure reach tail — keep decisions over the
+    // replicated approximate pair graph
+    "semantic_dedup" ->
       s"""WITH RECURSIVE $lshBucketCtes,
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1614,7 +1619,7 @@ object SparkEntry {
         |best5 AS (SELECT l, r, c FROM pairs5 ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
 
   /** Engine-portable hyperplane-LSH machinery shared by the ann_lsh /
-    * embed_neardup / semantic_dedup_lsh oracles: replays
+    * embed_neardup / semantic_dedup oracles: replays
     * GraftFunctions.hyperplanes' LCG (state = state*6364136223846793005 +
     * 1442695040888963407 mod 2^64; uniform = (state >>> 11)/2^53 - 0.5;
     * each plane component the LEFT-ASSOCIATIVE sum of 4 consecutive

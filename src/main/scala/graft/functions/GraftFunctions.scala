@@ -4,31 +4,44 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Custom Catalyst expressions for the text-hash kernels. Each evaluates one
- * flat JVM loop per row ([[TextHashes]]); CodegenFallback costs a single
- * virtual call per row, which is noise next to the per-row O(len×hashes)
- * work — the win over built-in higher-order functions is avoiding thousands
- * of interpreted per-element lambda evaluations.
+ * flat JVM loop per row ([[TextHashes]]), and every expression implements
+ * real `doGenCode` — the kernel stays one static/reference call, but the
+ * call site lives inside the whole-stage-generated code, so there is no
+ * boxed eval(InternalRow) detour and the child value is computed exactly
+ * once by the surrounding stage. The win over built-in higher-order
+ * functions is avoiding thousands of interpreted per-element lambda
+ * evaluations per row.
  */
 case class ShingleHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       TextHashes.shingleHashesSorted(input.asInstanceOf[UTF8String].toString, n))
+  // real codegen (not CodegenFallback): the kernel stays one static JVM
+  // call, but the call site lives inside the whole-stage-generated code —
+  // no per-row boxed eval(InternalRow) detour on the dedup hot loop
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.TextHashes.shingleHashesSorted($c.toString(), $n));
+     """.stripMargin)
   override def prettyName: String = "graft_shingle_hashes"
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 
 case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val sig = TextHashes.minHashSig(
@@ -36,26 +49,58 @@ case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int, seed
     if (sig == null) null else new GenericArrayData(sig)
   }
   override def nullable: Boolean = true
+  // see ShingleHashesExpr: static-kernel call sited inside whole-stage
+  // codegen; a null signature (too-short doc) sets the column null
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      s"""
+       |long[] $sig = graft.functions.TextHashes.minHashSig(
+       |  $c.toString(), $shingleN, $numHashes, ${seed}L);
+       |if ($sig == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       |}
+     """.stripMargin
+    })
   override def prettyName: String = "graft_minhash_sig"
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
 }
 
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     TextHashes.simHash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashes.simHash64($c.toString());")
   override def prettyName: String = "graft_simhash64"
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 }
 
 case class SimHash128Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextHashes.simHash128(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.TextHashes.simHash128($c.toString()));
+     """.stripMargin)
   override def prettyName: String = "graft_simhash128"
   override protected def withNewChildInternal(newChild: Expression): SimHash128Expr =
     copy(child = newChild)
@@ -63,11 +108,19 @@ case class SimHash128Expr(child: Expression)
 
 /** Band keys for simhash banding — see [[TextHashes.simHashBandKeys128]]. */
 case class SimHashBandKeys128Expr(left: Expression, right: Expression, rotations: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(w0: Any, w1: Any): Any =
     new GenericArrayData(TextHashes.simHashBandKeys128(
       w0.asInstanceOf[Long], w1.asInstanceOf[Long], rotations))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.TextHashes.simHashBandKeys128($a, $b, $rotations));
+     """.stripMargin)
   override def prettyName: String = "graft_simhash_band_keys128"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SimHashBandKeys128Expr =
@@ -75,11 +128,19 @@ case class SimHashBandKeys128Expr(left: Expression, right: Expression, rotations
 }
 
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHashes.sortedIntersectSize(
       a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |${ev.value} = graft.functions.TextHashes.sortedIntersectSize(
+       |  $a.toLongArray(), $b.toLongArray());
+     """.stripMargin)
   override def prettyName: String = "graft_sorted_intersect_size"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
@@ -99,7 +160,7 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
  * the copy entirely, so the 100 TB cost is a per-row check, not a rewrite.
  */
 case class NfcNormalizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -107,6 +168,24 @@ case class NfcNormalizeExpr(child: Expression)
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      // same fast path as nullSafeEval: already-NFC text (~all real web
+      // text) returns the input UTF8String without a copy
+      s"""
+       |java.lang.String $s = $c.toString();
+       |if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+       |  ${ev.value} = $c;
+       |} else {
+       |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+       |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+       |}
+     """.stripMargin
+    })
   override def prettyName: String = "graft_nfc_normalize"
   override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
     copy(child = newChild)
@@ -210,10 +289,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
  * evaluated in one fused pass per row.
  */
 case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = bucketOf(input)
+
+  // codegen calls this directly on the expression reference: the child value
+  // is computed once by the surrounding generated code (CodegenFallback
+  // would re-evaluate it through eval(row) and box the result)
+  def bucketOf(input: Any): Long = {
     val xs = VectorKernels.toDoubles(input, child.dataType)
     var bucket = 0L
     var p = 0
@@ -230,6 +314,15 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     }
     bucket
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("hyperplaneBucket", this, classOf[HyperplaneBucketExpr].getName)
+      s"${ev.value} = $ref.bucketOf($c);"
+    })
 
   // the planes array participates in equality so plans with different seeds
   // don't dedupe into each other
@@ -260,7 +353,7 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
  * Supports numPlanes <= 44 and dim < 2^20.
  */
 case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numPlanes >= 1 && numPlanes <= 44,
     s"numPlanes out of range [1, 44]: $numPlanes")
 
@@ -271,7 +364,10 @@ case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long
   private def planesFor(dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent(dim, d => VectorKernels.hyperplanes(numPlanes, d, seed))
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = bucketOf(input)
+
+  // see HyperplaneBucketExpr.bucketOf: direct primitive call from codegen
+  def bucketOf(input: Any): Long = {
     val xs = VectorKernels.toDoubles(input, child.dataType)
     if (xs.length >= (1 << 20))
       throw new IllegalArgumentException(
@@ -290,6 +386,16 @@ case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long
     bucket
   }
 
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj(
+        "hyperplaneBucketGen", this, classOf[HyperplaneBucketGenExpr].getName)
+      s"${ev.value} = $ref.bucketOf($c);"
+    })
+
   override def prettyName: String = "graft_hyperplane_bucket_gen"
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketGenExpr =
     copy(child = newChild)
@@ -306,7 +412,7 @@ case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long
  * an O(K·nprobe) partial selection.
  */
 case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
   require(nprobe >= 1 && nprobe <= centroids.length,
@@ -321,7 +427,10 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
     if (n == 0.0) 0.0 else 1.0 / n
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = assignOf(input)
+
+  // see HyperplaneBucketExpr.bucketOf: direct call from codegen
+  def assignOf(input: Any): ArrayData = {
     val xs = VectorKernels.toDoubles(input, child.dataType)
     // |x| is constant across centroids, so ranking by dot(x,c)/|c| is the
     // cosine ranking without ever computing |x|
@@ -359,6 +468,15 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
     }
     new GenericArrayData(topCid)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("ivfAssign", this, classOf[IvfAssignExpr].getName)
+      s"${ev.value} = $ref.assignOf($c);"
+    })
 
   // centroids participate in equality so different quantizers don't dedupe
   override def equals(other: Any): Boolean = other match {
@@ -416,11 +534,19 @@ object VectorKernels {
 }
 
 case class SigEqualFractionExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHashes.sigEqualFraction(
       a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |${ev.value} = graft.functions.TextHashes.sigEqualFraction(
+       |  $a.toLongArray(), $b.toLongArray());
+     """.stripMargin)
   override def prettyName: String = "graft_sig_equal_fraction"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SigEqualFractionExpr =

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,12 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
  * DuckDB's regexp_split_to_array.
  */
 case class TextRepetitionExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TextRepetition.Schema
 
   override def nullSafeEval(input: Any): Any =
     TextRepetition.count(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TextRepetition.count($c.toString());")
 
   override def prettyName: String = "graft_text_repetition"
   override protected def withNewChildInternal(newChild: Expression): TextRepetitionExpr =

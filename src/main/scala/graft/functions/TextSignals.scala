@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -32,12 +31,19 @@ import org.apache.spark.unsafe.types.UTF8String
  *    special cases no list word contains).
  */
 case class TextSignalsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TextSignals.Schema
 
   override def nullSafeEval(input: Any): Any =
     TextSignals.count(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TextSignals.count($c.toString());")
 
   override def prettyName: String = "graft_text_signals"
   override protected def withNewChildInternal(newChild: Expression): TextSignalsExpr =

@@ -17,16 +17,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object Bucketed {
 
-  /** Persist `df` bucketed by `key` into `numBuckets` catalog buckets. */
+  /** Persist `df` bucketed by `key` into `numBuckets` catalog buckets.
+    * `table` is a LOGICAL name: the physical catalog table is always the
+    * pid-scoped [[scopedName]] — process isolation is enforced here, not at
+    * call sites, so no caller can accidentally register a shared warehouse
+    * directory for deletion in this JVM's exit hook while another JVM is
+    * still reading it. */
   def writeBucketed(
       df: DataFrame, table: String, key: String, numBuckets: Int,
       sortByKey: Boolean = true): Unit = {
-    dropStale(df.sparkSession, table)
+    val phys = scopedName(table)
+    dropStale(df.sparkSession, phys)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, key)
-    (if (sortByKey) w.sortBy(key) else w).saveAsTable(table)
+    (if (sortByKey) w.sortBy(key) else w).saveAsTable(phys)
     cleanupHook
-    createdDirs.put(warehouseDir(df.sparkSession, table).toString, ())
+    createdDirs.put(warehouseDir(df.sparkSession, phys).toString, ())
   }
 
   /** Build signature already persisted per table this JVM — the bucketed
@@ -48,8 +54,10 @@ object Bucketed {
     * dirs on exit, and never touches another process's. */
   private val pidSuffix = "_p" + ProcessHandle.current().pid()
 
-  /** Process-scoped physical name for a logical bucketed-table name. */
-  def scopedName(table: String): String = table + pidSuffix
+  /** Process-scoped physical name for a logical bucketed-table name.
+    * Idempotent, so already-scoped names pass through unchanged. */
+  def scopedName(table: String): String =
+    if (table.endsWith(pidSuffix)) table else table + pidSuffix
 
   private lazy val cleanupHook: Unit = {
     // per-path try: Spark's own shutdown hooks run concurrently and may
@@ -67,11 +75,12 @@ object Bucketed {
   def ensureBucketed(
       df: DataFrame, table: String, dir: String, key: String,
       numBuckets: Int): Unit = {
+    val phys = scopedName(table)
     val sig = (dir, key, numBuckets)
-    if (!built.get(table).contains(sig) ||
-        !df.sparkSession.catalog.tableExists(table)) {
-      writeBucketed(df, table, key, numBuckets)
-      built(table) = sig
+    if (!built.get(phys).contains(sig) ||
+        !df.sparkSession.catalog.tableExists(phys)) {
+      writeBucketed(df, phys, key, numBuckets)
+      built(phys) = sig
     }
   }
 
@@ -105,7 +114,8 @@ object Bucketed {
   def bucketedJoin(
       spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
-    spark.table(leftTable).hint("merge").join(spark.table(rightTable), key)
+    spark.table(scopedName(leftTable)).hint("merge")
+      .join(spark.table(scopedName(rightTable)), key)
 
   /**
    * Query entry (oracle-checked): orders ⋈ customer through the bucketed
@@ -122,8 +132,7 @@ object Bucketed {
       .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
     val customer = Tables.customer(spark, dir)
       .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
-    val (tOrders, tCustomer) =
-      (scopedName("graft_bkt_orders"), scopedName("graft_bkt_customer"))
+    val (tOrders, tCustomer) = ("graft_bkt_orders", "graft_bkt_customer")
     ensureBucketed(orders, tOrders, dir, "custkey", numBuckets = 8)
     ensureBucketed(customer, tCustomer, dir, "custkey", numBuckets = 8)
     bucketedJoin(spark, tOrders, tCustomer, "custkey")

@@ -324,16 +324,22 @@ object MqRoundtrip {
       .withWatermark("r_ts", "1 hour")
 
     val name = "events_attr_" + math.abs(dir.hashCode)
-    val q = purchases
-      .join(views, expr(
-        "l_user = r_user AND r_ts <= l_ts AND r_ts >= l_ts - INTERVAL 6 HOURS"))
-      .select(col("l_user").as("user_id"), col("purchase_id"), col("view_id"),
-        col("prior_type"),
-        (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
-      .writeStream.format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stream-stream joins keep FOUR state stores per shuffle partition
+    // (each side x KeyToNumValues/KeyWithIndexToValue), and every one pays
+    // a checkpoint fsync per batch — size the stream's shuffle to the
+    // state like every other stateful entry (StreamingQueries contract)
+    StreamingQueries.withStreamShuffle(spark, 8) {
+      val q = purchases
+        .join(views, expr(
+          "l_user = r_user AND r_ts <= l_ts AND r_ts >= l_ts - INTERVAL 6 HOURS"))
+        .select(col("l_user").as("user_id"), col("purchase_id"), col("view_id"),
+          col("prior_type"),
+          (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // no deleteTopic here: the log is the cached once-per-JVM copy (disk
     // stays bounded at one copy, the sessionRoot contract)
     spark.table(name).orderBy(col("purchase_id"), col("view_id"))

@@ -471,10 +471,16 @@ object Relational {
     * materialized on its own. Epoch-aligned starts make the window set a
     * pure function of ts, replayable in any engine. */
   def q26Hopping(spark: SparkSession, dir: String): DataFrame = {
+    // sum integer cents, divide once at the end (q29's pattern): a plain
+    // double sum is summation-order dependent, and a per-window total
+    // landing on a 4dp half boundary with differing ulps would flip the
+    // cross-engine hash compare
     Tables.events(spark, dir)
-      .select(window(col("ts"), "2 hours", "1 hour").as("w"), col("value"))
+      .select(window(col("ts"), "2 hours", "1 hour").as("w"),
+        round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("w.start").as("win_start"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cents")) / 100.0, 4).as("sum_value"))
       .orderBy(col("win_start"))
   }
 

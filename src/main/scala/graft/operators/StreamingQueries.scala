@@ -27,7 +27,7 @@ object StreamingQueries {
    * deployment sizes this to keys-per-partition instead; the inputs here are
    * small enough that 8 is already fsync-bound, not state-bound.
    */
-  private def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[operators] def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val target = math.min(n, prev.toInt)
@@ -96,9 +96,12 @@ object StreamingQueries {
         .schema(schema)
         .parquet(streamDir.toString))
 
+    // integer-cents sum, same ulp-proofing as the batch twin (q26Hopping)
     val windowed = Watermarks.withBoundedOutOfOrderness(stream, "ts", 5000)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(window(col("ts"), "2 hours", "1 hour"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cents")) / 100.0, 4).as("sum_value"))
 
     val name = "events_hopping_" + math.abs(dir.hashCode)
     withStreamShuffle(spark, 8) {

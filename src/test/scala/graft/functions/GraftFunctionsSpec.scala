@@ -158,4 +158,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(s2.sql("SELECT size(graft_minhash_sig('abcdefgh', 4, 8, 1)) AS n")
       .collect().head.getInt(0) === 8)
   }
+
+  test("ShingleHashesExpr / MinHashSigExpr compile under real codegen (no fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val input = BoundReference(0, StringType, nullable = true)
+    // GenerateUnsafeProjection.generate THROWS on a janino compile error —
+    // unlike whole-stage codegen, which silently falls back to interpreted
+    // and would mask a broken doGenCode forever
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(ShingleHashesExpr(input, 4), MinHashSigExpr(input, 4, 64, 42L)))
+    val text = "the quick brown fox"
+    val row = proj(InternalRow(UTF8String.fromString(text)))
+    assert(row.getArray(0).toLongArray()
+      .sameElements(TextHashes.shingleHashesSorted(text, 4)))
+    assert(row.getArray(1).toLongArray()
+      .sameElements(TextHashes.minHashSig(text, 4, 64, 42L)))
+    // generated null path: a too-short doc nulls the signature, not the row
+    val short = proj(InternalRow(UTF8String.fromString("ab")))
+    assert(!short.isNullAt(0) && short.isNullAt(1))
+    val nullIn = proj(InternalRow(null))
+    assert(nullIn.isNullAt(0) && nullIn.isNullAt(1))
+  }
 }

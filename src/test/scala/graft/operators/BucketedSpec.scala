@@ -29,8 +29,8 @@ class BucketedSpec extends SparkSpec {
       assert(joined.count() === expected)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql(s"DROP TABLE IF EXISTS ${Bucketed.scopedName("b_orders")}")
+      spark.sql(s"DROP TABLE IF EXISTS ${Bucketed.scopedName("b_lineitem")}")
     }
   }
 }

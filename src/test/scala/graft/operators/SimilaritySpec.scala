@@ -204,8 +204,8 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("semanticDedup keep decisions are consistent with the exact pair graph") {
-    val out = Similarity.semanticDedupQuery(spark, sfDir).collect()
+  test("semanticDedupExact keep decisions are consistent with the exact pair graph") {
+    val out = Similarity.semanticDedupExactQuery(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(out.nonEmpty)
     // keep iff the doc labels its own cluster, and cluster ids are members
@@ -222,10 +222,10 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("semanticDedupLsh: subset pair graph means errors only ever KEEP extra docs") {
-    val exact = Similarity.semanticDedupQuery(spark, sfDir).collect()
+  test("semanticDedup (LSH default): subset pair graph means errors only ever KEEP extra docs") {
+    val exact = Similarity.semanticDedupExactQuery(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    val approx = Similarity.semanticDedupLshQuery(spark, sfDir).collect()
+    val approx = Similarity.semanticDedupQuery(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(approx.nonEmpty)
     // verified LSH pairs are a subset of exact pairs, so: every doc the LSH
