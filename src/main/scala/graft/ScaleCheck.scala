@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * SF-scaling assertion harness: the closest local[32] proxy for the
+ * "would this survive 100×?" question. Each data-bound entry runs at two
+ * scale factors in one JVM; its wall-time growth across the 10× data step
+ * must stay within `SlackFactor` × the data ratio. A quadratic operator
+ * (all-pairs join, broadcast-corpus self-join) shows up as ~100× growth on
+ * a 10× step and fails loudly; a bucketed/LSH/linear operator rides well
+ * under the bound because Spark's fixed job floor dominates the small SF.
+ *
+ * This generalizes the per-operator two-SF candidate-volume suites
+ * (dedup_simhash, embeddingNearDups) from candidate COUNTS to measured
+ * WALL TIME over the whole entry — counts catch a blowup in one join's
+ * output, wall time catches any stage going super-linear.
+ *
+ * Run: `SPARK_GRAFT_SCALE_SMALL=/root/testdata/sf0.01
+ *       SPARK_GRAFT_SCALE_BIG=/root/testdata/sf0.1 sbt "runMain graft.ScaleCheck"`
+ * Writes `SCALING.json` (per-key small/big/ratio/bound) and exits non-zero
+ * on any violation.
+ */
+object ScaleCheck {
+
+  /** The data-bound entries (the ones that dominate at 100 TB) mapped to
+    * their scaling input table — the tables grow at DIFFERENT rates across
+    * SFs (documents 10x from sf0.01 to sf0.1, embeddings 4x), so each key's
+    * growth bound comes from its own input's ratio. Every multi-second
+    * non-streaming key from the bench board is here, i.e. exactly the set
+    * where a super-linear stage would matter. Streaming entries are
+    * excluded — their wall time tracks micro-batch admission, which the
+    * streaming suites pin separately. */
+  val DataBoundEntries: Seq[(String, String)] = Seq(
+    "dedup_minhash" -> "documents", "dedup_minhash_keep" -> "documents",
+    "ngram_jaccard" -> "documents", "dedup_simhash" -> "documents",
+    "semantic_dedup" -> "embeddings", "text_lsh_clusters" -> "documents",
+    "corpus_clean" -> "documents", "duplicate_passages" -> "documents",
+    "winnow_fingerprint" -> "documents", "embed_neardup" -> "embeddings")
+
+  /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
+    * guidance — generous enough for the job-floor noise on the small SF,
+    * far below the ~10× extra a quadratic stage costs on a 10× step. */
+  val SlackFactor: Double = 1.5
+
+  /** Measured min-of-`iters` wall time of one entry against one SF dir.
+    * Shared by the main and the suite. */
+  def time(spark: SparkSession, key: String, dir: String, iters: Int = 2): Double = {
+    val fn = SparkEntry.queries(key)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (0 until iters).map(_ => once()).min
+  }
+
+  /** Row-count ratio of one input table between two SF dirs. */
+  def dataRatio(spark: SparkSession, table: String, small: String, big: String): Double = {
+    val s = spark.read.parquet(s"$small/$table.parquet").count()
+    val b = spark.read.parquet(s"$big/$table.parquet").count()
+    b.toDouble / s
+  }
+
+  final case class Result(key: String, tSmall: Double, tBig: Double,
+      ratio: Double, bound: Double) {
+    def ok: Boolean = ratio <= bound
+  }
+
+  /** Run `keys` at both SFs and report growth. Small SF runs first and also
+    * serves as the JIT/codegen warmup for the big run — warmup bias INFLATES
+    * tSmall, which only makes the growth check stricter, never looser.
+    * A key whose input table does NOT grow between the chosen SFs would
+    * make the check vacuous, so that's a harness-usage error, not a pass. */
+  def check(spark: SparkSession, keys: Seq[(String, String)], small: String, big: String,
+      iters: Int = 2): Seq[Result] = {
+    val ratios = keys.map(_._2).distinct
+      .map(t => t -> dataRatio(spark, t, small, big)).toMap
+    keys.map { case (k, table) =>
+      val ratio = ratios(table)
+      require(ratio > 1.0,
+        s"$table does not grow from $small to $big (ratio $ratio) — " +
+          "pick SFs with a real data step or the growth check is vacuous")
+      val ts = time(spark, k, small, iters)
+      val tb = time(spark, k, big, iters)
+      Result(k, ts, tb, tb / ts, ratio * SlackFactor)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.01")
+    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_BIG", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    sys.props("graft.bench") = "1" // measure operators, not the eager gates
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val results = check(spark, DataBoundEntries, small, big)
+    val json = results.map(r =>
+      f""""${r.key}":{"small":${r.tSmall}%.3f,"big":${r.tBig}%.3f,""" +
+        f""""ratio":${r.ratio}%.2f,"bound":${r.bound}%.2f,"ok":${r.ok}}""")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_growth","small":"$small","big":"$big","entries":$json}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
+    println(line)
+    val bad = results.filterNot(_.ok)
+    bad.foreach(r => System.err.println(
+      f"[scale] ${r.key} grew ${r.ratio}%.1fx across the data step (bound ${r.bound}%.1fx)"))
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
