@@ -37,7 +37,8 @@ final case class GraftOptions(
     propertyFilter: Map[String, String] = Map.empty,
     numQueues: Int = 0,
     msgDelayLevel: Int = 0,
-    maxRowsPerTrigger: Long = -1L) {
+    maxRowsPerTrigger: Long = -1L,
+    continuousPollMs: Long = 50L) {
 
   def startMode: StartMode =
     if (startMessageOffset >= 0) StartMode.Offset(startMessageOffset)
@@ -88,6 +89,7 @@ object GraftOptions {
   val NumQueues = "numqueues"
   val MsgDelayLevel = "msgdelaylevel"
   val MaxRowsPerTrigger = "maxrowspertrigger"
+  val ContinuousPollMs = "continuouspollms"
 
   val RequiredKeys: Set[String] = Set(Topic, ConsumerGroup, RootDir)
   val OptionalKeys: Set[String] = Set(
@@ -95,7 +97,7 @@ object GraftOptions {
     Encoding, FieldDelimiter, LineDelimiter, ColumnErrorDebug, LengthCheck,
     RetryTimes, SleepTimeMs, OffsetResetTo, IsDynamicTag, DynamicTagColumn,
     DynamicTagColumnWriteIncluded, KeyColumns, WriteKeysToBody, PropertyFilter,
-    NumQueues, MsgDelayLevel, MaxRowsPerTrigger)
+    NumQueues, MsgDelayLevel, MaxRowsPerTrigger, ContinuousPollMs)
 
   /** Broker-convention delay ladder, level 1-18 (reference:
     * legacy/common/RocketMQConfig.java MSG_DELAY_LEVEL00-18 — "1s 5s 10s 30s
@@ -171,6 +173,10 @@ object GraftOptions {
     if (opts.contains(MaxRowsPerTrigger) && maxRows <= 0)
       throw new IllegalArgumentException(
         s"invalid maxRowsPerTrigger: $maxRows (expected a positive row count)")
+    val pollMs = opts.get(ContinuousPollMs).map(_.toLong).getOrElse(50L)
+    if (pollMs <= 0)
+      throw new IllegalArgumentException(
+        s"invalid continuousPollMs: $pollMs (expected a positive interval)")
 
     GraftOptions(
       topic = opts(Topic),
@@ -209,7 +215,8 @@ object GraftOptions {
       }.toMap).getOrElse(Map.empty),
       numQueues = opts.get(NumQueues).map(_.toInt).getOrElse(0),
       msgDelayLevel = delayLevel,
-      maxRowsPerTrigger = maxRows)
+      maxRowsPerTrigger = maxRows,
+      continuousPollMs = pollMs)
   }
 
   /** The three dirty-data strategies implied by `lengthCheck`. */

@@ -90,6 +90,7 @@ class MessageQueueTable(val opts: GraftOptions) extends Table
   override def schema(): StructType = MessageQueueTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.CONTINUOUS_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
 
@@ -197,6 +198,10 @@ class MessageQueueScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MessageQueueMicroBatchStream(effectiveOpts(forBatch = false), requiredSchema)
 
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    new MessageQueueContinuousStream(effectiveOpts(forBatch = false), requiredSchema)
+
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Metrics.readMetrics
 }
@@ -267,30 +272,9 @@ class QueuePartitionReader(rootDir: String, tagFilter: String,
       Metrics.Value(Metrics.MessagesFiltered, messagesFiltered),
       Metrics.Value(Metrics.BytesRead, bytesRead))
 
-  // column-pruned projection: one extractor per REQUIRED column only
-  private val extractors: Array[(Long, Message) => Any] =
-    requiredSchema.fieldNames.map {
-      case "topic" => (_: Long, _: Message) => UTF8String.fromString(split.topic)
-      case "queue_id" => (_: Long, _: Message) => split.queueId
-      case "offset" => (o: Long, _: Message) => o
-      case "born_ts" => (_: Long, m: Message) => m.bornTs * 1000L // millis → micros
-      case "msg_key" => (_: Long, m: Message) => UTF8String.fromString(m.key)
-      case "tag" => (_: Long, m: Message) => UTF8String.fromString(m.tag)
-      case "properties" => (_: Long, m: Message) => {
-        val keys = new Array[Any](m.properties.size)
-        val vals = new Array[Any](m.properties.size)
-        var i = 0
-        m.properties.foreach { case (k, v) =>
-          keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
-        }
-        ArrayBasedMapData(keys, vals)
-      }
-      case "body" => (_: Long, m: Message) => UTF8String.fromString(m.body)
-      case other => throw new IllegalArgumentException(s"unknown column: $other")
-    }
-
-  private def toRow(offset: Long, m: Message): InternalRow =
-    InternalRow.fromSeq(extractors.map(_(offset, m)).toIndexedSeq)
+  // column-pruned projection, shared with the continuous reader
+  private val projector = new QueueRowProjector(split.topic, split.queueId, requiredSchema)
+  private def toRow(offset: Long, m: Message): InternalRow = projector.toRow(offset, m)
 
   override def get(): InternalRow = current
   override def close(): Unit = iter.close()
