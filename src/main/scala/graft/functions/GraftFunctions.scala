@@ -72,6 +72,31 @@ case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int, seed
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint set of already-normalized text — sorted distinct
+  * lowercase-hex md5 minima ([[TextHashes.winnowFpsHex]]). One flat kernel
+  * call per row replacing the transform/sequence/slice/array_min
+  * higher-order formulation, whose per-window slice allocations and
+  * interpreted per-element lambdas dominated the winnowing entries. */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHashes.winnowFpsHex(input.asInstanceOf[UTF8String].getBytes, k, w))
+  // see ShingleHashesExpr: static-kernel call sited inside whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.TextHashes.winnowFpsHex($c.getBytes(), $k, $w));
+     """.stripMargin)
+  override def prettyName: String = "graft_winnow_fps"
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -581,6 +606,10 @@ object GraftFunctions {
   def simHash64(text: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(text)))
 
+  /** Sorted distinct winnowing fingerprints (hex md5) of normalized text. */
+  def winnowFps(normText: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFpsExpr(ExpressionUtils.expression(normText), k, w))
+
   def simHash128(text: Column): Column =
     ExpressionUtils.column(SimHash128Expr(ExpressionUtils.expression(text)))
 
@@ -651,7 +680,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => TextRepetitionExpr(args(0))),
     ("graft_nfc_normalize",
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))),
+    ("graft_winnow_fps",
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "graft_winnow_fps"),
+      (args: Seq[Expression]) => WinnowFpsExpr(args(0), intLit(args(1), "k"),
+        intLit(args(2), "w"))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

@@ -327,4 +327,105 @@ object TextHashes {
     }
     common
   }
+
+  /** Unsigned lexicographic order over md5 digests — identical to comparing
+    * their lowercase-hex encodings as strings, because each byte maps to two
+    * hex chars monotonically. Comparing raw 16-byte digests lets the sliding
+    * window and the distinct-set work without ever materializing hex. */
+  private val digestOrder: java.util.Comparator[Array[Byte]] =
+    new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def toHexUtf8(d: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xF).toByte
+      out(2 * i + 1) = hexDigits(d(i) & 0xF).toByte
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  /**
+   * Winnowing fingerprint selection (Schleimer et al. 2003) in ONE flat
+   * pass over the already-normalized UTF-8 bytes: md5 each overlapping
+   * `k`-char gram (char = UTF-8 sequence, matching Spark's `length`/
+   * `substring` code-point semantics), slide a `w`-gram window keeping each
+   * window's minimum digest via a monotonic deque (O(n) total, vs the
+   * O(n·w) slice-and-array_min formulation whose per-window array
+   * allocations dominated the previous higher-order-expression version),
+   * and return the distinct selected fingerprints as SORTED lowercase-hex
+   * strings. One reused MessageDigest per row, raw-digest comparisons
+   * throughout, hex materialized only for the ~2/(w+1)·distinct survivors.
+   *
+   * Semantics are pinned to [[graft.operators.TextAnalysis.winnowFingerprints]]'s
+   * documented contract (and its DuckDB oracle replay): n_grams = 0 → empty;
+   * 0 < n_grams < w → the single all-grams window; ties collapse under the
+   * distinct-set semantics.
+   */
+  def winnowFpsHex(utf8: Array[Byte], k: Int, w: Int)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val n = utf8.length
+    // char start offsets: a UTF-8 leading byte is any byte not 10xxxxxx
+    val starts = new Array[Int](n + 1)
+    var nChars = 0
+    var i = 0
+    while (i < n) {
+      if ((utf8(i) & 0xC0) != 0x80) { starts(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    starts(nChars) = n
+    val nGrams = nChars - k + 1
+    if (nGrams <= 0) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.update(utf8, starts(g), starts(g + k) - starts(g))
+      digests(g) = md.digest() // digest() also resets for the next gram
+      g += 1
+    }
+    val selected = new java.util.TreeSet[Array[Byte]](digestOrder)
+    if (nGrams < w) {
+      var m = digests(0)
+      var j = 1
+      while (j < nGrams) {
+        if (digestOrder.compare(digests(j), m) < 0) m = digests(j)
+        j += 1
+      }
+      selected.add(m)
+    } else {
+      // deque of candidate indices, digests strictly increasing head→tail
+      val deque = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // window is deque[head, tail)
+      var j = 0
+      while (j < nGrams) {
+        while (tail > head &&
+            digestOrder.compare(digests(deque(tail - 1)), digests(j)) >= 0) tail -= 1
+        deque(tail) = j
+        tail += 1
+        if (deque(head) <= j - w) head += 1
+        if (j >= w - 1) selected.add(digests(deque(head)))
+        j += 1
+      }
+    }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = toHexUtf8(it.next()); o += 1 }
+    out
+  }
 }

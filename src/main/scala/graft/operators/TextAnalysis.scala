@@ -263,11 +263,15 @@ object TextAnalysis {
    * [[fingerprint]]'s single whole-doc hash cannot give: two docs sharing a
    * paragraph share fingerprints even when everything else differs.
    *
-   * Entirely scan-stage higher-order array expressions (transform/sequence/
-   * slice/array_min) — no explode, no shuffle, 100 TB cost is one corpus
-   * pass. md5 (not the faster xxhash) because the DuckDB oracle must
-   * reproduce every hash byte-identically; a production deployment would
-   * swap in xxhash64 via the same kernel shape.
+   * Entirely scan-stage — no explode, no shuffle, 100 TB cost is one corpus
+   * pass. The selection runs in the one-flat-pass
+   * [[graft.functions.TextHashes.winnowFpsHex]] kernel (reused MessageDigest,
+   * monotonic-deque sliding min over raw 16-byte digests — O(n) total, vs
+   * the O(n·w) slice-and-array_min higher-order formulation whose per-window
+   * allocations and interpreted lambdas dominated this entry's wall time).
+   * md5 (not the faster xxhash) because the DuckDB oracle must reproduce
+   * every hash byte-identically; a production deployment would swap in
+   * xxhash64 via the same kernel shape.
    *
    * Output columns: n_grams, the fingerprint count, and an md5 digest of
    * the sorted fingerprint set — compact enough to verify row-for-row at
@@ -279,25 +283,18 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, s"degenerate winnowing config k=$k w=$w")
-    val emptyArr = expr("cast(array() as array<string>)")
     docs
       .withColumn("_norm",
         regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
       .withColumn("n_grams",
         greatest(length(col("_norm")) - (k - 1), lit(0)).cast("long"))
-      .withColumn("_hs", when(col("n_grams") > 0,
-        expr(s"transform(sequence(1, cast(n_grams as int)), i -> md5(substring(_norm, i, $k)))"))
-        .otherwise(emptyArr))
-      // full windows when there are >= w grams; a short doc's single
-      // "window" is all of it; an empty doc has no fingerprints
-      .withColumn("_wins", when(col("n_grams") >= w,
-        expr(s"transform(sequence(1, cast(n_grams - ${w - 1} as int)), j -> array_min(slice(_hs, j, $w)))"))
-        .when(col("n_grams") > 0, array(array_min(col("_hs"))))
-        .otherwise(emptyArr))
-      .withColumn("fps", array_sort(array_distinct(col("_wins"))))
+      // kernel contract (suite-pinned): n_grams = 0 → empty; 0 < n_grams <
+      // w → the single all-grams window; ties collapse under distinct
+      .withColumn("fps",
+        graft.functions.GraftFunctions.winnowFps(col("_norm"), k, w))
       .withColumn("n_fps", size(col("fps")).cast("long"))
       .withColumn("fp_digest", md5(concat_ws(",", col("fps"))))
-      .drop("_norm", "_hs", "_wins")
+      .drop("_norm")
   }
 
   /** Query entry (oracle-checked): winnowing fingerprints of every corpus
