@@ -294,13 +294,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // integer-cents sums (the q26 ulp-proofing) in both engines
     "q9_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-        | count(*) AS n_events, round(sum(value),4) AS sum_value
+        | count(*) AS n_events,
+        | round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q10_events_sessions" ->
       """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
-        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END),4) AS purchase_value,
+        | round(sum(CASE WHEN event_type = 'purchase'
+        |   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0, 4) AS purchase_value,
         | CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q11_semi_join" ->
@@ -337,7 +340,8 @@ object SparkEntry {
         |ORDER BY nationkey""".stripMargin,
     "events_windowed_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-        | count(*) AS n_events, round(sum(value),4) AS sum_value
+        | count(*) AS n_events,
+        | round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q18_percentiles" ->
       """SELECT event_type,
@@ -356,11 +360,11 @@ object SparkEntry {
     // pivot == CASE/FILTER aggregation: one hash aggregate either way
     "q21_pivot" ->
       """SELECT user_id,
-        | round(sum(value) FILTER (event_type = 'click'), 4) AS click,
-        | round(sum(value) FILTER (event_type = 'error'), 4) AS error,
-        | round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
-        | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
-        | round(sum(value) FILTER (event_type = 'view'), 4) AS view
+        | round(sum(CAST(round(value*100) AS BIGINT)) FILTER (event_type = 'click') / 100.0, 4) AS click,
+        | round(sum(CAST(round(value*100) AS BIGINT)) FILTER (event_type = 'error') / 100.0, 4) AS error,
+        | round(sum(CAST(round(value*100) AS BIGINT)) FILTER (event_type = 'purchase') / 100.0, 4) AS purchase,
+        | round(sum(CAST(round(value*100) AS BIGINT)) FILTER (event_type = 'signup') / 100.0, 4) AS signup,
+        | round(sum(CAST(round(value*100) AS BIGINT)) FILTER (event_type = 'view') / 100.0, 4) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // json_extract_string == get_json_object: both return NULL on absent path
     "q22_json_props" ->

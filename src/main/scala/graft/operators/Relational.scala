@@ -115,11 +115,15 @@ object Relational {
   /** Event-time tumbling-window aggregate (hourly) — the batch shape of the
    *  streaming windowed aggregation in [[graft.streaming.Watermarks]]. */
   def q9EventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    // integer-cents sum (q26/q29 pattern): a plain double sum is
+    // summation-order dependent across engines, and a per-group total on a
+    // 4dp half boundary with differing ulps would flip the hash compare
     Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
+        round(sum(col("cents")) / 100.0, 4).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }
 
@@ -289,10 +293,12 @@ object Relational {
     * extra pass (the DuckDB oracle states that equivalence as FILTER
     * aggregates). */
   def q21Pivot(spark: SparkSession, dir: String): DataFrame = {
+    // integer-cents sums for the same ulp safety as q9/q26
     Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(round(sum(col("value")), 4))
+      .agg(round(sum(col("cents")) / 100.0, 4))
       .orderBy(col("user_id"))
   }
 
@@ -502,14 +508,16 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
-  /** Per-user event profile: conditional aggregation. */
+  /** Per-user event profile: conditional aggregation (cents-sum, q9's
+    * ulp-proofing). */
   def q10EventsSessions(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("event_type")).as("n_types"),
-        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("purchase_value"),
+        round(sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)) / 100.0, 4).as("purchase_value"),
         date_trunc("second", max(col("ts"))).as("last_ts"))
       .orderBy(col("user_id"))
   }

@@ -59,9 +59,12 @@ object StreamingQueries {
         .schema(schema)
         .parquet(streamDir.toString))
 
+    // integer-cents sum, same ulp-proofing as the batch twin (q9EventsHourly)
     val windowed = Watermarks.withBoundedOutOfOrderness(stream, "ts", 5000)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("cents")) / 100.0, 4).as("sum_value"))
 
     val name = "events_windowed_" + math.abs(dir.hashCode)
     withStreamShuffle(spark, 8) {
