@@ -124,8 +124,11 @@ case class SimHash128Expr(child: Expression)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-       |  graft.functions.TextHashes.simHash128($c.toString()));
+       |  graft.functions.TextHashes.simHash128($c.toString(), 4));
      """.stripMargin)
+  // gramN=4 is simHash128's Scala default — Janino compiles plain Java, so
+  // the generated call must pass it explicitly or codegen fails and the
+  // whole stage silently drops to interpreted eval
   override def prettyName: String = "graft_simhash128"
   override protected def withNewChildInternal(newChild: Expression): SimHash128Expr =
     copy(child = newChild)
