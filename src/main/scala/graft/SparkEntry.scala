@@ -30,6 +30,8 @@ object SparkEntry {
     "q16_except" -> (Relational.q16Except _),
     // sketches run for real; output = exact count + within-tolerance flags
     "q17_sketches" -> (Relational.q17Sketches _),
+    "sample_bottomk" -> ((s: SparkSession, d: String) => operators.Sketches.sampleBottomK(s, d)),
+    "kmv_distinct" -> ((s: SparkSession, d: String) => operators.Sketches.kmvDistinct(s, d)),
     "q18_percentiles" -> (Relational.q18Percentiles _),
     "q19_string_ops" -> (Relational.q19StringOps _),
     "q20_datetime" -> (Relational.q20Datetime _),
@@ -427,6 +429,46 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | TRUE AS acd_ok, TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bottom-k sketch content is a pure function of the data (engine-
+    // neutral mix hash, Sketches.mixHash's documented SQL replay), so the
+    // sampled ids replay EXACTLY — no tolerance machinery needed
+    "sample_bottomk" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS a
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, doc_id, ((a + a // 2048) * 40503) % 4294967296 AS key
+        |  FROM h),
+        |r AS (
+        |  SELECT lang, doc_id, key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+        |  FROM k)
+        |SELECT lang, count(*) AS n_sampled,
+        |  string_agg(doc_id::VARCHAR, ',' ORDER BY key, doc_id) AS sample
+        |FROM r WHERE rn <= 8 GROUP BY lang ORDER BY lang""".stripMargin,
+    // sketch size + k-th key replay exactly; the KMV estimate reaches the
+    // oracle as a within-tolerance boolean (q17's contract)
+    "kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    (user_id * 2654435761) % 4294967296 AS a
+        |  FROM events),
+        |k AS (
+        |  SELECT event_type, user_id,
+        |    ((a + a // 2048) * 40503) % 4294967296 AS key
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, key, user_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY key, user_id) AS rn
+        |  FROM k),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_sketch, max(key) AS kth_key
+        |  FROM r WHERE rn <= 128 GROUP BY event_type),
+        |e AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, exact_users, n_sketch, kth_key, TRUE AS kmv_ok
+        |FROM e JOIN s USING (event_type) ORDER BY event_type""".stripMargin,
     // chained stage minima (each stage >= the previous stage's timestamp),
     // then exact-stage census + reached->=stage reverse running sum
     "q24_funnel" ->

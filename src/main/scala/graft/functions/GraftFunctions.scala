@@ -644,6 +644,13 @@ object GraftFunctions {
     ExpressionUtils.column(
       IvfAssignExpr(ExpressionUtils.expression(emb), centroids, nprobe))
 
+  /** Mergeable bottom-k sketch aggregate: k smallest distinct
+    * (key, payload) pairs per group — see [[BottomKPairsAgg]]. */
+  def bottomKPairs(key: Column, payload: Column, k: Int): Column =
+    ExpressionUtils.column(
+      BottomKPairsAgg(ExpressionUtils.expression(key),
+        ExpressionUtils.expression(payload), k).toAggregateExpression())
+
   // ---- SQL registration ----
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -687,7 +694,12 @@ object GraftFunctions {
     ("graft_winnow_fps",
       new ExpressionInfo(classOf[WinnowFpsExpr].getName, "graft_winnow_fps"),
       (args: Seq[Expression]) => WinnowFpsExpr(args(0), intLit(args(1), "k"),
-        intLit(args(2), "w"))))
+        intLit(args(2), "w"))),
+    ("graft_bottom_k",
+      new ExpressionInfo(classOf[BottomKPairsAgg].getName, "graft_bottom_k"),
+      // the analyzer wraps a bare AggregateFunction in AggregateExpression
+      (args: Seq[Expression]) => BottomKPairsAgg(args(0), args(1),
+        intLit(args(2), "k"))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * Operators on the mergeable bottom-k sketch
+ * ([[graft.functions.BottomKPairsAgg]]): deterministic per-group sampling
+ * and KMV distinct-count estimation. Both hash with an ENGINE-NEUTRAL
+ * mixer (multiply/shift/multiply mod 2^32, every step expressible in ANSI
+ * SQL), so the sketch CONTENT — not just a tolerance flag — is replayed
+ * exactly by the DuckDB oracle. An RNG reservoir sample could never be
+ * oracle-checked; a hash-minima sample is a pure function of the data.
+ *
+ * Scale shape: one ObjectHashAggregate per group — map-side partial
+ * sketches (k pairs, 16 bytes each), so the shuffle carries
+ * O(groups x k) bytes regardless of input rows. This is the same
+ * partial/merge contract as Spark's own HLL sketches (q17), with the
+ * KMV twist that the estimate is deterministic given the data.
+ */
+object Sketches {
+
+  /** Engine-neutral 32-bit mix of a nonnegative id: multiply / add-shift /
+    * multiply, all mod 2^32. Constants: Knuth's 2654435761 spreads
+    * sequential ids; the add-shift feeds high bits back down; 40503 (the
+    * 16-bit Knuth multiplier) decorrelates the lattice the first multiply
+    * leaves on consecutive ids. Stays below 2^49 before each mod, so ANSI
+    * long arithmetic never overflows for ids < 2^31. DuckDB replay:
+    * `((a + a // 2048) * 40503) % 4294967296` with
+    * `a = (id * 2654435761) % 4294967296`. */
+  def mixHash(id: Column): Column = {
+    val a = (id * lit(2654435761L)) % lit(4294967296L)
+    ((a + shiftrightunsigned(a, 11)) * lit(40503L)) % lit(4294967296L)
+  }
+
+  /** Deterministic stratified sample: the `k` documents with the smallest
+    * mixed doc_id hash per language — replayable by any engine, stable
+    * under corpus growth (a new doc displaces at most one sampled doc).
+    * Emits the sample as an ordered comma-joined id list per group. */
+  def sampleBottomK(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(GraftFunctions.bottomKPairs(mixHash(col("doc_id")), col("doc_id"), k).as("sk"))
+      .select(col("lang"),
+        size(col("sk")).cast("long").as("n_sampled"),
+        concat_ws(",",
+          transform(col("sk"), p => p.getField("payload").cast("string"))).as("sample"))
+      .orderBy(col("lang"))
+
+  /** KMV (k minimum values) distinct estimate per event type: with the k
+    * smallest distinct hashed user ids, the k-th smallest normalized hash
+    * m estimates the distinct count as (k-1)/m. Emitted columns are
+    * hash-exact (sketch size + k-th key, replayed by the oracle) plus the
+    * estimate as a within-30%-of-exact boolean (k=128 gives ~9% standard
+    * error, so the bound sits ~3.4 sigma out; the data is fixed per scale
+    * factor, so a pass is stable, not flaky). The exact countDistinct
+    * rides along as the comparison column, same contract as q17. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    val events = Tables.events(spark, dir)
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        GraftFunctions.bottomKPairs(mixHash(col("user_id")), col("user_id"), k).as("sk"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        element_at(col("sk"), size(col("sk"))).getField("key").as("kth_key"),
+        when(size(col("sk")) < k, col("exact_users") === size(col("sk")))
+          .otherwise(
+            abs(lit((k - 1).toDouble * 4294967296.0) / col("kth_key") - col("exact_users"))
+              <= col("exact_users") * 0.3)
+          .as("kmv_ok"))
+      .orderBy(col("event_type"))
+  }
+}
