@@ -36,9 +36,10 @@ object PlanDump {
       "deser_dirty", "ann_ivf_probe", "bpe_encode", "q21_pivot",
       "q22_json_props", "q23_ntile", "cluster_sample", "q24_funnel",
       "q25_retention", "ann_pq", "q26_hopping", "q27_zscore",
-      "q28_intersect", "q29_moving_avg", "q30_grouping_sets")
+      "q28_intersect", "q29_moving_avg", "q30_grouping_sets",
+      "sample_bottomk", "kmv_distinct")
     val sb = new StringBuilder
-    sb.append("# PLANS — physical plans of headline queries (sf0.01, round 10)\n\n")
+    sb.append("# PLANS — physical plans of headline queries (sf0.01, round 11)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
     sb.append("pruning), `BroadcastHashJoin` for dim/probe sides, no\n")
     sb.append("`CartesianProduct` anywhere. Two queries intentionally use\n")
