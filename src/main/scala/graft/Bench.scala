@@ -12,7 +12,8 @@ object Bench {
     Set("events_windowed_stream", "events_hopping_stream",
       "events_dedup_stream", "sessionize_stream",
       "corpus_quality_stream", "decontaminate_stream", "events_enrich_stream",
-      "purchase_attribution_stream", "token_count_stream")
+      "purchase_attribution_stream", "token_count_stream",
+      "kmv_distinct_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

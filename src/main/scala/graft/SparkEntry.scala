@@ -47,6 +47,10 @@ object SparkEntry {
     "q30_grouping_sets" -> (Relational.q30GroupingSets _),
     "events_windowed_stream" -> (StreamingQueries.eventsWindowedStream _),
     "events_hopping_stream" -> (StreamingQueries.eventsHoppingStream _),
+    // countDistinct is unsupported on streams — the KMV sketch is the
+    // streaming answer; shared result contract with batch kmv_distinct
+    "kmv_distinct_stream" -> ((s: SparkSession, d: String) =>
+      StreamingQueries.kmvDistinctStream(s, d)),
     "events_dedup_stream" -> (StreamingQueries.eventsDedupStream _),
     "sessionize_stream" -> (StreamingQueries.sessionizeStream _),
     "corpus_quality_stream" -> (MqRoundtrip.corpusQualityStream _),
@@ -171,6 +175,30 @@ object SparkEntry {
     // ever keep extra docs, never drop extras)
     "semantic_dedup" -> (Similarity.semanticDedupQuery _),
   )
+
+  /** KMV sketch replay (Sketches.mixHash in SQL): shared by the batch
+    * `kmv_distinct` entry and `kmv_distinct_stream`. */
+  private lazy val kmvOracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    (user_id * 2654435761) % 4294967296 AS a
+      |  FROM events),
+      |k AS (
+      |  SELECT event_type, user_id,
+      |    ((a + a // 2048) * 40503) % 4294967296 AS key
+      |  FROM h),
+      |r AS (
+      |  SELECT event_type, key, user_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY key, user_id) AS rn
+      |  FROM k),
+      |s AS (
+      |  SELECT event_type, count(*) AS n_sketch, max(key) AS kth_key
+      |  FROM r WHERE rn <= 128 GROUP BY event_type),
+      |e AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, exact_users, n_sketch, kth_key, TRUE AS kmv_ok
+      |FROM e JOIN s USING (event_type) ORDER BY event_type""".stripMargin
 
   /** Every event belongs to the two epoch-aligned 2h windows covering it —
     * shared by the batch `q26_hopping` entry and `events_hopping_stream`
@@ -447,28 +475,11 @@ object SparkEntry {
         |  string_agg(doc_id::VARCHAR, ',' ORDER BY key, doc_id) AS sample
         |FROM r WHERE rn <= 8 GROUP BY lang ORDER BY lang""".stripMargin,
     // sketch size + k-th key replay exactly; the KMV estimate reaches the
-    // oracle as a within-tolerance boolean (q17's contract)
-    "kmv_distinct" ->
-      """WITH h AS (
-        |  SELECT DISTINCT event_type, user_id,
-        |    (user_id * 2654435761) % 4294967296 AS a
-        |  FROM events),
-        |k AS (
-        |  SELECT event_type, user_id,
-        |    ((a + a // 2048) * 40503) % 4294967296 AS key
-        |  FROM h),
-        |r AS (
-        |  SELECT event_type, key, user_id,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY key, user_id) AS rn
-        |  FROM k),
-        |s AS (
-        |  SELECT event_type, count(*) AS n_sketch, max(key) AS kth_key
-        |  FROM r WHERE rn <= 128 GROUP BY event_type),
-        |e AS (
-        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
-        |  FROM events GROUP BY event_type)
-        |SELECT e.event_type, exact_users, n_sketch, kth_key, TRUE AS kmv_ok
-        |FROM e JOIN s USING (event_type) ORDER BY event_type""".stripMargin,
+    // oracle as a within-tolerance boolean (q17's contract). ONE definition
+    // for the batch entry and its streaming twin — the stream answers the
+    // identical question (hoppingOracle's contract)
+    "kmv_distinct" -> kmvOracle,
+    "kmv_distinct_stream" -> kmvOracle,
     // chained stage minima (each stage >= the previous stage's timestamp),
     // then exact-stage census + reached->=stage reverse running sum
     "q24_funnel" ->

@@ -121,6 +121,57 @@ object StreamingQueries {
       .orderBy(col("win_start"))
   }
 
+  /** Streaming twin of the batch `kmv_distinct` entry — and the sketch's
+    * reason to exist on the stream: `countDistinct` is UNSUPPORTED in a
+    * streaming aggregation (it needs the full value set per group), while
+    * the bottom-k sketch is a bounded mergeable buffer the state store
+    * persists like any other agg state — each micro-batch's partial
+    * sketch merges into it, and the final sketch equals the batch answer
+    * regardless of how the rows were split into batches. The exact
+    * comparison column the shared oracle expects comes from a BATCH pass
+    * after the drain (the stream itself never needs it). */
+  def kmvDistinctStream(spark: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = symlinkDir(dir, "graft-events-stream")
+    val stream = Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(streamDir.toString))
+
+    val sketched = stream
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .bottomKPairs(Sketches.mixHash(col("user_id")), col("user_id"), k).as("sk"))
+
+    val name = "events_kmv_" + math.abs(dir.hashCode)
+    withStreamShuffle(spark, 8) {
+      val q = sketched.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    spark.table(name)
+      .join(exact, "event_type")
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        element_at(col("sk"), size(col("sk"))).getField("key").as("kth_key"),
+        when(size(col("sk")) < k, col("exact_users") === size(col("sk")))
+          .otherwise(
+            abs(lit((k - 1).toDouble * 4294967296.0) / col("kth_key") - col("exact_users"))
+              <= col("exact_users") * 0.3)
+          .as("kmv_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /**
    * Streaming stateful dedup parity: events streamed with a watermark +
    * dropDuplicates on the key, then aggregated — must equal batch
