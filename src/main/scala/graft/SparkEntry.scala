@@ -115,6 +115,7 @@ object SparkEntry {
     "corpus_split" -> (CorpusPipeline.corpusSplitQuery _),
     "split_leakage" -> (CorpusPipeline.splitLeakageQuery _),
     "corpus_stats" -> (CorpusPipeline.corpusStatsQuery _),
+    "snapshot_diff" -> (CorpusPipeline.snapshotDiffQuery _),
     // quantized-path ANN: oracle-exact on the bit-exact int8 grid, plus
     // the eager recall gate vs full precision
     "ann_quantized" -> (Similarity.annQuantized _),
@@ -829,6 +830,24 @@ object SparkEntry {
         |SELECT source, lang, n_docs, n_tokens, n_chars,
         | ((1000 * n_tokens) // (SELECT sum(n_tokens) FROM g))::BIGINT AS token_share_pm
         |FROM g ORDER BY source, lang""".stripMargin,
+    // crawl-over-crawl diff: planted snapshot construction replayed, full
+    // join on content md5 — statuses are exact strings
+    "snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev1]' ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |cur AS (
+        |  SELECT doc_id, md5(text) AS new_hash
+        |  FROM documents WHERE doc_id % 13 <> 7)
+        |SELECT COALESCE(old.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id
+        |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        |ORDER BY doc_id""".stripMargin,
     // deterministic stratified split over the same bucket hash as
     // corpus_sample (hugeint mirror of the overflow-safe 32-bit split)
     "corpus_split" ->

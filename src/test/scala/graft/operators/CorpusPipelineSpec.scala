@@ -449,4 +449,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       s"pair counting is a pure aggregate:\n$plan")
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = CorpusPipeline.snapshotDiff(old, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshot_diff query hits all three statuses and never ships text " +
+      "through the join") {
+    val out = CorpusPipeline.snapshotDiffQuery(spark, sfDir)
+    val statuses = out.collect().map(_.getString(1)).toSet
+    assert(statuses === Set("added", "removed", "changed"))
+    // only (doc_id, hash) columns may cross the exchange — the full text
+    // column must be consumed at its scan stage (md5 before the shuffle)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") ||
+      !plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      s"text column must not shuffle:\n$plan")
+  }
 }
