@@ -97,6 +97,10 @@ object SparkEntry {
     // to one normalized key (byte-level dedup would keep both)
     "dedup_exact_nfc" -> (TextAnalysis.dedupExactNfc _),
     "ann_topk" -> (Similarity.annTopK _),
+    // hybrid retrieval: BM25 + cosine pools fused by reciprocal-rank
+    // fusion; the fused double is two IEEE terms in fixed order, bit-exact
+    // across engines
+    "hybrid_search" -> (Similarity.hybridSearchQuery _),
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
     "decontaminate" -> (CorpusPipeline.corpusDecontaminate _),
@@ -1386,6 +1390,52 @@ object SparkEntry {
     "ann_ivf_indexed" -> annExactOracle,
     "ann_ivf_refined" -> annExactOracle,
     "ann_topk" -> annExactOracle,
+    // hybrid retrieval: the bm25_search CTE chain (pool depth 20) + the
+    // brute-force cosine chain (probes 0..3, pool 20), RRF-fused. 1.0 must
+    // be cast to DOUBLE — DuckDB's bare 1.0 is DECIMAL and decimal
+    // division would not be bit-identical to Spark's double divide.
+    "hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+        |      FROM dfreq ORDER BY df DESC, term LIMIT 20),
+        |qq AS (SELECT (rn - 1) % 4 AS query_id, term, df FROM q),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT avg(dl::DOUBLE) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+        |scored AS (
+        |  SELECT query_id, tf.doc_id,
+        |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))), 4) AS score
+        |  FROM tf JOIN qq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, bm25_rnk FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS bm25_rnk
+        |  FROM scored) WHERE bm25_rnk <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 4),
+        |s AS (SELECT p.query_id, e.vec_id AS doc_id,
+        |  round(list_dot_product(e.emb, p.q_emb)
+        |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS sim
+        | FROM e, p WHERE e.vec_id <> p.query_id),
+        |sem AS (SELECT query_id, doc_id, ann_rnk FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, doc_id) AS ann_rnk
+        |  FROM s) WHERE ann_rnk <= 20),
+        |f AS (
+        |  SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+        |    COALESCE(lex.doc_id, sem.doc_id) AS doc_id, bm25_rnk, ann_rnk,
+        |    COALESCE(1.0::DOUBLE / (60 + bm25_rnk), 0.0::DOUBLE)
+        |      + COALESCE(1.0::DOUBLE / (60 + ann_rnk), 0.0::DOUBLE) AS rrf
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+        |SELECT query_id, rnk, doc_id, rrf, bm25_rnk, ann_rnk FROM r
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // the PRUNED IVF paths replicated end-to-end: knuth-hash quantizer
     // selection, cell assignment by dot x (1/|c|) with ties to the smaller
     // centroid index, nprobe probe cells per query, per-query top-k over

