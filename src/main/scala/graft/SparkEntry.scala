@@ -101,6 +101,10 @@ object SparkEntry {
     // fusion; the fused double is two IEEE terms in fixed order, bit-exact
     // across engines
     "hybrid_search" -> (Similarity.hybridSearchQuery _),
+    // SymSpell delete-variant fuzzy join: planted typos vs the frequent
+    // vocabulary at levenshtein <= 1; provable distance-1 recall, oracle
+    // brute-forces all pairs
+    "fuzzy_term_join" -> (TextAnalysis.fuzzyTermJoinQuery _),
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
     "decontaminate" -> (CorpusPipeline.corpusDecontaminate _),
@@ -1157,6 +1161,31 @@ object SparkEntry {
     // (df desc, term asc) round-robined into 4 queries; df and dl both
     // re-aggregated from tf exactly as the Spark side does; rank over the
     // 4-dp ROUNDED score (desc, doc_id asc) in both engines
+    // brute-force all-pairs Levenshtein join over the replayed typo plant —
+    // the ground truth the delete-variant equi-join provably equals at
+    // distance 1 (pigeonhole on deletion variants)
+    "fuzzy_term_join" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 AND w <> '' THEN text || ' ' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN substr(w, 1, 1) || substr(w, 3)
+        |           ELSE substr(w, 1, 2) || substr(w, 2) END
+        |    ELSE text END AS text
+        |  FROM (SELECT doc_id, text,
+        |          regexp_extract(lower(text), '[a-z]{5,}', 0) AS w
+        |        FROM documents)),
+        |vc AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+        |    FROM aug)
+        |  GROUP BY 1),
+        |t AS (SELECT (sum(cnt) // 1000)::BIGINT AS thr FROM vc),
+        |rare AS (SELECT term, cnt FROM vc, t WHERE cnt < thr),
+        |freq AS (SELECT term, cnt FROM vc, t WHERE cnt >= thr)
+        |SELECT r.term AS typo, f.term AS fix, r.cnt AS typo_cnt, f.cnt AS fix_cnt
+        |FROM rare r, freq f
+        |WHERE levenshtein(r.term, f.term) <= 1
+        |ORDER BY typo, fix""".stripMargin,
     "bm25_search" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term

@@ -594,6 +594,85 @@ object TextAnalysis {
     dedupExactNormalized(composed.unionByName(twins)).orderBy(col("key"))
   }
 
+  // ---- fuzzy vocabulary join (SymSpell delete-variant equi-join) ----
+
+  /** All deletion variants of a term at edit radius 1, term itself included:
+    * `{t} ∪ {t minus char i}`. The SymSpell identity this powers: two terms
+    * at Levenshtein distance ≤ 1 ALWAYS share a variant (substitution at i →
+    * both 1-deletions at i coincide; insertion/deletion → the longer side's
+    * 1-deletion is the shorter side itself), so an equi-join on variants has
+    * provable recall 1 at distance 1 — the same pigeonhole contract as
+    * [[Multimodal]]'s banded pHash. */
+  def deleteVariants(t: Column): Column =
+    array_distinct(concat(array(t),
+      transform(sequence(lit(1), length(t)),
+        i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t))))))
+
+  /**
+   * SymSpell-style fuzzy term join (Garbe's delete-variant indexing, the
+   * scalable form of a Levenshtein join): pairs `(typo, fix)` with
+   * `levenshtein ≤ 1` across two (term, cnt) vocabularies — the typo-mining
+   * pass a corpus-normalization pipeline runs before token statistics, and
+   * the join a naive implementation writes as a quadratic cross-vocabulary
+   * `levenshtein` filter. Here each side explodes into its ≤ `length+1`
+   * deletion variants and the candidate set is a variant equi-join —
+   * vocabulary-bounded (Σ term lengths rows per side), never vocab²; the
+   * exact `levenshtein` filter then removes the distance-2 collisions
+   * (delete-at-i joined delete-at-j). Recall at distance 1 is exactly 1 by
+   * the pigeonhole argument on [[deleteVariants]], so the output EQUALS the
+   * brute-force join — verified by the all-pairs DuckDB oracle.
+   *
+   * Shuffle-hash pin: variant tables are explode-amplified but keep the
+   * pre-explode size estimate, and neither side is generally broadcastable
+   * at real vocabulary sizes.
+   */
+  def fuzzyTermJoin(typos: DataFrame, fixes: DataFrame): DataFrame = {
+    val lv = typos.select(col("term").as("typo"), col("cnt").as("typo_cnt"),
+      explode(deleteVariants(col("term"))).as("v"))
+    val rv = fixes.select(col("term").as("fix"), col("cnt").as("fix_cnt"),
+      explode(deleteVariants(col("term"))).as("v"))
+    lv.join(rv.hint("shuffle_hash"), "v")
+      .filter(levenshtein(col("typo"), col("fix")) <= 1)
+      .select("typo", "fix", "typo_cnt", "fix_cnt")
+      .distinct()
+  }
+
+  /** Query entry (oracle-checked vs a brute-force all-pairs Levenshtein
+    * join): typo→correction candidates over the corpus vocabulary — rare
+    * terms (cnt < total/1000) within edit distance 1 of frequent terms
+    * (cnt ≥ total/1000). The synthetic vocabulary is 30 clean words, so
+    * typos are PLANTED deterministically (the pii_redact contract): docs
+    * with doc_id % 13 == 0 append a corrupted copy of their first ≥5-char
+    * word — 2nd char deleted (even ids) or doubled (odd) — and the oracle
+    * replays the identical plant. The relative threshold keeps the
+    * rare/frequent split scale-invariant: plants stay rare and true vocab
+    * stays frequent at every SF. */
+  def fuzzyTermJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = regexp_extract(lower(col("text")), "[a-z]{5,}", 0)
+    val typo = when(col("doc_id") % 2 === 0,
+      concat(w.substr(1, 1), w.substr(lit(3), length(w))))
+      .otherwise(concat(w.substr(1, 2), w.substr(lit(2), length(w))))
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 13 === 0 && w =!= "",
+        concat(col("text"), lit(" "), typo)).otherwise(col("text")))
+    val counts = planted
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0)))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // corpus-relative rare/frequent threshold: the 1-row total re-enters as
+    // a broadcast (a global window would single-partition the vocab table);
+    // floor division keeps it integer-exact in both engines (Spark's `/` on
+    // longs is a double divide)
+    val vc = counts
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
+      .withColumn("thr", floor(col("tot") / lit(1000)).cast("long"))
+    fuzzyTermJoin(
+      vc.filter(col("cnt") < col("thr")).select("term", "cnt"),
+      vc.filter(col("cnt") >= col("thr")).select("term", "cnt"))
+      .orderBy(col("typo"), col("fix"))
+  }
+
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val planted = Tables.documents(spark, dir).withColumn("text", concat(

@@ -235,4 +235,54 @@ class TextAnalysisSpec extends SparkSpec {
     val raw = docs.groupBy(md5($"text")).count().count()
     assert(raw === 3L)
   }
+
+  test("fuzzyTermJoin: finds substitution/deletion/insertion pairs, drops " +
+      "distance-2; equals the brute-force levenshtein join on a random vocab") {
+    import spark.implicits._
+    val typos = Seq(("hllo", 1L), ("heello", 1L), ("hxllo", 1L), ("hlo", 1L),
+      ("world", 1L)).toDF("term", "cnt")
+    val fixes = Seq(("hello", 100L), ("word", 100L)).toDF("term", "cnt")
+    val got = TextAnalysis.fuzzyTermJoin(typos, fixes).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // hllo=deletion, heello=insertion, hxllo=substitution; hlo is distance
+    // 2 from hello and must be dropped; world~word is a deletion pair
+    assert(got === Set(("hllo", "hello"), ("heello", "hello"),
+      ("hxllo", "hello"), ("world", "word")))
+
+    // property: on pseudo-random 3-6 char terms over a 3-letter alphabet
+    // (dense edit neighborhoods) the variant equi-join equals brute force
+    // exactly — recall 1 at distance 1, precision via the exact filter
+    val rng = new scala.util.Random(7)
+    val vocab = (1 to 60).map(_ =>
+      (1 to (3 + rng.nextInt(4))).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      .distinct
+    val (l, r) = vocab.splitAt(vocab.length / 2)
+    val lDf = l.map((_, 1L)).toDF("term", "cnt")
+    val rDf = r.map((_, 1L)).toDF("term", "cnt")
+    val fast = TextAnalysis.fuzzyTermJoin(lDf, rDf).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for (a <- l; b <- r if lev(a, b) <= 1) yield (a, b)).toSet
+    assert(fast === brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+  }
+
+  test("fuzzy_term_join entry: every planted typo pairs with its source " +
+      "word, rare side strictly rarer than fix side") {
+    val out = TextAnalysis.fuzzyTermJoinQuery(spark, sfDir).collect()
+    assert(out.nonEmpty, "planted typos must surface")
+    out.foreach { r =>
+      val (typo, fix) = (r.getString(0), r.getString(1))
+      assert(typo != fix)
+      assert(r.getLong(2) < r.getLong(3),
+        s"typo side must be rarer than fix side: $r")
+      assert(math.abs(typo.length - fix.length) <= 1)
+    }
+  }
 }
