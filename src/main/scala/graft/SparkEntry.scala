@@ -105,6 +105,9 @@ object SparkEntry {
     // vocabulary at levenshtein <= 1; provable distance-1 recall, oracle
     // brute-forces all pairs
     "fuzzy_term_join" -> (TextAnalysis.fuzzyTermJoinQuery _),
+    // directed word-6-gram containment: planted quote docs score ~1
+    // against their containers while Jaccard stays near 0
+    "ngram_containment" -> (Dedup.containmentQuery _),
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
     "decontaminate" -> (CorpusPipeline.corpusDecontaminate _),
@@ -1161,6 +1164,31 @@ object SparkEntry {
     // (df desc, term asc) round-robined into 4 queries; df and dl both
     // re-aggregated from tf exactly as the Spark side does; rank over the
     // 4-dp ROUNDED score (desc, doc_id asc) in both engines
+    // the quote plant + the full df-capped inverted-index containment
+    // computation replayed: word 6-grams, df in [2,50], directed
+    // common/|A| at the rounded 0.5 threshold
+    "ngram_containment" ->
+      """WITH nx AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 10 = 0 AND b.doc_id IS NOT NULL
+        |      THEN array_to_string(list_slice(str_split(b.text, ' '), 1, 12), ' ')
+        |      ELSE a.text END AS text
+        |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM nx),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 5)) AS i FROM w),
+        |grams AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(ws, i, i + 5), ' ')) AS g FROM pos),
+        |gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |dfq AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 50),
+        |pr AS (SELECT doc_id, g FROM grams JOIN dfq USING (g)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS container_id, count(*) AS common
+        |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, container_id, round(common::DOUBLE / n, 4) AS containment
+        |FROM inter JOIN gc USING (doc_id)
+        |WHERE round(common::DOUBLE / n, 4) >= 0.5
+        |ORDER BY doc_id, container_id""".stripMargin,
     // brute-force all-pairs Levenshtein join over the replayed typo plant —
     // the ground truth the delete-variant equi-join provably equals at
     // distance 1 (pigeonhole on deletion variants)

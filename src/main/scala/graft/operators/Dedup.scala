@@ -824,4 +824,70 @@ object Dedup {
   def segmentDedupQuery(spark: SparkSession, dir: String): DataFrame =
     segmentDedup(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
+
+  // ---- directed n-gram containment (quote / near-superset detection) ----
+
+  /**
+   * Directed containment pairs: `containment(A→B) = |grams(A) ∩ grams(B)|
+   * / |grams(A)|` over sliding word n-grams — the asymmetry Jaccard
+   * structurally misses. A short document quoted inside a long one scores
+   * containment ≈ 1 while its Jaccard stays near 0 (the union is dominated
+   * by the container), so MinHash/LSH — which approximates Jaccard — can
+   * never surface these pairs; quote and wrapper detection NEEDS its own
+   * candidate structure. That structure is the df-capped inverted index of
+   * [[ngramJaccardInverted]]: word n-grams (high-entropy keys — a 6-word
+   * window ~never repeats by chance, unlike char shingles) with df in
+   * [2, maxDf] generate candidates; the df cap bounds the pair fan-out at
+   * maxDf² per gram and excludes boilerplate grams, biasing scores low for
+   * boilerplate-only overlap — documented, deterministic, and replayed by
+   * the oracle. Pairs are DIRECTED (both orders emitted when both clear the
+   * threshold); `common` counts only sub-cap grams while the denominator
+   * counts all of A's grams, as in the Jaccard variant.
+   */
+  def containmentPairs(docs: DataFrame, n: Int = 6, threshold: Double = 0.5,
+      maxDf: Int = 50, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      // Spark's sequence(1, negative) counts DOWN — short docs must be
+      // filtered, not fed an empty window range (DuckDB's generate_series
+      // yields empty there, so the filter also keeps the engines aligned)
+      .filter(size(col("w")) >= n)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => md5(array_join(slice(col("w"), i, lit(n)), " "))))).as("g"))
+    val gc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val dfq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    // postings are explode-amplified — the same shuffle-hash pin as every
+    // band/inverted join in this file
+    val pr = grams.join(dfq.select("g").hint("shuffle_hash"), "g")
+    pr.select(col("g"), col(idCol).as("contained_id"))
+      .join(pr.select(col("g"), col(idCol).as("container_id")).hint("shuffle_hash"), "g")
+      .filter(col("contained_id") =!= col("container_id"))
+      .groupBy("contained_id", "container_id").agg(count(lit(1)).as("common"))
+      .join(gc.select(col(idCol).as("contained_id"), col("n")).hint("shuffle_hash"),
+        "contained_id")
+      .withColumn("containment", round(col("common").cast("double") / col("n"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id").as("doc_id"), col("container_id"), col("containment"))
+  }
+
+  /** Query entry (oracle-checked): docs with doc_id % 10 == 0 become QUOTE
+    * docs — their text replaced by the first 12 words of the next doc — so
+    * the corpus carries planted (quote ⊂ container) pairs whose Jaccard is
+    * tiny but containment ≈ 1; DuckDB replays the plant and the full
+    * df-capped inverted-index computation. */
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val next = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("next_text"))
+    val planted = docs.join(next, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0 && col("next_text").isNotNull,
+          array_join(slice(split(col("next_text"), " "), 1, 12), " "))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+    containmentPairs(planted).orderBy(col("doc_id"), col("container_id"))
+  }
 }

@@ -374,4 +374,38 @@ class DedupSpec extends SparkSpec {
     assert(nMaybe <= nDups + 0.1 * nBatch,
       s"bloom routed $nMaybe of $nBatch to the join (dups: $nDups)")
   }
+
+  test("containmentPairs: a quoted fragment scores ~1 against its container " +
+      "while Jaccard stays low; direction matters") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 21).map(i => s"w$i").mkString(" ") // 12 interior words
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quote ⊂ body: all 7 of the quote's 6-grams occur in body
+    assert(out((2L, 1L)) === 1.0)
+    // reverse direction: 7 shared of body's 35 grams = 0.2 < threshold
+    assert(!out.contains((1L, 2L)), s"reverse pair must miss threshold: $out")
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // the motivating contrast: the pair's Jaccard is far below any
+    // near-dup threshold (7 shared / 35 union)
+    assert(7.0 / 35.0 < 0.5)
+  }
+
+  test("ngram_containment entry: every planted quote doc surfaces against " +
+      "its container with containment ~1") {
+    val out = Dedup.containmentQuery(spark, sfDir).collect()
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val quotes = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < maxId)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(quotes.nonEmpty)
+    quotes.foreach { q =>
+      val c = byPair.get((q, q + 1))
+      assert(c.exists(_ >= 0.5), s"quote $q missing vs container ${q + 1}: $c")
+    }
+  }
 }
