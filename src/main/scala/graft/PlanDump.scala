@@ -37,7 +37,8 @@ object PlanDump {
       "q22_json_props", "q23_ntile", "cluster_sample", "q24_funnel",
       "q25_retention", "ann_pq", "q26_hopping", "q27_zscore",
       "q28_intersect", "q29_moving_avg", "q30_grouping_sets",
-      "sample_bottomk", "kmv_distinct")
+      "sample_bottomk", "kmv_distinct",
+      "snapshot_diff", "hybrid_search", "fuzzy_term_join", "ngram_containment")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 11)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -157,6 +158,17 @@ object PlanDump {
     sb.append("the scan-stage project (no standalone exploded table) and\n")
     sb.append("shuffles only on window start; `q27_zscore` re-attaches the\n")
     sb.append("5-row moment table as a BroadcastHashJoin onto the scan.\n")
+    sb.append("Round-11 additions: `snapshot_diff` full-outer-joins only\n")
+    sb.append("(doc_id, md5) — the text column must be consumed at its scan\n")
+    sb.append("(md5 below the exchange, join cost = id cardinality);\n")
+    sb.append("`hybrid_search`'s fusion join touches O(queries x poolK) rows\n")
+    sb.append("(each modality pool keeps its own scale shape: corpus explode +\n")
+    sb.append("broadcast query terms, broadcast probes over one scan);\n")
+    sb.append("`fuzzy_term_join` equi-joins deletion variants (vocab-bounded,\n")
+    sb.append("shuffle-hash pinned — never vocab^2, never a gambled broadcast\n")
+    sb.append("of an explode-amplified side); `ngram_containment` is the\n")
+    sb.append("df-capped inverted-index shape of ngram_jaccard_inverted with\n")
+    sb.append("directed membership — pair fan-out bounded at maxDf^2 per gram.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")
