@@ -123,12 +123,17 @@ object Bench {
       else if (v >= 1) f"$v%.1f"
       else if (coarse) f"$v%.1f".stripPrefix("0")
       else f"$v%.2f".stripPrefix("0")
-    def sidecar(envKey: String, default: String, content: String): Unit =
+    // a BENCH_ONLY-restricted run covers a subset of keys, and writing it
+    // to the committed sidecar names would CLOBBER the full board (this
+    // happened: a one-key isolated run replaced the 109-key board at HEAD).
+    // Partial runs land in *.partial files; merge deliberately or not at all.
+    def sidecar(envKey: String, base: String, content: String): Unit =
       try {
+        val default = if (only.isDefined) base + ".partial" else base
         val p = java.nio.file.Paths.get(sys.env.getOrElse(envKey, default))
         java.nio.file.Files.write(p,
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case e: Throwable => System.err.println(s"[bench] $default write failed: $e") }
+      } catch { case e: Throwable => System.err.println(s"[bench] $base write failed: $e") }
     // per-iteration times make noise windows visible: a query whose min is
     // honest shows agreeing samples, a noise-window victim shows the outlier
     // it survived (for isolatedFirst queries, sample 0 IS the isolated one).
