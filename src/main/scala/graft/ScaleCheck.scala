@@ -36,7 +36,8 @@ object ScaleCheck {
     "ngram_jaccard" -> "documents", "dedup_simhash" -> "documents",
     "semantic_dedup" -> "embeddings", "text_lsh_clusters" -> "documents",
     "corpus_clean" -> "documents", "duplicate_passages" -> "documents",
-    "winnow_fingerprint" -> "documents", "embed_neardup" -> "embeddings")
+    "winnow_fingerprint" -> "documents", "embed_neardup" -> "embeddings",
+    "hybrid_search" -> "documents", "ngram_containment" -> "documents")
 
   /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
     * guidance — generous enough for the job-floor noise on the small SF,

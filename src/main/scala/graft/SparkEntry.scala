@@ -111,6 +111,7 @@ object SparkEntry {
     "corpus_sample" -> (CorpusPipeline.corpusSample _),
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
     "decontaminate" -> (CorpusPipeline.corpusDecontaminate _),
+    "decontaminate_bloom" -> (CorpusPipeline.corpusDecontaminateBloom _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
@@ -657,18 +658,11 @@ object SparkEntry {
         | FROM documents) t
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
-    "decontaminate" ->
-      raw"""WITH norm AS (
-        | SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        | FROM documents),
-        |grams AS (
-        | SELECT doc_id, substring(t, i, 8) AS g
-        | FROM norm, unnest(generate_series(1, length(t) - 7)) AS u(i)),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
-        |hits AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
-        |SELECT h.doc_id, count(*) AS shared_grams
-        |FROM hits h JOIN bench b USING (g)
-        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "decontaminate" -> decontaminateOracle,
+    // the bloom routing is invisible to the result (exact verify join
+    // absorbs every false positive), so the SAME oracle pins both — one
+    // definition, one contract, the annExactOracle pattern
+    "decontaminate_bloom" -> decontaminateOracle,
     "text_repetition" ->
       raw"""WITH t AS (
         | SELECT doc_id,
@@ -1860,6 +1854,21 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
       |SELECT src_id, neighbor_id, sim FROM r WHERE rn <= 5
       |ORDER BY src_id, sim DESC, neighbor_id""".stripMargin
+
+  /** Exact shared-gram counts over the %97 corpus/benchmark split — the one
+    * definition behind both `decontaminate` and `decontaminate_bloom`. */
+  private val decontaminateOracle: String =
+    raw"""WITH norm AS (
+      | SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      | FROM documents),
+      |grams AS (
+      | SELECT doc_id, substring(t, i, 8) AS g
+      | FROM norm, unnest(generate_series(1, length(t) - 7)) AS u(i)),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      |hits AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+      |SELECT h.doc_id, count(*) AS shared_grams
+      |FROM hits h JOIN bench b USING (g)
+      |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
 
   private val annExactOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -101,6 +101,61 @@ object CorpusPipeline {
       .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
   }
 
+  /**
+   * Bloom-routed decontamination — [[decontaminate]] for eval suites too
+   * big to broadcast as a literal set. The benchmark's distinct shingles
+   * aggregate into ONE Bloom sketch (distributed partial sketches OR-merged;
+   * only the bytes reach the driver — the [[Dedup.dedupBloomIncremental]]
+   * machinery), which routes corpus grams in the SCAN stage: bloom-negative
+   * grams are DEFINITELY clean and never shuffle, only positives (true
+   * matches + ~fpp of the corpus gram stream) reach the exact semi-join
+   * against the real shingle table, which absorbs all false positives. The
+   * result is therefore IDENTICAL to [[decontaminate]] — same oracle — but
+   * the per-gram cost at 100 TB is a bloom probe instead of a shuffle row,
+   * and no executor ever holds the eval set.
+   */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      gramN: Int = 8, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingleHashes(col("text"), gramN)).as("sh"))
+      .distinct()
+    // gram-count census: one long to the driver, sizes the sketch
+    val n = math.max(1L, benchShingles.count())
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = new BloomFilterAggregate(
+      ColumnShim.expression(xxhash64(col("sh"))),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    val bloomBytes = benchShingles.select(ColumnShim.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = ColumnShim.column(new BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      ColumnShim.expression(xxhash64(col("sh")))))
+    docs
+      .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), gramN)).as("sh"))
+      .filter(mightContain)
+      // exact verify: the fpp stragglers die here, so bloom parameters can
+      // never change the answer — shuffle-hash, the bench gram table is an
+      // aggregate (stats unknowable, broadcast not gambled)
+      .join(benchShingles.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Query entry (oracle-checked): same %97 split and SAME oracle as
+    * `decontaminate` — the bloom routing is invisible to the result, which
+    * is the point. */
+  def corpusDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateBloom(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Query entry: benchmark = every 97th document (a deterministic stand-in
     * for an eval set), corpus = the rest. */
   def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {

@@ -450,6 +450,30 @@ class CorpusPipelineSpec extends SparkSpec {
       s"pair counting is a pure aggregate:\n$plan")
   }
 
+  test("decontaminateBloom: identical result to the broadcast decontaminate " +
+      "(bloom invisible), and the bloom probe routes in the scan stage") {
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = CorpusPipeline.decontaminate(corpus, bench)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bloom = CorpusPipeline.decontaminateBloom(corpus, bench)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(exact.nonEmpty && bloom.toSeq === exact.toSeq)
+    val plan = CorpusPipeline.decontaminateBloom(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // scan-stage routing: between the bloom-probe Filter and the corpus
+    // FileScan it guards there must be NO Exchange — only bloom positives
+    // ever shuffle
+    val lines = plan.linesIterator.toVector
+    val probeLine = lines.indexWhere(_.contains("might_contain"))
+    assert(probeLine >= 0)
+    val below = lines.drop(probeLine + 1)
+    val scanAt = below.indexWhere(_.contains("FileScan"))
+    assert(scanAt >= 0 && !below.take(scanAt).exists(_.contains("Exchange")),
+      s"exchange between bloom probe and its scan:\n$plan")
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
