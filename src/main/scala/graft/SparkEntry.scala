@@ -112,6 +112,9 @@ object SparkEntry {
     "vocab_topk" -> (CorpusPipeline.vocabTopk _),
     "decontaminate" -> (CorpusPipeline.corpusDecontaminate _),
     "decontaminate_bloom" -> (CorpusPipeline.corpusDecontaminateBloom _),
+    // banned-phrase screening: token-boundary contains against a literal
+    // blocklist (top-5 corpus bigrams as the deterministic stand-in)
+    "blocklist_filter" -> (CorpusPipeline.blocklistFilterQuery _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
@@ -658,6 +661,24 @@ object SparkEntry {
         | FROM documents) t
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // blocklist re-derived in SQL (same total order), padded containment
+    // on the whitespace-normalized text — token-boundary semantics
+    "blocklist_filter" ->
+      raw"""WITH d AS (
+        | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |dd AS (SELECT t FROM d WHERE len(t) >= 2),
+        |bg AS (SELECT t[u.i] AS w1, t[u.i+1] AS w2
+        | FROM dd, unnest(range(1, len(t))) AS u(i)),
+        |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |bl AS (SELECT w1 || ' ' || w2 AS phrase FROM f
+        |       ORDER BY c12 DESC, w1, w2 LIMIT 5),
+        |n AS (SELECT doc_id,
+        |  ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS pad
+        | FROM documents)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM n, bl WHERE contains(pad, ' ' || phrase || ' ')
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     // the bloom routing is invisible to the result (exact verify join
     // absorbs every false positive), so the SAME oracle pins both — one

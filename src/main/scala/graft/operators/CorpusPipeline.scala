@@ -167,6 +167,50 @@ object CorpusPipeline {
   }
 
   /**
+   * Banned-phrase screening: per-doc count of blocklist phrases present,
+   * matched on token boundaries (both sides space-padded after whitespace
+   * normalization, so `w1 w2` never matches inside `xw1 w2y`). The
+   * blocklist is config-sized (slur/spam/boilerplate lists are thousands
+   * of entries, not corpus-scale), so it rides into the plan as a literal
+   * array and the whole filter is a scan-stage higher-order expression —
+   * zero shuffle at any corpus size. A 10^6+-phrase list outgrows a
+   * per-phrase `contains` scan; that regime wants an Aho-Corasick automaton
+   * in a custom expression, or [[decontaminate]]'s gram-join shape.
+   */
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty blocklist")
+    val pad = concat(lit(" "),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), lit(" "))
+    val arr = array(phrases.map(p => lit(" " + p + " ")): _*)
+    docs.select(col("doc_id"),
+      size(filter(arr, p => contains(pad, p))).as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** The 5 most frequent word bigrams under the engine-portable total order
+    * (count desc, w1, w2) — a deterministic corpus-derived stand-in for a
+    * real blocklist, same census contract as bm25's query terms. */
+  def topBigramPhrases(docs: DataFrame, k: Int = 5): Seq[String] = {
+    val toks = docs.select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    toks.select(
+      explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(k)
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).toSeq
+  }
+
+  /** Query entry (oracle-checked): flagged docs with hit counts against the
+    * top-5-bigram blocklist; DuckDB re-derives the identical blocklist and
+    * replays the padded containment. */
+  def blocklistFilterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    blocklistFilter(docs, topBigramPhrases(docs)).orderBy(col("doc_id"))
+  }
+
+  /**
    * Per-language median quality gate: keep every document whose (4-dp
    * rounded) quality value lies in the top half of its language BY VALUE —
    * a value v survives iff fewer than half the language's docs score

@@ -450,6 +450,25 @@ class CorpusPipelineSpec extends SparkSpec {
       s"pair counting is a pure aggregate:\n$plan")
   }
 
+  test("blocklistFilter: token-boundary matching, per-doc distinct-phrase " +
+      "counts, clean docs dropped, scan-stage plan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the bad phrase is here"),
+      (2L, "embedded xbad phrase does not count"),
+      (3L, "bad phrase twice other term bad phrase"),
+      (4L, "completely clean row")).toDF("doc_id", "text")
+    val out = CorpusPipeline.blocklistFilter(d, Seq("bad phrase", "other term"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // doc 2: 'xbad phrase' must NOT match on token boundaries
+    // doc 3: two phrases present; repeats of one phrase count once
+    assert(out === Map(1L -> 1, 3L -> 2))
+    val plan = CorpusPipeline.blocklistFilter(d, Seq("bad phrase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"blocklist filter must be scan-stage:\n$plan")
+  }
+
   test("decontaminateBloom: identical result to the broadcast decontaminate " +
       "(bloom invisible), and the bloom probe routes in the scan stage") {
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
