@@ -105,6 +105,9 @@ object SparkEntry {
     // vocabulary at levenshtein <= 1; provable distance-1 recall, oracle
     // brute-forces all pairs
     "fuzzy_term_join" -> (TextAnalysis.fuzzyTermJoinQuery _),
+    // the application side of typo mining: unambiguous corrections
+    // rewritten into the corpus, reassembled in token order
+    "spell_correct" -> (TextAnalysis.spellCorrectQuery _),
     // directed word-6-gram containment: planted quote docs score ~1
     // against their containers while Jaccard stays near 0
     "ngram_containment" -> (Dedup.containmentQuery _),
@@ -1204,6 +1207,45 @@ object SparkEntry {
         |FROM inter JOIN gc USING (doc_id)
         |WHERE round(common::DOUBLE / n, 4) >= 0.5
         |ORDER BY doc_id, container_id""".stripMargin,
+    // the full mine->filter->rewrite pipeline replayed: plant, threshold
+    // split, brute-force distance-1 join, unique-fix filter, token
+    // rewrite, in-order reassembly
+    "spell_correct" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 AND w <> '' THEN text || ' ' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN substr(w, 1, 1) || substr(w, 3)
+        |           ELSE substr(w, 1, 2) || substr(w, 2) END
+        |    ELSE text END AS text
+        |  FROM (SELECT doc_id, text,
+        |          regexp_extract(lower(text), '[a-z]{5,}', 0) AS w
+        |        FROM documents)),
+        |vc AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+        |    FROM aug)
+        |  GROUP BY 1),
+        |th AS (SELECT (sum(cnt) // 1000)::BIGINT AS thr FROM vc),
+        |rare AS (SELECT term FROM vc, th WHERE cnt < thr),
+        |freq AS (SELECT term FROM vc, th WHERE cnt >= thr),
+        |pairs AS (
+        |  SELECT r.term AS typo, f.term AS fix FROM rare r, freq f
+        |  WHERE levenshtein(r.term, f.term) <= 1),
+        |uniq AS (SELECT typo, min(fix) AS fix FROM pairs
+        |         GROUP BY typo HAVING count(*) = 1),
+        |toks AS (
+        |  SELECT doc_id, u.i AS pos, t[u.i] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM aug) s,
+        |  unnest(generate_series(1, len(t))) AS u(i)),
+        |rw AS (
+        |  SELECT doc_id, pos, COALESCE(fix, tok) AS o, fix IS NOT NULL AS corr
+        |  FROM toks LEFT JOIN uniq ON lower(tok) = typo)
+        |SELECT doc_id, array_to_string(list(o ORDER BY pos), ' ') AS text,
+        |  sum(CASE WHEN corr THEN 1 ELSE 0 END)::BIGINT AS n_corrected
+        |FROM rw GROUP BY doc_id
+        |HAVING sum(CASE WHEN corr THEN 1 ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin,
     // brute-force all-pairs Levenshtein join over the replayed typo plant —
     // the ground truth the delete-variant equi-join provably equals at
     // distance 1 (pigeonhole on deletion variants)

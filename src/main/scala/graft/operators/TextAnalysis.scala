@@ -648,6 +648,18 @@ object TextAnalysis {
     * rare/frequent split scale-invariant: plants stay rare and true vocab
     * stays frequent at every SF. */
   def fuzzyTermJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vc) = plantedTypoVocab(spark, dir)
+    fuzzyTermJoin(
+      vc.filter(col("cnt") < col("thr")).select("term", "cnt"),
+      vc.filter(col("cnt") >= col("thr")).select("term", "cnt"))
+      .orderBy(col("typo"), col("fix"))
+  }
+
+  /** The planted-typo corpus plus its thresholded vocabulary — shared by
+    * `fuzzy_term_join` (mining) and `spell_correct` (application) so the
+    * two entries can never drift apart. */
+  private[operators] def plantedTypoVocab(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val w = regexp_extract(lower(col("text")), "[a-z]{5,}", 0)
     val typo = when(col("doc_id") % 2 === 0,
@@ -667,10 +679,57 @@ object TextAnalysis {
     val vc = counts
       .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
       .withColumn("thr", floor(col("tot") / lit(1000)).cast("long"))
-    fuzzyTermJoin(
+    (planted, vc)
+  }
+
+  /**
+   * Apply mined typo corrections to the corpus — the normalization pass
+   * [[fuzzyTermJoin]]'s output feeds. Only UNAMBIGUOUS corrections apply
+   * (a typo with two candidate fixes is dropped here, not guessed), so the
+   * rewrite is a pure function of (corpus, corrections). Tokens match the
+   * correction key case-insensitively on the whole token; matched tokens
+   * are replaced by the fix, everything else passes through, and documents
+   * reassemble in original token order (whitespace normalized to single
+   * spaces — the same contract as the gram kernels).
+   *
+   * Scale shape: one posexplode + ONE token-keyed join against the
+   * vocabulary-bounded correction table (shuffle-hash: corrections derive
+   * from aggregates, stats unknowable, broadcast not gambled) + one
+   * doc-keyed reassembly groupBy — the [[Dedup.segmentDedup]] reassembly
+   * contract, cost linear in corpus tokens at any size.
+   */
+  def spellCorrect(docs: DataFrame, corrections: DataFrame): DataFrame = {
+    val unique = corrections.groupBy(col("typo"))
+      .agg(count(lit(1)).as("nfix"), min(col("fix")).as("fix"))
+      .filter(col("nfix") === 1).select("typo", "fix")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+"))
+        .as(Seq("pos", "tok")))
+    toks
+      .join(unique.hint("shuffle_hash"), lower(col("tok")) === col("typo"), "left")
+      .withColumn("out", coalesce(col("fix"), col("tok")))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("out")))),
+          x => x.getField("out")), " ").as("text"),
+        sum(when(col("fix").isNotNull, 1L).otherwise(0L)).as("n_corrected"))
+  }
+
+  /** Query entry (oracle-checked: the full mine→filter→rewrite pipeline
+    * replayed — plant, threshold split, brute-force distance-1 join,
+    * unique-fix filter, token rewrite, reassembly): corrected docs only,
+    * with rewritten text and correction counts, over the same planted-typo
+    * corpus as `fuzzy_term_join`. */
+  def spellCorrectQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (planted, vc) = plantedTypoVocab(spark, dir)
+    val corrections = fuzzyTermJoin(
       vc.filter(col("cnt") < col("thr")).select("term", "cnt"),
       vc.filter(col("cnt") >= col("thr")).select("term", "cnt"))
-      .orderBy(col("typo"), col("fix"))
+      .select("typo", "fix")
+    spellCorrect(planted, corrections)
+      .filter(col("n_corrected") > 0)
+      .orderBy(col("doc_id"))
   }
 
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {

@@ -273,6 +273,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast === brute, s"missing=${brute -- fast} extra=${fast -- brute}")
   }
 
+  test("spellCorrect: unambiguous corrections rewrite matched tokens in " +
+      "place, ambiguous typos pass through untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the hllo world"),
+      (2L, "ambig stays ambig"),
+      (3L, "Hllo capitalized match"),
+      (4L, "nothing to fix")).toDF("doc_id", "text")
+    val corr = Seq(
+      ("hllo", "hello"),
+      ("ambig", "amber"), ("ambig", "ambit") // two fixes -> dropped
+    ).toDF("typo", "fix")
+    val out = TextAnalysis.spellCorrect(docs, corr).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("the hello world", 1L)))
+    assert(out(2L) === (("ambig stays ambig", 0L)), "ambiguous must not apply")
+    // case-insensitive token match; replacement is the mined (lowercase) fix
+    assert(out(3L) === (("hello capitalized match", 1L)))
+    assert(out(4L) === (("nothing to fix", 0L)))
+  }
+
+  test("spell_correct entry: every corrected doc's rewrite count is " +
+      "positive and its text differs from the planted original") {
+    val out = TextAnalysis.spellCorrectQuery(spark, sfDir).collect()
+    assert(out.nonEmpty, "planted typos must be corrected")
+    out.foreach { r =>
+      assert(r.getLong(2) > 0)
+      assert(r.getString(1).nonEmpty)
+    }
+  }
+
   test("fuzzy_term_join entry: every planted typo pairs with its source " +
       "word, rare side strictly rarer than fix side") {
     val out = TextAnalysis.fuzzyTermJoinQuery(spark, sfDir).collect()
