@@ -57,6 +57,7 @@ object SparkEntry {
     // tokenizer trained offline, applied per micro-batch on the stream
     "token_count_stream" -> (MqRoundtrip.tokenCountStream _),
     "decontaminate_stream" -> (MqRoundtrip.decontaminateStream _),
+    "blocklist_stream" -> (MqRoundtrip.blocklistStream _),
     "dedup_incremental_stream" -> (MqRoundtrip.dedupIncrementalStream _),
     "events_enrich_stream" -> (MqRoundtrip.eventsEnrichStream _),
     "purchase_attribution_stream" -> (MqRoundtrip.purchaseAttributionStream _),
@@ -666,22 +667,10 @@ object SparkEntry {
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
     // blocklist re-derived in SQL (same total order), padded containment
     // on the whitespace-normalized text — token-boundary semantics
-    "blocklist_filter" ->
-      raw"""WITH d AS (
-        | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        | FROM documents),
-        |dd AS (SELECT t FROM d WHERE len(t) >= 2),
-        |bg AS (SELECT t[u.i] AS w1, t[u.i+1] AS w2
-        | FROM dd, unnest(range(1, len(t))) AS u(i)),
-        |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |bl AS (SELECT w1 || ' ' || w2 AS phrase FROM f
-        |       ORDER BY c12 DESC, w1, w2 LIMIT 5),
-        |n AS (SELECT doc_id,
-        |  ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS pad
-        | FROM documents)
-        |SELECT doc_id, count(*) AS n_hits
-        |FROM n, bl WHERE contains(pad, ' ' || phrase || ' ')
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "blocklist_filter" -> blocklistOracle,
+    // the stream partitions the same input, so the union over micro-batches
+    // IS the batch answer — same oracle, one definition
+    "blocklist_stream" -> blocklistOracle,
     "decontaminate" -> decontaminateOracle,
     // the bloom routing is invisible to the result (exact verify join
     // absorbs every false positive), so the SAME oracle pins both — one
@@ -1917,6 +1906,26 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
       |SELECT src_id, neighbor_id, sim FROM r WHERE rn <= 5
       |ORDER BY src_id, sim DESC, neighbor_id""".stripMargin
+
+  /** Top-5-bigram blocklist re-derived under the engine-portable total
+    * order, padded token-boundary containment — behind both
+    * `blocklist_filter` and `blocklist_stream`. */
+  private val blocklistOracle: String =
+    raw"""WITH d AS (
+      | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      | FROM documents),
+      |dd AS (SELECT t FROM d WHERE len(t) >= 2),
+      |bg AS (SELECT t[u.i] AS w1, t[u.i+1] AS w2
+      | FROM dd, unnest(range(1, len(t))) AS u(i)),
+      |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |bl AS (SELECT w1 || ' ' || w2 AS phrase FROM f
+      |       ORDER BY c12 DESC, w1, w2 LIMIT 5),
+      |n AS (SELECT doc_id,
+      |  ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS pad
+      | FROM documents)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM n, bl WHERE contains(pad, ' ' || phrase || ' ')
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** Exact shared-gram counts over the %97 corpus/benchmark split — the one
     * definition behind both `decontaminate` and `decontaminate_bloom`. */

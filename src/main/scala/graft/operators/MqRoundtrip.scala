@@ -408,6 +408,58 @@ object MqRoundtrip {
   }
 
   /**
+   * Streaming blocklist screening through the connector: documents arriving
+   * on the MQ source are checked against the banned-phrase list INSIDE the
+   * scan stage — the blocklist enters as a literal array (config-sized, the
+   * [[CorpusPipeline.blocklistFilter]] contract), so like
+   * [[decontaminateStream]] this is stateless Append mode with no state
+   * store, no shuffle, no join: the right shape for screening an ingest
+   * firehose, where every flagged doc should surface the moment its batch
+   * lands. Oracle = the batch blocklist SQL over the same corpus — the
+   * stream is a pure partition of the batch input, so the union over
+   * micro-batches IS the batch answer.
+   */
+  def blocklistStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = sessionRoot("mq-block", dir)
+    val topic = "docs_block"
+    TopicLog.deleteTopic(root, topic)
+
+    val docs = Tables.documents(spark, dir)
+    val conv = new RowMessageConverter(
+      docs.select("doc_id", "text").schema, fieldDelimiter = "",
+      keyColumns = Seq("doc_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      docs.select("doc_id", "text"), root,
+      new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    // the blocklist census (5 strings) — derived once, batch-side, exactly
+    // as a deployment would load its curated list before starting the stream
+    val phrases = CorpusPipeline.topBigramPhrases(docs)
+
+    val name = "docs_block_" + math.abs(dir.hashCode)
+    val pad = concat(lit(" "),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), lit(" "))
+    val arr = org.apache.spark.sql.functions.array(
+      phrases.map(p => lit(" " + p + " ")): _*)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "block")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("text"))
+      .select(col("doc_id"),
+        size(filter(arr, p => contains(pad, p))).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TopicLog.deleteTopic(root, topic)
+    spark.table(name).orderBy(col("doc_id"))
+  }
+
+  /**
    * Streaming ingestion dedup through the connector: new documents arrive
    * via the MQ micro-batch source (maxRowsPerTrigger bounds each batch) and
    * every micro-batch runs [[Dedup.crossNearDupsWithHistorySigs]] against
