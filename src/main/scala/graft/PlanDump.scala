@@ -38,7 +38,8 @@ object PlanDump {
       "q25_retention", "ann_pq", "q26_hopping", "q27_zscore",
       "q28_intersect", "q29_moving_avg", "q30_grouping_sets",
       "sample_bottomk", "kmv_distinct",
-      "snapshot_diff", "hybrid_search", "fuzzy_term_join", "ngram_containment")
+      "snapshot_diff", "hybrid_search", "fuzzy_term_join", "ngram_containment",
+      "decontaminate_bloom", "blocklist_filter", "spell_correct")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 11)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -169,6 +170,13 @@ object PlanDump {
     sb.append("of an explode-amplified side); `ngram_containment` is the\n")
     sb.append("df-capped inverted-index shape of ngram_jaccard_inverted with\n")
     sb.append("directed membership — pair fan-out bounded at maxDf^2 per gram.\n")
+    sb.append("`decontaminate_bloom` must show the might_contain Filter with\n")
+    sb.append("NO Exchange between it and its corpus scan (bloom-negative\n")
+    sb.append("grams never shuffle); `blocklist_filter` must be pure\n")
+    sb.append("scan-stage (no Exchange, no Join — the blocklist is a literal\n")
+    sb.append("array in a higher-order filter); `spell_correct` is one\n")
+    sb.append("posexplode + one token-keyed shuffle-hash join + one doc-keyed\n")
+    sb.append("reassembly aggregate.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")
