@@ -582,6 +582,44 @@ case class SigEqualFractionExpr(left: Expression, right: Expression)
 }
 
 /**
+ * Distinct-pattern containment count via a shared [[AhoCorasick]] automaton:
+ * `countOf(text)` = how many of `patterns` occur in the text at least once.
+ * One text pass regardless of pattern count — the scale path for blocklists
+ * past the per-phrase-`contains` regime ([[graft.operators.CorpusPipeline
+ * .blocklistFilter]] switches to this expression automatically). The
+ * automaton builds once per executor in a transient lazy val; the plan node
+ * carries only the pattern list.
+ */
+case class MultiContainsCountExpr(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val automaton: AhoCorasick = AhoCorasick.build(patterns)
+
+  override def nullSafeEval(input: Any): Any = countOf(input)
+
+  // codegen calls this on the expression reference: the child value is
+  // computed once by the surrounding generated code (the
+  // HyperplaneBucketExpr contract)
+  def countOf(input: Any): Int =
+    automaton.countDistinct(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj(
+        "multiContains", this, classOf[MultiContainsCountExpr].getName)
+      s"${ev.value} = $ref.countOf($c);"
+    })
+
+  override def prettyName: String = "graft_multi_contains_count"
+  override protected def withNewChildInternal(newChild: Expression): MultiContainsCountExpr =
+    copy(child = newChild)
+}
+
+/**
  * Registration: `GraftFunctions.register(spark)` for an existing session, or
  * `spark.sql.extensions=graft.functions.GraftExtensions` at session build —
  * the SparkSessionExtensions path the reference's table factories occupy in
@@ -622,6 +660,12 @@ object GraftFunctions {
   def simHashBandKeys128(w0: Column, w1: Column, rotations: Int): Column =
     ExpressionUtils.column(SimHashBandKeys128Expr(
       ExpressionUtils.expression(w0), ExpressionUtils.expression(w1), rotations))
+
+  /** How many of `patterns` occur in the text — one Aho-Corasick pass,
+    * independent of pattern count. */
+  def multiContainsCount(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(
+      MultiContainsCountExpr(ExpressionUtils.expression(text), patterns))
 
   def sigEqualFraction(a: Column, b: Column): Column =
     ExpressionUtils.column(

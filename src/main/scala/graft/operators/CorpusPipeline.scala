@@ -172,20 +172,35 @@ object CorpusPipeline {
    * normalization, so `w1 w2` never matches inside `xw1 w2y`). The
    * blocklist is config-sized (slur/spam/boilerplate lists are thousands
    * of entries, not corpus-scale), so it rides into the plan as a literal
-   * array and the whole filter is a scan-stage higher-order expression —
-   * zero shuffle at any corpus size. A 10^6+-phrase list outgrows a
-   * per-phrase `contains` scan; that regime wants an Aho-Corasick automaton
-   * in a custom expression, or [[decontaminate]]'s gram-join shape.
+   * array and the whole filter is a scan-stage expression — zero shuffle at
+   * any corpus size. Past [[AhoCorasickThreshold]] phrases the per-phrase
+   * `contains` loop (O(text × patterns) per doc) switches to ONE
+   * Aho-Corasick pass per doc ([[graft.functions.MultiContainsCountExpr]],
+   * O(text + matches) regardless of pattern count) — same answer, suite-
+   * asserted, so the switch is purely a cost decision. A blocklist too big
+   * to serialize into the plan at all (10^8+) wants [[decontaminate]]'s
+   * gram-join shape instead.
    */
   def blocklistFilter(docs: DataFrame, phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "empty blocklist")
     val pad = concat(lit(" "),
       regexp_replace(lower(trim(col("text"))), "\\s+", " "), lit(" "))
-    val arr = array(phrases.map(p => lit(" " + p + " ")): _*)
-    docs.select(col("doc_id"),
-      size(filter(arr, p => contains(pad, p))).as("n_hits"))
+    val padded = phrases.map(p => " " + p + " ")
+    val hits =
+      if (phrases.length > AhoCorasickThreshold)
+        graft.functions.GraftFunctions.multiContainsCount(pad, padded)
+      else {
+        val arr = array(padded.map(lit): _*)
+        size(filter(arr, p => contains(pad, p)))
+      }
+    docs.select(col("doc_id"), hits.as("n_hits"))
       .filter(col("n_hits") > 0)
   }
+
+  /** Phrase count beyond which [[blocklistFilter]] builds the automaton:
+    * below it the codegen'd literal-array loop wins on constant factors,
+    * above it the O(text × patterns) scan loses to the single AC pass. */
+  val AhoCorasickThreshold: Int = 32
 
   /** The 5 most frequent word bigrams under the engine-portable total order
     * (count desc, w1, w2) — a deterministic corpus-derived stand-in for a

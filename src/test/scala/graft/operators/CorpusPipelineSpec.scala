@@ -469,6 +469,31 @@ class CorpusPipelineSpec extends SparkSpec {
       s"blocklist filter must be scan-stage:\n$plan")
   }
 
+  test("blocklistFilter: the Aho-Corasick path returns exactly the " +
+      "literal-array path's answer on a large phrase list") {
+    val phrases = CorpusPipeline.topBigramPhrases(docs,
+      CorpusPipeline.AhoCorasickThreshold + 8)
+    assert(phrases.length > CorpusPipeline.AhoCorasickThreshold)
+    // AC path (auto-selected above the threshold)
+    val ac = CorpusPipeline.blocklistFilter(docs, phrases)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getInt(1))
+    // literal path, forced by splitting under the threshold and merging
+    val naive = phrases.grouped(CorpusPipeline.AhoCorasickThreshold).toSeq
+      .map(ps => CorpusPipeline.blocklistFilter(docs, ps)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
+      }
+    assert(ac.toMap === naive)
+    val plan = CorpusPipeline.blocklistFilter(docs, phrases)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_multi_contains_count"),
+      s"large list must route through the automaton:\n$plan")
+    assert(!plan.contains("Exchange") || plan.indexOf("Exchange") > plan.indexOf("FileScan"),
+      s"still scan-stage:\n$plan")
+  }
+
   test("decontaminateBloom: identical result to the broadcast decontaminate " +
       "(bloom invisible), and the bloom probe routes in the scan stage") {
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
