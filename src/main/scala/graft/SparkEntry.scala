@@ -94,6 +94,9 @@ object SparkEntry {
     // oracle replays the identical iterations as chained CTEs
     "bpe_merges" -> (CorpusPipeline.bpeMergesEntry _),
     "bpe_encode" -> (CorpusPipeline.bpeEncodeEntry _),
+    // tokens-per-word per language under the trained merges — the
+    // under-served-language signal a multilingual tokenizer team watches
+    "bpe_fertility" -> (CorpusPipeline.bpeFertility _),
     // canonicalize-then-dedup: planted composed/decomposed twins collapse
     // to one normalized key (byte-level dedup would keep both)
     "dedup_exact_nfc" -> (TextAnalysis.dedupExactNfc _),
@@ -783,6 +786,7 @@ object SparkEntry {
     // document re-encoded: per-word sentinel wrap + the 5 merges applied
     // in training order as literal replaces; token count = sentinel count
     "bpe_encode" -> bpeEncodeOracle,
+    "bpe_fertility" -> bpeFertilityOracle,
     // the streamed corpus must tokenize identically to the batch entry
     "token_count_stream" -> bpeEncodeOracle,
     // the sharded global rank must equal the naive single-window rank
@@ -1780,11 +1784,11 @@ object SparkEntry {
       |SELECT query_id AS $queryCol, neighbor_id, sim FROM r WHERE rn <= $k
       |ORDER BY $queryCol, sim DESC, neighbor_id""".stripMargin
 
-  /** Trained merges re-derived (same CTEs as bpe_merges), then every
-    * document re-encoded — shared by the batch bpe_encode entry and the
-    * streaming token_count_stream entry (identical expected output). */
-  private lazy val bpeEncodeOracle: String =
-    raw"""WITH $bpeTrainCtes,
+  /** Per-doc BPE re-encode CTEs (train replay + document re-encode up to the
+    * per-doc `agg` table) — shared by the bpe_encode, token_count_stream and
+    * bpe_fertility oracles. */
+  private lazy val bpeDocTokenCtes: String =
+    raw"""$bpeTrainCtes,
         |dw AS (SELECT doc_id, token AS w FROM (
         |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
         |    FROM documents) t
@@ -1796,10 +1800,26 @@ object SparkEntry {
         |e4 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e3 CROSS JOIN best4 b),
         |e5 AS (SELECT doc_id, replace(seg, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2), chr(1)||b.l||b.r||chr(2)) AS seg FROM e4 CROSS JOIN best5 b),
         |wt AS (SELECT doc_id, len(string_split(replace(seg, chr(2), ''), chr(1))[2:])::BIGINT AS toks FROM e5),
-        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens FROM wt GROUP BY doc_id)
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens FROM wt GROUP BY doc_id)""".stripMargin
+
+  /** Trained merges re-derived (same CTEs as bpe_merges), then every
+    * document re-encoded — shared by the batch bpe_encode entry and the
+    * streaming token_count_stream entry (identical expected output). */
+  private lazy val bpeEncodeOracle: String =
+    raw"""WITH $bpeDocTokenCtes
         |SELECT d.doc_id, coalesce(n_words, 0::BIGINT) AS n_words, coalesce(n_tokens, 0::BIGINT) AS n_tokens
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+
+  /** Per-language fertility over the same per-doc token table. */
+  private lazy val bpeFertilityOracle: String =
+    raw"""WITH $bpeDocTokenCtes
+        |SELECT d.lang,
+        |  sum(coalesce(n_words, 0))::BIGINT AS n_words,
+        |  sum(coalesce(n_tokens, 0))::BIGINT AS n_tokens,
+        |  round(sum(coalesce(n_tokens, 0))::DOUBLE / sum(coalesce(n_words, 0)), 4) AS fertility
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |GROUP BY 1 ORDER BY lang""".stripMargin
 
   /** The bpe_merges training replay (words -> seg0 -> 5x (pairsN, bestN,
     * segN)) shared by the bpe_merges and bpe_encode oracles — the encode

@@ -684,6 +684,27 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /**
+   * Tokenizer fertility report: tokens-per-word per language under the
+   * trained BPE merges — the number a tokenizer team watches per language
+   * slice (a fertility spike on one language means its text is being
+   * shredded into characters, i.e. the merge table under-serves it, the
+   * classic multilingual-tokenizer failure). Scale shape: the encode is the
+   * same scan-stage [[bpeTokenCols]] kernel as `bpe_encode` (merges are
+   * literals in the plan), then ONE language-cardinality aggregate — no
+   * join, no second corpus pass; integer token/word sums with a single
+   * rounded divide, so the ratio is engine-exact.
+   */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (nWords, nTokens) = bpeTokenCols(col("text"), trainedMerges(spark, dir))
+    Tables.documents(spark, dir)
+      .select(col("lang"), nWords.as("w"), nTokens.as("t"))
+      .groupBy("lang")
+      .agg(sum(col("w")).as("n_words"), sum(col("t")).as("n_tokens"),
+        round(sum(col("t")).cast("double") / sum(col("w")), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** Trained merge table for `dir`'s corpus, once per JVM (see
     * [[bpeTrained]]) — train offline, apply everywhere, including on the
     * stream. */

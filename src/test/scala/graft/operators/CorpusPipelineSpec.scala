@@ -469,6 +469,22 @@ class CorpusPipelineSpec extends SparkSpec {
       s"blocklist filter must be scan-stage:\n$plan")
   }
 
+  test("bpeFertility: per-lang totals sum the per-doc encode, fertility " +
+      ">= 1 (a word is at least one token)") {
+    val fert = CorpusPipeline.bpeFertility(spark, sfDir).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1),
+        s"tokens >= words per lang: $r")
+      assert(r.getDouble(3) >= 1.0)
+    }
+    val enc = CorpusPipeline.bpeEncode(docs,
+      CorpusPipeline.trainedMerges(spark, sfDir))
+      .agg(sum(col("n_words")), sum(col("n_tokens"))).head()
+    assert(fert.map(_.getLong(1)).sum === enc.getLong(0))
+    assert(fert.map(_.getLong(2)).sum === enc.getLong(1))
+  }
+
   test("blocklistFilter: the Aho-Corasick path returns exactly the " +
       "literal-array path's answer on a large phrase list") {
     val phrases = CorpusPipeline.topBigramPhrases(docs,
