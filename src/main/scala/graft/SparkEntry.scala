@@ -123,6 +123,7 @@ object SparkEntry {
     // blocklist (top-5 corpus bigrams as the deterministic stand-in)
     "blocklist_filter" -> (CorpusPipeline.blocklistFilterQuery _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
+    "text_entropy" -> (TextAnalysis.textEntropy _),
     "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
     "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
@@ -699,6 +700,25 @@ object SparkEntry {
         | round(topb::DOUBLE / nullif(len(toks) - 1, 0), 4) AS top_bigram_frac
         |FROM t LEFT JOIN ws ON ws.doc_id = t.doc_id LEFT JOIN bgs ON bgs.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // per-char counts -> H = ln(n) - (Σ c·ln(c))/n; the float sum is
+    // accumulated in ascending codepoint order on BOTH engines (ORDER BY ch
+    // here, array-slot/sorted-map order in the CharEntropy kernel) so the
+    // 4-dp rounding sees the same double
+    "text_entropy" ->
+      """WITH c AS (
+        | SELECT doc_id, unnest(string_split(text, '')) AS ch
+        | FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM c GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
+        |       sum(c::DOUBLE * ln(c::DOUBLE) ORDER BY ch) AS clogc
+        |      FROM cc GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(n, 0)::BIGINT AS n_chars,
+        | coalesce(nd, 0)::BIGINT AS distinct_chars,
+        | CASE WHEN n IS NULL THEN NULL
+        |      ELSE round(ln(n::DOUBLE) - clogc / n, 4) END AS char_entropy
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "quality_filter" ->
       """WITH t0 AS (
         | SELECT doc_id, lang,

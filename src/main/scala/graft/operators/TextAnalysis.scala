@@ -228,6 +228,32 @@ object TextAnalysis {
       signalQuality(col("sig"), col("n_chars")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /**
+   * Per-document character-level Shannon entropy in nats:
+   * `H = ln(n) − (Σ c·ln(c))/n` over per-codepoint counts `c` — the
+   * low-entropy-boilerplate / high-entropy-binary-garbage signal the
+   * Gopher repetition rules miss (a doc of one repeated char has
+   * dup_word_frac ≈ 1 only if tokens repeat; its CHAR entropy is 0
+   * regardless of tokenization). Counts come from the one-pass
+   * [[graft.functions.CharEntropy]] kernel; the entropy arithmetic and
+   * 4-dp rounding stay in Catalyst so the DuckDB oracle reproduces them
+   * exactly (both engines accumulate the only order-sensitive float sum
+   * in ascending codepoint order — see the kernel's contract).
+   * NULL entropy for empty text.
+   */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.CharEntropy.entropy(col("text")).as("e"))
+      .select(
+        col("doc_id"),
+        col("e.n_chars").cast("long").as("n_chars"),
+        col("e.distinct_chars").cast("long").as("distinct_chars"),
+        when(col("e.n_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            log(col("e.n_chars").cast("double")) - col("e.clogc") / col("e.n_chars"),
+            4)).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     withSignals(Tables.documents(spark, dir)).select(
       col("doc_id"),
