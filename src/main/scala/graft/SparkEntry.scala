@@ -157,6 +157,7 @@ object SparkEntry {
     "ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
     "ngram_jaccard_inverted" -> (Dedup.ngramJaccardInvertedQuery _),
     "dedup_minhash_keep" -> (Dedup.dedupMinhashKeep _),
+    "dedup_minhash_best" -> (Dedup.dedupMinhashBest _),
     // cluster-level view of the same verified pair graph: one row per
     // near-dup group (size + sorted member list)
     "text_lsh_clusters" -> (Dedup.textLshClusters _),
@@ -1381,6 +1382,34 @@ object SparkEntry {
       s"""WITH RECURSIVE ${clusterCtes("0.7")}
         |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same closure, quality-aware survivor: highest 4-dp quality (id
+    // tie-break) kept per cluster — the quality CTE is quality_filter's
+    // formula verbatim
+    "dedup_minhash_best" ->
+      raw"""WITH RECURSIVE ${clusterCtes("0.7")},
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |q0 AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.3
+        |    + coalesce(alpha_ratio, 0.0) * 0.4
+        |    + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality
+        | FROM q0),
+        |j AS (SELECT cl.id AS doc_id, cl.cluster_id, q.quality
+        |      FROM cl JOIN q ON q.doc_id = cl.id),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rnk
+        |      FROM j)
+        |SELECT doc_id, cluster_id, quality, (rnk = 1) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // the same transitive closure, aggregated per component
     "text_lsh_clusters" ->
       s"""WITH RECURSIVE ${clusterCtes("0.7")},

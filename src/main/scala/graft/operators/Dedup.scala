@@ -717,6 +717,43 @@ object Dedup {
     nearDupKeepDecisions(minHashNearDupsVerified(Tables.documents(spark, dir), threshold = 0.7))
       .orderBy(col("doc_id"))
 
+  /**
+   * Quality-aware survivor selection: within each near-dup cluster keep
+   * the HIGHEST-quality member (tie-break smallest id) instead of
+   * [[dedupMinhashKeep]]'s smallest-id rule — what a curation pipeline
+   * actually wants (near-dup groups mix a clean original with mangled
+   * re-crawls; min-id keeps whichever was crawled first). Quality is the
+   * shared 4-dp [[TextAnalysis.signalQuality]] score, so the per-cluster
+   * ranking is deterministic across engines (exact rounded doubles, id
+   * tie-break).
+   *
+   * Scale shape: clustering is the pointer-jumped [[nearDupClusters]]
+   * (no quadratic stage); the signals kernel runs only on docs that
+   * appear in a pair (corpus joined to the cluster table FIRST — build
+   * side pinned shuffle-hash since cluster cardinality derives from an
+   * agg and must not be gambled on broadcast); the keep window partitions
+   * by cluster, state bounded by cluster size.
+   */
+  def dedupMinhashBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val clusters = nearDupClusters(minHashNearDupsVerified(docs, threshold = 0.7))
+    val scored = docs.join(clusters.hint("shuffle_hash"), "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.TextSignals.signals(col("text")).as("sig"))
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(TextAnalysis.signalQuality(col("sig"), col("n_chars")), lit(0.0))
+          .as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rnk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Query entry (oracle-checked): the CLUSTER-level view of the same
     * verified >=0.7 pair graph — one row per near-dup cluster with its size
     * and comma-joined sorted member list, the shape a curation review uses

@@ -408,4 +408,24 @@ class DedupSpec extends SparkSpec {
       assert(c.exists(_ >= 0.5), s"quote $q missing vs container ${q + 1}: $c")
     }
   }
+
+  test("dedupMinhashBest: same members as the min-id rule, exactly one keep " +
+      "per cluster, and the keep has the cluster's max quality") {
+    val best = Dedup.dedupMinhashBest(spark, sfDir).collect()
+    val keep = Dedup.dedupMinhashKeep(spark, sfDir).collect()
+    assert(best.nonEmpty)
+    // identical (doc_id, cluster_id) membership — only the survivor differs
+    assert(best.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      keep.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val byCluster = best.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      val kept = rows.filter(_.getBoolean(3))
+      assert(kept.length === 1, s"cluster $cid keeps ${kept.length}")
+      val maxQ = rows.map(_.getDouble(2)).max
+      assert(kept.head.getDouble(2) === maxQ)
+      // deterministic tie-break: smallest id among max-quality members
+      val tied = rows.filter(_.getDouble(2) == maxQ).map(_.getLong(0)).min
+      assert(kept.head.getLong(0) === tied)
+    }
+  }
 }
