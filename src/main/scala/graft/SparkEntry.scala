@@ -32,6 +32,7 @@ object SparkEntry {
     "q17_sketches" -> (Relational.q17Sketches _),
     "sample_bottomk" -> ((s: SparkSession, d: String) => operators.Sketches.sampleBottomK(s, d)),
     "kmv_distinct" -> ((s: SparkSession, d: String) => operators.Sketches.kmvDistinct(s, d)),
+    "heavy_hitters" -> (operators.Sketches.heavyHittersQuery _),
     "q18_percentiles" -> (Relational.q18Percentiles _),
     "q19_string_ops" -> (Relational.q19StringOps _),
     "q20_datetime" -> (Relational.q20Datetime _),
@@ -504,6 +505,18 @@ object SparkEntry {
     // for the batch entry and its streaming twin — the stream answers the
     // identical question (hoppingOracle's contract)
     "kmv_distinct" -> kmvOracle,
+    // the Misra-Gries routing is invisible to the result (candidates are a
+    // guaranteed superset, the exact re-count and threshold do the rest),
+    // so the oracle is the PLAIN exact computation — the dedup_bloom
+    // shared-oracle pattern
+    "heavy_hitters" ->
+      """WITH g AS (
+        | SELECT substring(text, i, 3) AS gram
+        | FROM documents, unnest(generate_series(1, length(text) - 2)) AS u(i)),
+        |n AS (SELECT count(*) AS total FROM g),
+        |c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1)
+        |SELECT gram, n FROM c, n WHERE n * 129 > total
+        |ORDER BY n DESC, gram""".stripMargin,
     "kmv_distinct_stream" -> kmvOracle,
     // chained stage minima (each stage >= the previous stage's timestamp),
     // then exact-stage census + reached->=stage reverse running sum

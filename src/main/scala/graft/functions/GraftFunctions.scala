@@ -40,6 +40,26 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+case class CharGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.charGrams(input.asInstanceOf[UTF8String], n)
+  // see ShingleHashesExpr: one static kernel call sited inside whole-stage
+  // codegen — the HOF formulation (transform∘sequence∘substr) interprets
+  // three lambdas per gram per row, measured ~10x slower on the
+  // heavy-hitters gram explode
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashes.charGrams($c, $n);")
+  override def prettyName: String = "graft_char_grams"
+  override protected def withNewChildInternal(newChild: Expression): CharGramsExpr =
+    copy(child = newChild)
+}
+
 case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -694,6 +714,13 @@ object GraftFunctions {
     ExpressionUtils.column(
       BottomKPairsAgg(ExpressionUtils.expression(key),
         ExpressionUtils.expression(payload), k).toAggregateExpression())
+
+  def charGrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharGramsExpr(ExpressionUtils.expression(text), n))
+
+  def misraGries(item: Column, capacity: Int): Column =
+    ExpressionUtils.column(
+      MisraGriesAgg(ExpressionUtils.expression(item), capacity).toAggregateExpression())
 
   // ---- SQL registration ----
 

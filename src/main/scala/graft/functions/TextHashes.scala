@@ -10,6 +10,24 @@ import java.util.Arrays
  */
 object TextHashes {
 
+  /** Overlapping n-char grams of the RAW text as strings (no
+    * normalization — the caller decides), one pass over the UTF8String
+    * by character index so surrogate pairs never split. Static and
+    * Java-callable for [[GraftFunctions.CharGramsExpr]]'s generated code. */
+  def charGrams(s: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = s.numChars() - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val arr = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      arr(i) = s.substring(i, i + n)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** Lowercase, collapse whitespace runs to single spaces, trim. */
   def normalize(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)

@@ -49,6 +49,52 @@ object Sketches {
           transform(col("sk"), p => p.getField("payload").cast("string"))).as("sample"))
       .orderBy(col("lang"))
 
+  /**
+   * Exact heavy hitters via Misra-Gries candidate routing: one pass builds
+   * the mergeable [[graft.functions.MisraGriesAgg]] summary (+ the exact
+   * stream length in the same aggregate); its items — a SUPERSET of every
+   * item with frequency > total/(capacity+1), whatever the partitioning or
+   * merge order — come back to the driver as a ≤ capacity census and
+   * re-enter as a literal IN filter for an exact re-count. The published
+   * answer (exact counts of items above the guarantee threshold) is a pure
+   * function of the data; the order-dependent sketch content never reaches
+   * it (the dedup_bloom routing pattern).
+   *
+   * Why not a plain groupBy(item): that shuffle is domain-cardinality
+   * bounded — fine for a 31-word vocabulary, unbounded for URLs or n-grams
+   * at 100 TB. Here BOTH shuffles are O(partitions × capacity): the sketch
+   * pass by the merge contract, the re-count pass because the IN filter
+   * drops every non-candidate at the scan.
+   */
+  def heavyHitters(items: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    val first = items.agg(
+      GraftFunctions.misraGries(col(itemCol), capacity).as("sk"),
+      count(col(itemCol)).as("total")).head()
+    val total = first.getLong(1)
+    val cands = first.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    if (cands.isEmpty) {
+      items.sparkSession.emptyDataFrame
+        .select(lit("").as(itemCol), lit(0L).as("n")).limit(0)
+    } else {
+      items.filter(col(itemCol).isin(cands: _*))
+        .groupBy(col(itemCol))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * (capacity + 1) > total)
+        .orderBy(col("n").desc, col(itemCol))
+    }
+  }
+
+  /** Char 3-gram heavy hitters of the corpus (capacity 128 < the gram
+    * vocabulary, so the sketch genuinely decrements): the frequent-substring
+    * report over a domain one would not groupBy at 100 TB. Grams come from
+    * the one-pass codegen'd [[GraftFunctions.charGrams]] kernel and stay in
+    * the scan stage — no pre-shuffle, no interpreted HOF lambdas. */
+  def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(explode(GraftFunctions.charGrams(col("text"), 3)).as("gram"))
+    heavyHitters(grams, "gram", capacity = 128)
+  }
+
   /** KMV (k minimum values) distinct estimate per event type: with the k
     * smallest distinct hashed user ids, the k-th smallest normalized hash
     * m estimates the distinct count as (k-1)/m. Emitted columns are

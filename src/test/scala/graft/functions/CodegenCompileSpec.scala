@@ -50,6 +50,7 @@ class CodegenCompileSpec extends SparkSpec {
           GraftFunctions.winnowFps(col("text"), 8, 4).as("fps"),
           TextAnalysisShim.signals(col("text")).as("sig_struct"),
           CharEntropy.entropy(col("text")).as("ent"),
+          GraftFunctions.charGrams(col("text"), 3).as("grams3"),
           TextAnalysisShim.repetition(col("text")).as("rep"),
           GraftFunctions.cosineSim(col("emb"), col("emb")).as("cos"),
           GraftFunctions.hyperplaneBucket(col("emb"), planes).as("bkt"),
