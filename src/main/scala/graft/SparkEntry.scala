@@ -145,6 +145,7 @@ object SparkEntry {
     "ann_quantized" -> (Similarity.annQuantized _),
     // all-vectors 5-NN graph, exhaustive through the IVF cells (EXACT)
     "knn_graph" -> (Similarity.knnGraphQuery _),
+    "graph_pagerank" -> (PageRank.pageRankQuery _),
     // pruned-nprobe graph, eager edge-recall gate vs the exact graph
     "knn_graph_probe" -> (Similarity.knnGraphProbe _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
@@ -1555,6 +1556,7 @@ object SparkEntry {
     // construction — the cells partition the corpus — so all three share
     // the brute-force oracle
     "knn_graph" -> knnGraphOracle,
+    "graph_pagerank" -> pageRankOracle,
     "ann_ivf" -> annExactOracle,
     "ann_ivf_indexed" -> annExactOracle,
     "ann_ivf_refined" -> annExactOracle,
@@ -1988,6 +1990,36 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
       |SELECT src_id, neighbor_id, sim FROM r WHERE rn <= 5
       |ORDER BY src_id, sim DESC, neighbor_id""".stripMargin
+
+  /** The knn_graph brute-force CTEs + 10 chained fixed-point PageRank
+    * iterations. All-integer arithmetic (rank div deg contributions,
+    * 150000 + 85·Σ div 100 updates) makes every intermediate bit-exact —
+    * no float sum ever forms, so no rounding contract is needed. DuckDB's
+    * sum(BIGINT) widens to HUGEINT; each iteration casts back. */
+  private val pageRankOracle: String = {
+    val graph =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+        |  round(list_dot_product(b.emb, a.emb)
+        |    / (sqrt(list_dot_product(b.emb, b.emb)) * sqrt(list_dot_product(a.emb, a.emb))), 4) AS sim
+        | FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |rk AS (SELECT src_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rn FROM s),
+        |g AS (SELECT src_id AS src, neighbor_id AS dst FROM rk WHERE rn <= 5),
+        |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY 1),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM g UNION ALL SELECT dst FROM g)),
+        |r0 AS (SELECT id, 1000000::BIGINT AS pr FROM nodes)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT g.dst AS id, sum(r${i - 1}.pr // deg.deg) AS s
+         |    FROM g JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = g.src
+         |    GROUP BY 1) c ON c.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $graph,\n$iters\nSELECT id AS vec_id, pr AS rank_ppm FROM r10 ORDER BY vec_id"
+  }
 
   /** Top-5-bigram blocklist re-derived under the engine-portable total
     * order, padded token-boundary containment — behind both

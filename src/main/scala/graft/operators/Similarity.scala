@@ -33,7 +33,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosineSim(a, b)
 
-  private def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
+  private[operators] def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
   /**
    * Exact top-k cosine neighbors for each probe vector.

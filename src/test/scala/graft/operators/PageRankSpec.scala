@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+
+  /** Scala reference of the same fixed-point recurrence. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / deg(s) }.sum).toMap
+      pr = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  private val diamond = Seq[(Long, Long)](
+    (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L), (5L, 1L))
+
+  test("matches the integer recurrence on a hand graph, every iteration count") {
+    import spark.implicits._
+    val e = diamond.toDF("src_id", "dst_id")
+    Seq(1, 3, 10).foreach { iters =>
+      val got = PageRank.pageRank(e, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ref(diamond, iters), s"iters=$iters")
+    }
+  }
+
+  test("bit-identical under adversarial partitionings (the determinism contract)") {
+    import spark.implicits._
+    val e = diamond.toDF("src_id", "dst_id")
+    val a = PageRank.pageRank(e.repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.pageRank(e.repartitionByRange(3, col("dst_id")), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("entry: every embedding ranked, mass bounded by damping") {
+    val out = PageRank.pageRankQuery(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length === n)
+    out.foreach { r =>
+      val pr = r.getLong(1)
+      // floor: a node nobody links to; cap: total mass can never exceed N
+      assert(pr >= 150000L && pr <= n * 1000000L)
+    }
+    // ranks differentiate (a uniform answer would mean the graph was lost)
+    assert(out.map(_.getLong(1)).distinct.length > 10)
+  }
+}
