@@ -146,6 +146,7 @@ object SparkEntry {
     // all-vectors 5-NN graph, exhaustive through the IVF cells (EXACT)
     "knn_graph" -> (Similarity.knnGraphQuery _),
     "graph_pagerank" -> (PageRank.pageRankQuery _),
+    "embedding_outliers" -> (Similarity.embeddingOutliers _),
     // pruned-nprobe graph, eager edge-recall gate vs the exact graph
     "knn_graph_probe" -> (Similarity.knnGraphProbe _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
@@ -1557,6 +1558,25 @@ object SparkEntry {
     // the brute-force oracle
     "knn_graph" -> knnGraphOracle,
     "graph_pagerank" -> pageRankOracle,
+    // marginal-median centers: a median is a selection (bit-reproducible),
+    // a mean is an order-dependent float sum — that choice is what lets
+    // this oracle compare sims exactly at 4 dp. Spark's posexplode pos is
+    // 0-based and DuckDB's generate_series 1-based; both centers list in
+    // ascending pos, so components align positionally.
+    "embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |d AS (SELECT label, u.i AS pos, emb[u.i] AS x
+        |      FROM e, unnest(generate_series(1, len(emb))) AS u(i)),
+        |med AS (SELECT label, pos, quantile_cont(x, 0.5) AS m FROM d GROUP BY 1, 2),
+        |ctr AS (SELECT label, list(m ORDER BY pos) AS center FROM med GROUP BY 1),
+        |sc AS (SELECT vec_id, e.label,
+        |  round(list_dot_product(emb, center)
+        |    / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(center, center))), 4) AS sim
+        | FROM e JOIN ctr ON ctr.label = e.label),
+        |cut AS (SELECT label, quantile_cont(sim, 0.1) AS cutoff FROM sc GROUP BY 1)
+        |SELECT vec_id, sc.label, sim, (sim <= cutoff) AS is_outlier
+        |FROM sc JOIN cut ON cut.label = sc.label
+        |ORDER BY vec_id""".stripMargin,
     "ann_ivf" -> annExactOracle,
     "ann_ivf_indexed" -> annExactOracle,
     "ann_ivf_refined" -> annExactOracle,

@@ -330,6 +330,47 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  /**
+   * Embedding outlier report (the SemDeDup/DCLM pre-filter that drops
+   * mis-embedded or off-distribution vectors before clustering): score
+   * every vector by cosine to its label's MARGINAL-MEDIAN center and flag
+   * the bottom decile per label. The center is the per-dimension exact
+   * median, not the mean, for two reasons: medians are robust to the very
+   * outliers being hunted, and — the oracle reason — a median is a
+   * SELECTION (sort + at most one IEEE midpoint op), bit-reproducible in
+   * any engine, where a float mean is a partition-order-dependent sum
+   * that can flip a 4-dp round (the q29 hazard class). The decile cutoff
+   * is the same exact-percentile interpolation as q18.
+   *
+   * Scale shape: the center is a posexplode aggregate bounded by
+   * N×dims rows shuffling into labels×dims groups (the
+   * quantize_embeddings per-dim-stats shape) — at 100 TB swap the exact
+   * percentile for approx_percentile and keep everything else; centers
+   * and cutoffs are labels-bounded and explicitly broadcast; scoring is
+   * one scan-stage cosine kernel pass, localCheckpoint'ed so the cutoff
+   * aggregate and the final join don't recompute the median pipeline.
+   */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    val dims = emb.select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+    val med = dims.groupBy(col("label"), col("pos"))
+      .agg(expr("percentile(x, 0.5)").as("m"))
+    val centers = med.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("center"))
+    val scored = emb.join(broadcast(centers), "label")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("emb"), col("center")), 4).as("sim"))
+      .localCheckpoint()
+    val cut = scored.groupBy(col("label"))
+      .agg(expr("percentile(sim, 0.1)").as("cutoff"))
+    scored.join(broadcast(cut), "label")
+      .select(col("vec_id"), col("label"), col("sim"),
+        (col("sim") <= col("cutoff")).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- kNN graph (all-vectors top-k neighbors) ----
 
   /**

@@ -475,4 +475,20 @@ class SimilaritySpec extends SparkSpec {
     val hasSingle = out.exists(r => r.isNullAt(4) ^ r.isNullAt(5))
     assert(hasBoth || hasSingle) // fusion saw a non-degenerate mix
   }
+
+  test("embeddingOutliers: every vector scored; flags are exactly the " +
+      "bottom-decile sims per label") {
+    val out = Similarity.embeddingOutliers(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length === n)
+    out.groupBy(_.get(1)).foreach { case (label, rows) =>
+      val flagged = rows.filter(_.getBoolean(3)).map(_.getDouble(2))
+      val keptMin = rows.filterNot(_.getBoolean(3)).map(_.getDouble(2)).min
+      // the flag is a threshold: every flagged sim sits below every kept sim
+      assert(flagged.nonEmpty && flagged.max <= keptMin, s"label $label")
+      // decile-ish share (interpolated cutoff, ties included)
+      val share = flagged.length.toDouble / rows.length
+      assert(share >= 0.02 && share <= 0.25, s"label $label share $share")
+    }
+  }
 }
