@@ -39,7 +39,9 @@ object PlanDump {
       "q28_intersect", "q29_moving_avg", "q30_grouping_sets",
       "sample_bottomk", "kmv_distinct",
       "snapshot_diff", "hybrid_search", "fuzzy_term_join", "ngram_containment",
-      "decontaminate_bloom", "blocklist_filter", "spell_correct")
+      "decontaminate_bloom", "blocklist_filter", "spell_correct",
+      "text_entropy", "dedup_minhash_best", "heavy_hitters", "graph_pagerank",
+      "embedding_outliers")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 11)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -177,6 +179,20 @@ object PlanDump {
     sb.append("array in a higher-order filter); `spell_correct` is one\n")
     sb.append("posexplode + one token-keyed shuffle-hash join + one doc-keyed\n")
     sb.append("reassembly aggregate.\n")
+    sb.append("Late round-11 additions: `text_entropy` must be pure scan-stage\n")
+    sb.append("(the CharEntropy kernel, no Exchange below the orderBy);\n")
+    sb.append("`dedup_minhash_best` joins the corpus to the converged cluster\n")
+    sb.append("table SHUFFLE-HASH (cluster cardinality derives from the pair\n")
+    sb.append("graph, never a gambled broadcast) and ranks inside per-cluster\n")
+    sb.append("window partitions; `heavy_hitters` (dumped plan = the exact\n")
+    sb.append("re-count pass; the Misra-Gries census pass runs eagerly before\n")
+    sb.append("planning) must show the candidate IN filter in the SCAN stage so\n")
+    sb.append("non-candidate grams never reach the exchange; `graph_pagerank`\n")
+    sb.append("(dumped plan = the final ranks after the iterative jobs) must\n")
+    sb.append("show edge-bounded shuffle-hash joins, never a rank-table\n")
+    sb.append("broadcast; `embedding_outliers` re-attaches labels-bounded\n")
+    sb.append("centers and cutoffs as explicit BroadcastHashJoins over the\n")
+    sb.append("localCheckpoint'ed scored table.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -37,7 +37,9 @@ object ScaleCheck {
     "semantic_dedup" -> "embeddings", "text_lsh_clusters" -> "documents",
     "corpus_clean" -> "documents", "duplicate_passages" -> "documents",
     "winnow_fingerprint" -> "documents", "embed_neardup" -> "embeddings",
-    "hybrid_search" -> "documents", "ngram_containment" -> "documents")
+    "hybrid_search" -> "documents", "ngram_containment" -> "documents",
+    "dedup_minhash_best" -> "documents", "heavy_hitters" -> "documents",
+    "graph_pagerank" -> "embeddings")
 
   /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
     * guidance — generous enough for the job-floor noise on the small SF,
