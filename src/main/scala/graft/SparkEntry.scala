@@ -147,6 +147,7 @@ object SparkEntry {
     "knn_graph" -> (Similarity.knnGraphQuery _),
     "graph_pagerank" -> (PageRank.pageRankQuery _),
     "embedding_outliers" -> (Similarity.embeddingOutliers _),
+    "hard_negatives" -> (Similarity.hardNegativesQuery _),
     // pruned-nprobe graph, eager edge-recall gate vs the exact graph
     "knn_graph_probe" -> (Similarity.knnGraphProbe _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
@@ -1558,6 +1559,18 @@ object SparkEntry {
     // the brute-force oracle
     "knn_graph" -> knnGraphOracle,
     "graph_pagerank" -> pageRankOracle,
+    // the knn brute-force shape with the label inequality applied before
+    // the per-anchor top-k — exhaustive nprobe makes the IVF path equal it
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id, b.label AS negative_label,
+        |  round(list_dot_product(b.emb, a.emb)
+        |    / (sqrt(list_dot_product(b.emb, b.emb)) * sqrt(list_dot_product(a.emb, a.emb))), 4) AS sim
+        | FROM e a, e b WHERE a.vec_id <> b.vec_id AND a.label <> b.label),
+        |r AS (SELECT anchor_id, negative_id, negative_label, sim,
+        |  row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS rn FROM s)
+        |SELECT anchor_id, negative_id, negative_label, sim FROM r WHERE rn <= 5
+        |ORDER BY anchor_id, sim DESC, negative_id""".stripMargin,
     // marginal-median centers: a median is a selection (bit-reproducible),
     // a mean is an order-dependent float sum — that choice is what lets
     // this oracle compare sims exactly at 4 dp. Spark's posexplode pos is

@@ -446,6 +446,54 @@ object Similarity {
     approx.orderBy(col("src_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  // ---- hard-negative mining ----
+
+  /**
+   * Hard-negative mining for contrastive embedding training (the DPR /
+   * SimCSE data-prep step): for EVERY vector, the top-`k` most
+   * cosine-similar vectors carrying a DIFFERENT label — near the anchor in
+   * embedding space but semantically wrong, exactly the negatives that
+   * teach a bi-encoder its decision boundary (random negatives are too
+   * easy; same-label neighbors are false negatives).
+   *
+   * Same cell machinery and scale shape as [[knnGraph]] (the probe side IS
+   * the corpus, so the cell equi-join is pinned shuffle-hash; per-anchor
+   * window state is that anchor's candidate list) with the label
+   * inequality applied BEFORE the top-k window — positives never occupy
+   * candidate slots. At exhaustive nprobe the result provably equals the
+   * brute-force filtered graph (cells partition the corpus), which is
+   * what the oracle replays.
+   */
+  def hardNegatives(corpus: DataFrame, k: Int = 5,
+      numCentroids: Int = 16, nprobe: Int = 16): DataFrame = {
+    val centroids = sampleCentroids(corpus, numCentroids)
+    val probeN = math.min(nprobe, centroids.length)
+    val indexed = assignCells(corpus.select("vec_id", "emb", "label"), "emb", centroids)
+    val probes = corpus
+      .select(col("vec_id").as("anchor_id"), col("emb").as("q_emb"),
+        col("label").as("anchor_label"))
+      .withColumn("centroid_id", explode(
+        graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(probes.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("label") =!= col("anchor_label"))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("anchor_id"), col("vec_id").as("negative_id"),
+        col("label").as("negative_label"), col("sim"))
+  }
+
+  /** Query entry (oracle-checked): exhaustive-nprobe hard negatives ≡ the
+    * brute-force label-filtered graph. */
+  def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        col("label").cast("long").as("label"))
+    hardNegatives(emb, k = 5, numCentroids = 16, nprobe = 16)
+      .orderBy(col("anchor_id"), col("sim").desc, col("negative_id"))
+  }
+
   // ---- persisted IVF index ----
 
   /**

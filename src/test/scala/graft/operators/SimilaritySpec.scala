@@ -476,6 +476,34 @@ class SimilaritySpec extends SparkSpec {
     assert(hasBoth || hasSingle) // fusion saw a non-degenerate mix
   }
 
+  test("hardNegatives: label inequality holds and the exhaustive path " +
+      "equals the brute-force filtered graph") {
+    val got = Similarity.hardNegativesQuery(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(labels(r.getLong(0)) !== r.getLong(2), s"false negative in $r")
+      assert(labels(r.getLong(1)) === r.getLong(2))
+    }
+    // brute force: all-pairs cosine, drop same-label, top-5 per anchor
+    val e = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("emb"),
+      col("label").cast("long").as("label"))
+    val a = e.select(col("vec_id").as("anchor_id"), col("emb").as("q_emb"),
+      col("label").as("anchor_label"))
+    val pairs = e.crossJoin(a)
+      .filter(col("vec_id") =!= col("anchor_id") && col("label") =!= col("anchor_label"))
+      .withColumn("sim", round(Similarity.cosine(col("emb"), col("q_emb")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("vec_id"))
+    val exact = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("anchor_id"), col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet === exact)
+  }
+
   test("embeddingOutliers: every vector scored; flags are exactly the " +
       "bottom-decile sims per label") {
     val out = Similarity.embeddingOutliers(spark, sfDir).collect()
