@@ -13,7 +13,7 @@ object Bench {
       "events_dedup_stream", "sessionize_stream",
       "corpus_quality_stream", "decontaminate_stream", "events_enrich_stream",
       "purchase_attribution_stream", "token_count_stream",
-      "kmv_distinct_stream", "blocklist_stream")
+      "kmv_distinct_stream", "blocklist_stream", "entropy_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,6 +59,7 @@ object SparkEntry {
     "token_count_stream" -> (MqRoundtrip.tokenCountStream _),
     "decontaminate_stream" -> (MqRoundtrip.decontaminateStream _),
     "blocklist_stream" -> (MqRoundtrip.blocklistStream _),
+    "entropy_stream" -> (MqRoundtrip.entropyStream _),
     "dedup_incremental_stream" -> (MqRoundtrip.dedupIncrementalStream _),
     "events_enrich_stream" -> (MqRoundtrip.eventsEnrichStream _),
     "purchase_attribution_stream" -> (MqRoundtrip.purchaseAttributionStream _),
@@ -717,25 +718,11 @@ object SparkEntry {
         | round(topb::DOUBLE / nullif(len(toks) - 1, 0), 4) AS top_bigram_frac
         |FROM t LEFT JOIN ws ON ws.doc_id = t.doc_id LEFT JOIN bgs ON bgs.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
-    // per-char counts -> H = ln(n) - (Σ c·ln(c))/n; the float sum is
-    // accumulated in ascending codepoint order on BOTH engines (ORDER BY ch
-    // here, array-slot/sorted-map order in the CharEntropy kernel) so the
-    // 4-dp rounding sees the same double
-    "text_entropy" ->
-      """WITH c AS (
-        | SELECT doc_id, unnest(string_split(text, '')) AS ch
-        | FROM documents WHERE length(text) > 0),
-        |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM c GROUP BY 1, 2),
-        |s AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
-        |       sum(c::DOUBLE * ln(c::DOUBLE) ORDER BY ch) AS clogc
-        |      FROM cc GROUP BY 1)
-        |SELECT d.doc_id,
-        | coalesce(n, 0)::BIGINT AS n_chars,
-        | coalesce(nd, 0)::BIGINT AS distinct_chars,
-        | CASE WHEN n IS NULL THEN NULL
-        |      ELSE round(ln(n::DOUBLE) - clogc / n, 4) END AS char_entropy
-        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "text_entropy" -> entropyOracle,
+    // the stream partitions the same input through a stateless per-doc
+    // kernel map, so the micro-batch union IS the batch answer — one
+    // oracle, one contract (the blocklist_stream pattern)
+    "entropy_stream" -> entropyOracle,
     "quality_filter" ->
       """WITH t0 AS (
         | SELECT doc_id, lang,
@@ -2023,6 +2010,27 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
       |SELECT src_id, neighbor_id, sim FROM r WHERE rn <= 5
       |ORDER BY src_id, sim DESC, neighbor_id""".stripMargin
+
+  /** Per-char counts -> H = ln(n) - (Σ c·ln(c))/n; the float sum is
+    * accumulated in ascending codepoint order on BOTH engines (ORDER BY ch
+    * here, array-slot/sorted-map order in the CharEntropy kernel) so the
+    * 4-dp rounding sees the same double. Shared by `text_entropy` and its
+    * streaming twin `entropy_stream`. */
+  private val entropyOracle: String =
+    """WITH c AS (
+      | SELECT doc_id, unnest(string_split(text, '')) AS ch
+      | FROM documents WHERE length(text) > 0),
+      |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM c GROUP BY 1, 2),
+      |s AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
+      |       sum(c::DOUBLE * ln(c::DOUBLE) ORDER BY ch) AS clogc
+      |      FROM cc GROUP BY 1)
+      |SELECT d.doc_id,
+      | coalesce(n, 0)::BIGINT AS n_chars,
+      | coalesce(nd, 0)::BIGINT AS distinct_chars,
+      | CASE WHEN n IS NULL THEN NULL
+      |      ELSE round(ln(n::DOUBLE) - clogc / n, 4) END AS char_entropy
+      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** The knn_graph brute-force CTEs + 10 chained fixed-point PageRank
     * iterations. All-integer arithmetic (rank div deg contributions,

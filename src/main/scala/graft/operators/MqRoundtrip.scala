@@ -460,6 +460,54 @@ object MqRoundtrip {
   }
 
   /**
+   * Streaming entropy screening through the connector: every document
+   * arriving on the MQ source gets its char-entropy profile INSIDE the
+   * scan stage via the one-pass [[graft.functions.CharEntropy]] kernel —
+   * like [[blocklistStream]] this is stateless Append mode with no state
+   * store, no shuffle, no join: the ingest-firehose shape for the
+   * low-entropy-boilerplate / binary-garbage gate. Oracle = the batch
+   * text_entropy SQL over the same corpus (the stream is a pure partition
+   * of the batch input, so the micro-batch union IS the batch answer).
+   */
+  def entropyStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = sessionRoot("mq-entropy", dir)
+    val topic = "docs_entropy"
+    TopicLog.deleteTopic(root, topic)
+
+    val docs = Tables.documents(spark, dir)
+    val conv = new RowMessageConverter(
+      docs.select("doc_id", "text").schema, fieldDelimiter = "",
+      keyColumns = Seq("doc_id"), writeKeysToBody = true)
+    MessageQueueSink.write(
+      docs.select("doc_id", "text"), root,
+      new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+
+    val name = "docs_entropy_" + math.abs(dir.hashCode)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "entropy")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .load()
+      .select(split(col("body"), "").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("text"))
+      .select(col("doc_id"), graft.functions.CharEntropy.entropy(col("text")).as("e"))
+      .select(
+        col("doc_id"),
+        col("e.n_chars").cast("long").as("n_chars"),
+        col("e.distinct_chars").cast("long").as("distinct_chars"),
+        when(col("e.n_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            log(col("e.n_chars").cast("double")) - col("e.clogc") / col("e.n_chars"),
+            4)).as("char_entropy"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TopicLog.deleteTopic(root, topic)
+    spark.table(name).orderBy(col("doc_id"))
+  }
+
+  /**
    * Streaming ingestion dedup through the connector: new documents arrive
    * via the MQ micro-batch source (maxRowsPerTrigger bounds each batch) and
    * every micro-batch runs [[Dedup.crossNearDupsWithHistorySigs]] against

@@ -17,6 +17,15 @@ class CorpusQualityStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed entropy profiles equal the batch kernel's") {
+    val streamed = MqRoundtrip.entropyStream(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val batch = TextAnalysis.textEntropy(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamed decontamination flags equal the batch broadcast join's") {
     import org.apache.spark.sql.functions.col
     val streamed = MqRoundtrip.decontaminateStream(spark, sfDir).collect()
