@@ -41,7 +41,7 @@ object PlanDump {
       "snapshot_diff", "hybrid_search", "fuzzy_term_join", "ngram_containment",
       "decontaminate_bloom", "blocklist_filter", "spell_correct",
       "text_entropy", "dedup_minhash_best", "heavy_hitters", "graph_pagerank",
-      "embedding_outliers")
+      "embedding_outliers", "hard_negatives")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 11)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

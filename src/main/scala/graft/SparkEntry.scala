@@ -126,6 +126,8 @@ object SparkEntry {
     "blocklist_filter" -> (CorpusPipeline.blocklistFilterQuery _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_entropy" -> (TextAnalysis.textEntropy _),
+    "langid_confusion" -> (TextAnalysis.langidConfusion _),
+    "length_histogram" -> (CorpusPipeline.lengthHistogramQuery _),
     "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
     "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
@@ -1097,6 +1099,52 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the text_langid decision chain aggregated into the confusion matrix;
+    // shares are BIGINT per-mille of the labeled lang (integer division)
+    "langid_confusion" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk, length(text) AS n,
+        |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, lang, cjk, n,
+        |  len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) AS en,
+        |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','mit','für','auf','ein','eine','zu','den','im','nicht'], t))) AS de,
+        |  len(list_filter(toks, t -> list_contains(['le','la','les','de','et','est','un','une','du','des','en','que','qui','dans','pour'], t))) AS fr,
+        |  len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','del','en','que','por','con','para'], t))) AS es
+        | FROM t),
+        |p AS (SELECT lang,
+        | CASE WHEN cjk * 2 > n THEN 'zh'
+        |      WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+        |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de >= fr AND de >= es THEN 'de'
+        |      WHEN fr >= es THEN 'fr'
+        |      ELSE 'es' END AS pred_lang
+        |FROM h),
+        |conf AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n_docs)::BIGINT AS total FROM conf GROUP BY 1)
+        |SELECT conf.lang, pred_lang, n_docs,
+        | ((n_docs * 1000) // total)::BIGINT AS share_pm
+        |FROM conf JOIN tot ON tot.lang = conf.lang
+        |ORDER BY conf.lang, pred_lang""".stripMargin,
+    // power-of-two buckets via binary-string length, NOT floor(log2):
+    // log2's ulp at exact powers of two (the boundaries) can land either
+    // side of the integer in different engines
+    "length_histogram" ->
+      raw"""WITH t AS (
+        | SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        | FROM documents),
+        |b AS (SELECT CASE WHEN n = 0 THEN -1
+        |             ELSE length(printf('%b', n)) - 1 END AS bucket, n FROM t),
+        |g AS (SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+        |      FROM b GROUP BY 1)
+        |SELECT bucket,
+        | CASE WHEN bucket < 0 THEN 0 ELSE (1::BIGINT << bucket) END::BIGINT AS lo_tokens,
+        | n_docs, n_tokens,
+        | ((n_docs * 1000) // (SELECT sum(n_docs) FROM g))::BIGINT AS doc_share_pm
+        |FROM g ORDER BY bucket""".stripMargin,
     // the same winnowing pass as TextAnalysis.winnowFingerprints: k=8 char
     // grams md5'd, window-of-4 minima, distinct-sorted set digested.
     // DuckDB's 1-based inclusive slices s[i:i+7] / hs[j:j+3] mirror Spark's

@@ -946,6 +946,44 @@ object CorpusPipeline {
       .orderBy(col("source"), col("lang"))
 
   /**
+   * Token-length histogram in power-of-two buckets: (bucket =
+   * floor(log2(n_tokens)), bucket floor value, doc count, token total,
+   * integer per-mille doc share) — the distribution [[packSequences]]'
+   * budget and a max-sequence-length choice are read off of. The bucket
+   * index comes from the BINARY-STRING length (`length(bin(n)) - 1`), not
+   * `floor(log2(n))`: log2 evaluates as ln(n)/ln(2) whose ulp at exact
+   * powers of two — the bucket boundaries themselves — can land either
+   * side of the integer in different engines; string length is exact in
+   * both. Empty docs land in bucket -1.
+   *
+   * Scale shape: one map-side-combined aggregate over the scan-stage
+   * signals kernel into a ~64-row table; the doc total is a window over
+   * that table, never a second corpus pass (the corpusStats contract).
+   */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val n = graft.functions.TextSignals.signals(col("text"))
+      .getField("ws_tokens").cast("long")
+    val agg = docs.select(
+      when(n === 0, lit(-1))
+        .otherwise(length(bin(n)) - 1).cast("int").as("bucket"),
+      n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    agg.withColumn("total", sum("n_docs").over(all))
+      .select(col("bucket"),
+        when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket)")).as("lo_tokens"),
+        col("n_docs"), col("n_tokens"),
+        expr("(1000 * n_docs) div total").as("doc_share_pm"))
+      .orderBy(col("bucket"))
+  }
+
+  def lengthHistogramQuery(spark: SparkSession, dir: String): DataFrame =
+    lengthHistogram(Tables.documents(spark, dir))
+
+  /**
    * Snapshot diff — the crawl-over-crawl delta report a recurring
    * ingestion pipeline runs before reprocessing anything: which documents
    * were added, removed, or changed between two corpus snapshots, decided

@@ -261,6 +261,32 @@ object TextAnalysis {
       signalLangId(col("sig"), col("n_chars")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /**
+   * Language-ID confusion matrix: (labeled lang, predicted lang, count,
+   * integer per-mille share of the labeled lang) — the eval artifact that
+   * turns [[textLangId]]'s per-doc rows into the per-language error
+   * profile curation decisions read (NB the synthetic labels are random
+   * w.r.t. content, so here the matrix measures engine parity, not
+   * classifier quality). Shares are BIGINT per-mille (the corpus_stats
+   * integer-division contract) — no float, no rounding hazard.
+   *
+   * Scale shape: one map-side-combined aggregate over the scan-stage
+   * signals kernel into a langs×langs-bounded table; the per-lang total
+   * is a window over THAT table, never a second corpus pass.
+   */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = withSignals(Tables.documents(spark, dir))
+      .select(col("lang"), signalLangId(col("sig"), col("n_chars")).as("pred_lang"))
+    val conf = pred.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    conf
+      .withColumn("total", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("(n_docs * 1000) div total").as("share_pm"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** Two tokenizations side by side: whitespace tokens and a BPE-ish regex
     * (word pieces, numbers, single punctuation — the GPT-2 pre-tokenizer
     * shape). */

@@ -316,4 +316,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(typo.length - fix.length) <= 1)
     }
   }
+
+  test("langidConfusion: doc counts cover the corpus; per-lang shares sum " +
+      "to 1000 minus only integer-floor loss") {
+    val out = TextAnalysis.langidConfusion(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(2)).sum === n)
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 1000 && s > 1000 - rows.length, s"lang $lang shares sum $s")
+      // the per-cell share must be the exact integer division
+      val total = rows.map(_.getLong(2)).sum
+      rows.foreach(r => assert(r.getLong(3) === r.getLong(2) * 1000 / total))
+    }
+  }
+
+  test("lengthHistogram: buckets cover the corpus and bound their members") {
+    val out = CorpusPipeline.lengthHistogramQuery(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    out.foreach { r =>
+      val (bucket, lo, nDocs, nTokens) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (bucket >= 0) {
+        assert(lo === (1L << bucket))
+        // every member has lo <= n < 2*lo, so the bucket's token sum must
+        assert(nTokens >= nDocs * lo && nTokens < nDocs * lo * 2)
+      } else assert(lo === 0L && nTokens === 0L)
+    }
+  }
 }
