@@ -770,7 +770,17 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BottomKPairsAgg].getName, "graft_bottom_k"),
       // the analyzer wraps a bare AggregateFunction in AggregateExpression
       (args: Seq[Expression]) => BottomKPairsAgg(args(0), args(1),
-        intLit(args(2), "k"))))
+        intLit(args(2), "k"))),
+    ("graft_char_entropy",
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "graft_char_entropy"),
+      (args: Seq[Expression]) => CharEntropyExpr(args(0))),
+    ("graft_char_grams",
+      new ExpressionInfo(classOf[CharGramsExpr].getName, "graft_char_grams"),
+      (args: Seq[Expression]) => CharGramsExpr(args(0), intLit(args(1), "n"))),
+    ("graft_misra_gries",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
+      (args: Seq[Expression]) => MisraGriesAgg(args(0),
+        intLit(args(1), "capacity"))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, info, builder) =>

@@ -57,8 +57,12 @@ object PageRank {
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")).as("pr"))
-        .localCheckpoint()
       i += 1
+      // lineage cut every 3rd iteration (and on the last): each
+      // localCheckpoint is an EAGER job, and a 3-iteration join/agg chain
+      // is still a shallow plan — per-iteration cuts measured ~25% of the
+      // entry's wall time in pure checkpoint jobs
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -137,12 +137,21 @@ class GraftFunctionsSpec extends SparkSpec {
         |  graft_shingle_hashes('the quick brown fox', 4)) AS n,
         |  size(graft_minhash_sig('the quick brown fox', 4, 32, 42)) AS k,
         |  graft_text_signals('the quick brown fox').ws_tokens AS toks,
-        |  graft_text_repetition('a a a b').top_word AS tw""".stripMargin)
+        |  graft_text_repetition('a a a b').top_word AS tw,
+        |  graft_char_entropy('aab').distinct_chars AS dc,
+        |  size(graft_char_grams('abcd', 3)) AS ng""".stripMargin)
       .collect().head
     assert(r.getInt(0) > 0)
     assert(r.getInt(1) === 32)
     assert(r.getInt(2) === 4)
     assert(r.getInt(3) === 3)
+    assert(r.getInt(4) === 2)
+    assert(r.getInt(5) === 2)
+    // the aggregate registers too
+    val hh = spark.sql(
+      "SELECT graft_misra_gries(x, 2) FROM VALUES ('a'),('a'),('b'),('a') t(x)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.exists(r2 => r2.getString(0) == "a" && r2.getLong(1) >= 2L))
   }
 
   test("GraftExtensions injects functions at session build") {
