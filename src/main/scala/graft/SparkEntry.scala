@@ -128,6 +128,10 @@ object SparkEntry {
     "text_entropy" -> (TextAnalysis.textEntropy _),
     "langid_confusion" -> (TextAnalysis.langidConfusion _),
     "length_histogram" -> (CorpusPipeline.lengthHistogramQuery _),
+    "quality_sample" -> ((s: SparkSession, d: String) =>
+      CorpusPipeline.qualityWeightedSampleQuery(s, d)),
+    "budget_select" -> ((s: SparkSession, d: String) =>
+      CorpusPipeline.budgetSelectQuery(s, d)),
     "quality_filter" -> (CorpusPipeline.corpusQualityFilter _),
     "pack_sequences" -> (CorpusPipeline.corpusPackSequences _),
     "domain_mix" -> (CorpusPipeline.corpusDomainMix _),
@@ -1128,6 +1132,57 @@ object SparkEntry {
         | ((n_docs * 1000) // total)::BIGINT AS share_pm
         |FROM conf JOIN tot ON tot.lang = conf.lang
         |ORDER BY conf.lang, pred_lang""".stripMargin,
+    // keep iff bucket(doc_id) < floor(quality*1000): the quality CTE is the
+    // quality_filter formula, the bucket the corpus_sample hugeint mirror —
+    // the same IEEE multiply+floor of identical doubles on both engines
+    "quality_sample" ->
+      raw"""WITH q0 AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.3
+        |    + coalesce(alpha_ratio, 0.0) * 0.4
+        |    + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality
+        | FROM q0)
+        |SELECT doc_id, quality,
+        | ((doc_id::HUGEINT * 2654435761) % 1000)::BIGINT AS bucket
+        |FROM q
+        |WHERE (doc_id::HUGEINT * 2654435761) % 1000 < floor(quality * 1000)
+        |ORDER BY doc_id""".stripMargin,
+    // best-first cumulative selection: a doc is in iff tokens BEFORE it
+    // (quality desc, doc_id order) are under budget — the Spark side
+    // reproduces this without a global sort via the histogram cutoff
+    "budget_select" ->
+      raw"""WITH q0 AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0), 4) AS alpha_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','that','it','as','at'], t))) END AS stop_hits
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.3
+        |    + coalesce(alpha_ratio, 0.0) * 0.4
+        |    + least(coalesce(round(stop_hits::DOUBLE / nullif(n_tokens, 0), 4), 0.0) * 4.0, 1.0) * 0.3, 4) AS quality
+        | FROM q0),
+        |c AS (
+        | SELECT doc_id, quality, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM q)
+        |SELECT doc_id, quality, n_tokens FROM c
+        |WHERE cum_before < 10000 ORDER BY doc_id""".stripMargin,
     // power-of-two buckets via binary-string length, NOT floor(log2):
     // log2's ulp at exact powers of two (the boundaries) can land either
     // side of the integer in different engines

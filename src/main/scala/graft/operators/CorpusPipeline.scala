@@ -984,6 +984,93 @@ object CorpusPipeline {
     lengthHistogram(Tables.documents(spark, dir))
 
   /**
+   * Score-weighted sampling (the DCLM / FineWeb-Edu pattern: keep
+   * probability proportional to a quality score instead of a hard gate):
+   * a doc survives iff its deterministic per-mille bucket falls below
+   * floor(quality·1000) — expected keep rate = the quality score, but
+   * realized as a pure function of (doc_id, text), so the sample is
+   * reproducible across engines, runs, and cluster sizes, and a re-run
+   * over a grown corpus keeps exactly the same earlier survivors (an RNG
+   * Bernoulli draw can promise neither). floor(quality·1000) is the same
+   * IEEE multiply+floor of identical doubles on both engines — exact.
+   *
+   * Pure scan stage: the signals kernel and the bucket hash, zero
+   * shuffle at any corpus size.
+   */
+  def qualityWeightedSample(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      graft.functions.TextSignals.signals(col("text")).as("sig"))
+      .select(col("doc_id"),
+        coalesce(TextAnalysis.signalQuality(col("sig"), col("n_chars")), lit(0.0))
+          .as("quality"))
+      .withColumn("keep_pm", floor(col("quality") * 1000).cast("long"))
+      .withColumn("bucket", sampleBucket(col("doc_id")))
+      .filter(col("bucket") < col("keep_pm"))
+      .select(col("doc_id"), col("quality"), col("bucket"))
+
+  def qualityWeightedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityWeightedSample(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /**
+   * Token-budget selection: the highest-quality documents, in
+   * (quality desc, doc_id) order, until the cumulative token count
+   * reaches `budgetTokens` (a doc is included iff the tokens BEFORE it
+   * are still under budget, so the result overshoots by at most one
+   * doc) — "give me the best B tokens", the selection step of a
+   * FineWeb-Edu-style curated pretraining mix.
+   *
+   * NO global sort: the cutoff quality comes from the bounded 4-dp
+   * quality histogram (≤ 10001 bins at any corpus size — the
+   * quality_filter census contract) aggregated with per-bin token
+   * totals; bins strictly above the cutoff are taken by a scan-stage
+   * filter, and only the single BOUNDARY bin pays a running-sum window
+   * (state = that one bin, not the corpus; if a degenerate corpus put
+   * most mass in one bin, swap in the pack_sequences shard-offset
+   * running sum for that bin alone).
+   */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      graft.functions.TextSignals.signals(col("text")).as("sig"))
+      .select(col("doc_id"),
+        col("sig.ws_tokens").cast("long").as("n_tokens"),
+        coalesce(TextAnalysis.signalQuality(col("sig"), col("n_chars")), lit(0.0))
+          .as("quality"))
+    // bounded census: per-quality token totals, walked best-first
+    val hist = scored.groupBy("quality").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (q, _) => -q }
+    var cum = 0L
+    var qStar = Option.empty[Double] // bin that straddles the budget
+    var cumBeforeStar = 0L
+    hist.foreach { case (q, t) =>
+      if (qStar.isEmpty && cum + t >= budgetTokens) { qStar = Some(q); cumBeforeStar = cum }
+      cum += t
+    }
+    qStar match {
+      case None => // whole corpus fits the budget
+        scored.select(col("doc_id"), col("quality"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      case Some(qs) =>
+        val full = scored.filter(col("quality") > qs)
+        val remaining = budgetTokens - cumBeforeStar
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id")).rowsBetween(Long.MinValue, -1)
+        val boundary = scored.filter(col("quality") === qs)
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .filter(col("cum_before") < remaining)
+          .drop("cum_before")
+        full.unionByName(boundary)
+          .select(col("doc_id"), col("quality"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+    }
+  }
+
+  def budgetSelectQuery(spark: SparkSession, dir: String): DataFrame =
+    budgetSelect(Tables.documents(spark, dir), budgetTokens = 10000L)
+
+  /**
    * Snapshot diff — the crawl-over-crawl delta report a recurring
    * ingestion pipeline runs before reprocessing anything: which documents
    * were added, removed, or changed between two corpus snapshots, decided

@@ -555,4 +555,51 @@ class CorpusPipelineSpec extends SparkSpec {
       !plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
       s"text column must not shuffle:\n$plan")
   }
+
+  test("qualityWeightedSample: keep decision is the published bucket rule, " +
+      "deterministic, keep rate tracks mean quality, zero shuffle") {
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = CorpusPipeline.qualityWeightedSample(docs)
+    val got = sampled.collect()
+    got.foreach { r =>
+      assert(r.getLong(2) < math.floor(r.getDouble(1) * 1000).toLong, s"row $r")
+    }
+    // replayable: a second run keeps the identical set
+    assert(CorpusPipeline.qualityWeightedSample(docs).collect()
+      .map(_.getLong(0)).toSet === got.map(_.getLong(0)).toSet)
+    // expected keep rate = mean quality; 500 Bernoulli-like draws
+    val meanQ = graft.operators.TextAnalysis.docQuality(docs)
+      .agg(avg(col("quality"))).head().getDouble(0)
+    val rate = got.length.toDouble / docs.count()
+    assert(math.abs(rate - meanQ) < 0.08, s"rate $rate vs mean quality $meanQ")
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("budgetSelect equals the global-sort reference at several budgets, " +
+      "without a corpus-wide sort in the plan") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      graft.functions.TextSignals.signals(col("text")).as("sig"))
+      .select(col("doc_id"),
+        col("sig.ws_tokens").cast("long").as("n_tokens"),
+        coalesce(graft.operators.TextAnalysis.signalQuality(col("sig"), col("n_chars")),
+          lit(0.0)).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id")).rowsBetween(Long.MinValue, -1)
+    Seq(500L, 10000L, Long.MaxValue / 4).foreach { b =>
+      val ref = scored
+        .withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("cb") < b).select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = CorpusPipeline.budgetSelect(docs, b).collect().map(_.getLong(0)).toSet
+      assert(got === ref, s"budget $b")
+    }
+    // the operator's plan sorts only the output order and the single
+    // boundary bin — the reference's corpus-wide (quality, id) sort is
+    // exactly what it exists to avoid, so a global Sort over quality desc
+    // must not appear
+    val plan = CorpusPipeline.budgetSelect(docs, 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("quality DESC"), plan.take(1500))
+  }
 }
