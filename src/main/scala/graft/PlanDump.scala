@@ -41,7 +41,8 @@ object PlanDump {
       "snapshot_diff", "hybrid_search", "fuzzy_term_join", "ngram_containment",
       "decontaminate_bloom", "blocklist_filter", "spell_correct",
       "text_entropy", "dedup_minhash_best", "heavy_hitters", "graph_pagerank",
-      "embedding_outliers", "hard_negatives")
+      "embedding_outliers", "hard_negatives", "langid_confusion",
+      "length_histogram", "quality_sample", "budget_select")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 11)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
@@ -192,7 +193,14 @@ object PlanDump {
     sb.append("show edge-bounded shuffle-hash joins, never a rank-table\n")
     sb.append("broadcast; `embedding_outliers` re-attaches labels-bounded\n")
     sb.append("centers and cutoffs as explicit BroadcastHashJoins over the\n")
-    sb.append("localCheckpoint'ed scored table.\n")
+    sb.append("localCheckpoint'ed scored table. `hard_negatives` is the\n")
+    sb.append("knn_graph shuffle-hash cell join with the label inequality\n")
+    sb.append("below the top-k window; `langid_confusion` and\n")
+    sb.append("`length_histogram` are one aggregate each with totals windowed\n")
+    sb.append("over the tiny group table; `quality_sample` must be pure\n")
+    sb.append("scan-stage (signals kernel + bucket hash, no Exchange);\n")
+    sb.append("`budget_select` must show NO corpus-wide quality sort — only\n")
+    sb.append("the boundary-bin window and the output orderBy.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")
