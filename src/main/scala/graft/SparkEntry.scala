@@ -178,6 +178,7 @@ object SparkEntry {
     // all cells — exact vs the same brute-force oracle, and the pruned
     // path (suite-tested) reads only probed cells' FILES
     "ann_ivf_indexed" -> (Similarity.annIvfIndexed _),
+    "ann_ivf_appended" -> (Similarity.annIvfAppended _),
     // Lloyd-refined quantizer, exhaustive nprobe: refined cells must still
     // partition the corpus, so the search equals brute force exactly
     "ann_ivf_refined" -> (Similarity.annIvfRefined _),
@@ -1682,6 +1683,9 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     "ann_ivf" -> annExactOracle,
     "ann_ivf_indexed" -> annExactOracle,
+    // append through the existing quantizer, search exhaustively: cells
+    // still partition the corpus, so the same brute-force oracle pins it
+    "ann_ivf_appended" -> annExactOracle,
     "ann_ivf_refined" -> annExactOracle,
     "ann_topk" -> annExactOracle,
     // hybrid retrieval: the bm25_search CTE chain (pool depth 20) + the

@@ -523,6 +523,44 @@ object Similarity {
     centroids
   }
 
+  /**
+   * Incremental index growth: assign a NEW batch of vectors to the
+   * EXISTING quantizer and append its cells to the persisted index — the
+   * ingestion path a recurring pipeline needs (rebuilding a 100 TB index
+   * per crawl is the thing this avoids; the
+   * [[graft.util.IndexSidecar]] quantizer is untouched, so every probe
+   * before and after the append searches the same cell geometry).
+   * Parquet's partitioned append only touches the cells the batch lands
+   * in; cell skew grows as the corpus drifts from the quantizer's sample
+   * — re-run [[writeIvfIndex]] (or [[lloydRefine]]) when probe-cell sizes
+   * degrade, exactly like any IVF deployment.
+   */
+  def appendIvfIndex(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val centroids = graft.util.IndexSidecar.decodeMatrix(
+      graft.util.IndexSidecar.read(path, "ivf")("centroids"))
+    assignCells(batch.select("vec_id", "emb"), "emb", centroids)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Query entry (oracle-checked): index built from two-thirds of the
+    * corpus, the remaining third APPENDED through the existing quantizer,
+    * then searched exhaustively — must equal brute force over the whole
+    * corpus (the annIvfIndexed equivalence, extended across the append). */
+  def annIvfAppended(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val path = graft.util.Fs.processScopedTmpDir(
+      s"graft-ivfapp-${math.abs(dir.hashCode)}").toString
+    if (ivfBuilt.add(path)) {
+      writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), path, numCentroids = 16)
+      appendIvfIndex(spark, emb.filter(col("vec_id") % 3 === 0), path)
+    }
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfTopKIndexed(spark, path, probes, 10, nprobe = 16)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
   /** (indexed corpus, quantizer) back from [[writeIvfIndex]] output. */
   def readIvfIndex(spark: SparkSession, path: String): (DataFrame, Array[Array[Double]]) = {
     val centroids = graft.util.IndexSidecar.decodeMatrix(

@@ -476,6 +476,32 @@ class SimilaritySpec extends SparkSpec {
     assert(hasBoth || hasSingle) // fusion saw a non-degenerate mix
   }
 
+  test("appendIvfIndex: appended index answers like a one-shot build over " +
+      "the union, and the sidecar quantizer survives the append") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val base = graft.util.Fs.processScopedTmpDir("ivf-append-spec").toString
+    val grown = s"$base/grown"
+    val oneShot = s"$base/oneshot"
+    val cIncr = Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), grown, 8)
+    val before = graft.util.IndexSidecar.read(grown, "ivf")("centroids")
+    Similarity.appendIvfIndex(spark, emb.filter(col("vec_id") % 3 === 0), grown)
+    assert(graft.util.IndexSidecar.read(grown, "ivf")("centroids") === before)
+    // one-shot comparison index must share the quantizer (a one-shot build
+    // would sample centroids from the full corpus — different geometry),
+    // so write it through the same assign+sidecar path
+    Similarity.assignCells(emb, "emb", cIncr)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(oneShot)
+    graft.util.IndexSidecar.write(oneShot, "ivf", Map(
+      "centroids" -> graft.util.IndexSidecar.encodeMatrix(cIncr), "lloydIters" -> "0"))
+    val probes = emb.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    def ans(p: String) = Similarity.ivfTopKIndexed(spark, p, probes, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ans(grown) === ans(oneShot))
+    assert(ans(grown).nonEmpty)
+  }
+
   test("hardNegatives: label inequality holds and the exhaustive path " +
       "equals the brute-force filtered graph") {
     val got = Similarity.hardNegativesQuery(spark, sfDir).collect()
