@@ -48,11 +48,15 @@ object IndexLifecycleExample {
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("emb"))
     val ivfPath = tmp.resolve("ivf-index").toString
-    Similarity.writeIvfIndex(emb, ivfPath, numCentroids = 8, lloydIters = 1)
+    // build from the first crawl, APPEND the second through the same
+    // quantizer — the recurring-ingestion path (no rebuild)
+    Similarity.writeIvfIndex(
+      emb.filter(col("vec_id") % 2 === 0), ivfPath, numCentroids = 8, lloydIters = 1)
+    Similarity.appendIvfIndex(spark, emb.filter(col("vec_id") % 2 =!= 0), ivfPath)
     val probes = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val hits = Similarity.ivfTopKIndexed(spark, ivfPath, probes, k = 5, nprobe = 2)
-    println(s"IVF top-5 over 2 probed cells: ${hits.count()} results")
+    println(s"IVF top-5 over 2 probed cells (grown index): ${hits.count()} results")
 
     // ---- the sidecar refuses cross-kind reads ----
     try {
