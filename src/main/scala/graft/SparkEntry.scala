@@ -153,6 +153,7 @@ object SparkEntry {
     // all-vectors 5-NN graph, exhaustive through the IVF cells (EXACT)
     "knn_graph" -> (Similarity.knnGraphQuery _),
     "graph_pagerank" -> (PageRank.pageRankQuery _),
+    "q31_reachability" -> (PageRank.reachabilityQuery _),
     "embedding_outliers" -> (Similarity.embeddingOutliers _),
     "hard_negatives" -> (Similarity.hardNegativesQuery _),
     // pruned-nprobe graph, eager edge-recall gate vs the exact graph
@@ -1650,6 +1651,25 @@ object SparkEntry {
     // the brute-force oracle
     "knn_graph" -> knnGraphOracle,
     "graph_pagerank" -> pageRankOracle,
+    // the same knn graph, walked by the IDENTICAL recursive CTE — both
+    // engines run WITH RECURSIVE with the UNION ALL + hop-cap bounding
+    "q31_reachability" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+        |  round(list_dot_product(b.emb, a.emb)
+        |    / (sqrt(list_dot_product(b.emb, b.emb)) * sqrt(list_dot_product(a.emb, a.emb))), 4) AS sim
+        | FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |rk AS (SELECT src_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rn FROM s),
+        |g AS (SELECT src_id AS src, neighbor_id AS dst FROM rk WHERE rn <= 5),
+        |walk(id, hop) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT g.dst, w.hop + 1
+        |  FROM walk w JOIN g ON g.src = w.id
+        |  WHERE w.hop < 4)
+        |SELECT id, CAST(min(hop) AS BIGINT) AS hops
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
     // the knn brute-force shape with the label inequality applied before
     // the per-anchor top-k — exhaustive nprobe makes the IVF path equal it
     "hard_negatives" ->

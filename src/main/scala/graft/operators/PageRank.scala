@@ -67,6 +67,37 @@ object PageRank {
     ranks
   }
 
+  /**
+   * Query entry (oracle-checked): min-hop reachability from anchor vector
+   * 0 over the exact 5-NN graph, written as a RECURSIVE CTE — Spark 4's
+   * `WITH RECURSIVE` surface driven end to end (the graph comes from the
+   * IVF machinery, the walk from the SQL engine; DuckDB replays the
+   * identical recursion). UNION ALL + a hop cap bounds the path explosion
+   * (≤ 5+25+125+625 rows from one anchor at out-degree 5); min(hop)
+   * collapses revisits, so cycles can't recurse unboundedly either.
+   * All-integer — no rounding contract.
+   */
+  def reachabilityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+    // materialize the edges BEFORE the recursion: a temp view is a logical
+    // plan, so each recursion level would otherwise re-run the whole IVF
+    // graph derivation (measured 11.5s -> 3.4s at sf0.1)
+    Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16)
+      .select(col("src_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_knn_edges")
+    spark.sql(
+      """WITH RECURSIVE walk(id, hop) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT g.dst, w.hop + 1
+        |  FROM walk w JOIN graft_knn_edges g ON g.src = w.id
+        |  WHERE w.hop < 4)
+        |SELECT id, CAST(min(hop) AS BIGINT) AS hops
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin)
+  }
+
   /** Query entry (oracle-checked): 10 fixed-point iterations over the
     * EXACT 5-NN cosine graph ([[Similarity.knnGraph]] at exhaustive
     * nprobe, which provably equals brute force) — the oracle replays the

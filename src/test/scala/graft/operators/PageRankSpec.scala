@@ -41,6 +41,23 @@ class PageRankSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("reachability: anchor at hop 0, hops within the cap, and every id " +
+      "reachable in h hops also via some edge from an id at h-1") {
+    val out = PageRank.reachabilityQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 0L)
+    assert(out.values.forall(h => h >= 0 && h <= 4))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val edges = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    out.filter(_._2 > 0).foreach { case (id, h) =>
+      assert(edges.exists { case (s, d) => d == id && out.get(s).exists(_ == h - 1) },
+        s"no hop-${h - 1} predecessor for $id")
+    }
+  }
+
   test("entry: every embedding ranked, mass bounded by damping") {
     val out = PageRank.pageRankQuery(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
