@@ -42,7 +42,8 @@ object PlanDump {
       "decontaminate_bloom", "blocklist_filter", "spell_correct",
       "text_entropy", "dedup_minhash_best", "heavy_hitters", "graph_pagerank",
       "embedding_outliers", "hard_negatives", "langid_confusion",
-      "length_histogram", "quality_sample", "budget_select")
+      "length_histogram", "quality_sample", "budget_select",
+      "ann_ivf_appended", "q31_reachability")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, round 11)\n\n")
     sb.append("Audit points: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")

@@ -409,6 +409,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupClusters equals Spark's own recursive-CTE transitive closure " +
+      "on the real pair graph (in-engine independent validation)") {
+    val pairs = Dedup.minHashNearDupsVerified(
+      Tables.documents(spark, sfDir), threshold = 0.7).localCheckpoint()
+    val jumped = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.select(col("doc_a"), col("doc_b")).createOrReplaceTempView("graft_nd_pairs")
+    // Spark's recursion supports only UNION ALL, so the walk carries a hop
+    // cap to terminate on cycles; paths per member ~ cluster_size^cap, fine
+    // for the small verified clusters here. If a future corpus pushes the
+    // diameter past the cap, the parity assert fails loudly — bump the cap.
+    def closure(cap: Int) = spark.sql(
+      s"""WITH RECURSIVE edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM graft_nd_pairs
+        |  UNION SELECT doc_b, doc_a FROM graft_nd_pairs),
+        |reach(id, r, hop) AS (
+        |  SELECT a, a, 0 FROM edges
+        |  UNION ALL
+        |  SELECT x.id, e.b, x.hop + 1 FROM reach x JOIN edges e ON e.a = x.r
+        |  WHERE x.hop < $cap)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val closed = closure(6)
+    assert(closed === closure(7), "closure not converged at the hop cap")
+    assert(jumped === closed)
+    assert(jumped.nonEmpty)
+  }
+
   test("dedupMinhashBest: same members as the min-id rule, exactly one keep " +
       "per cluster, and the keep has the cluster's max quality") {
     val best = Dedup.dedupMinhashBest(spark, sfDir).collect()
