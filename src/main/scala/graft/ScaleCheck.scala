@@ -39,7 +39,8 @@ object ScaleCheck {
     "winnow_fingerprint" -> "documents", "embed_neardup" -> "embeddings",
     "hybrid_search" -> "documents", "ngram_containment" -> "documents",
     "dedup_minhash_best" -> "documents", "heavy_hitters" -> "documents",
-    "graph_pagerank" -> "embeddings", "hard_negatives" -> "embeddings")
+    "graph_pagerank" -> "embeddings", "hard_negatives" -> "embeddings",
+    "q31_reachability" -> "embeddings")
 
   /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
     * guidance — generous enough for the job-floor noise on the small SF,
