@@ -154,6 +154,7 @@ object SparkEntry {
     "knn_graph" -> (Similarity.knnGraphQuery _),
     "graph_pagerank" -> (PageRank.pageRankQuery _),
     "q31_reachability" -> (PageRank.reachabilityQuery _),
+    "q32_anomaly" -> (Relational.q32Anomaly _),
     "embedding_outliers" -> (Similarity.embeddingOutliers _),
     "hard_negatives" -> (Similarity.hardNegativesQuery _),
     // pruned-nprobe graph, eager edge-recall gate vs the exact graph
@@ -368,6 +369,25 @@ object SparkEntry {
         | count(*) AS n_events,
         | round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // z = (n*c - s)/sqrt(n*ss - s^2): exact integer moments feed ONE
+    // divide and ONE sqrt, so no order-dependent float sum ever forms.
+    // DuckDB's sum(BIGINT) widens to HUGEINT; cast back before the algebra
+    "q32_anomaly" ->
+      """WITH h AS (
+        | SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |        count(*)::BIGINT AS c
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+        |       sum(c * c)::BIGINT AS ss FROM h GROUP BY 1)
+        |SELECT h.event_type, hour, c AS n_events,
+        | CASE WHEN n * ss - s * s = 0 THEN NULL
+        |      ELSE round((n * c - s)::DOUBLE / sqrt((n * ss - s * s)::DOUBLE), 4)
+        | END AS z,
+        | CASE WHEN n * ss - s * s = 0 THEN NULL
+        |      ELSE abs(round((n * c - s)::DOUBLE / sqrt((n * ss - s * s)::DOUBLE), 4)) > 2
+        | END AS is_anomaly
+        |FROM h JOIN m ON m.event_type = h.event_type
+        |ORDER BY h.event_type, hour""".stripMargin,
     "q10_events_sessions" ->
       """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
         | round(sum(CASE WHEN event_type = 'purchase'

@@ -521,4 +521,36 @@ object Relational {
         date_trunc("second", max(col("ts"))).as("last_ts"))
       .orderBy(col("user_id"))
   }
+
+  /**
+   * Traffic-anomaly flags: per event type, the hourly event counts whose
+   * z-score against that type's own hourly distribution exceeds |2| — the
+   * ops dashboard query over an ingest stream. Float determinism by
+   * algebra: z = (n·c − s) / sqrt(n·ss − s²) with n/s/ss exact integer
+   * moments of the hourly-count table, so both engines feed the SAME
+   * integers into one divide and one sqrt — no order-dependent float sum
+   * ever forms (population std; NULL z where a type has constant counts).
+   *
+   * Scale shape: the hourly table is a map-side-combined aggregate; the
+   * moment table is types-bounded and broadcast back; everything after the
+   * one count shuffle is scan-stage arithmetic.
+   */
+  def q32Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val m = h.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    h.join(broadcast(m), "event_type")
+      .withColumn("disc", col("n") * col("ss") - col("s") * col("s"))
+      .select(
+        col("event_type"), col("hour"), col("c").as("n_events"),
+        when(col("disc") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("c") - col("s")).cast("double") /
+              sqrt(col("disc").cast("double")), 4)).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy(col("event_type"), col("hour"))
+  }
 }

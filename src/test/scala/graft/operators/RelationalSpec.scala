@@ -227,4 +227,26 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(day0 === cohorts, "every user is active on their own cohort day")
   }
+
+  test("q32_anomaly: z-scores are the integer-moment formula, mean-zero per " +
+      "type, flags exactly |z| > 2") {
+    val out = Relational.q32Anomaly(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      if (rows.exists(r => !r.isNullAt(3))) {
+        val zs = rows.map(_.getDouble(3))
+        // standardized scores: mean ~0 (rounding noise only), some spread
+        assert(math.abs(zs.sum / zs.length) < 0.001, s"$tpe mean ${zs.sum / zs.length}")
+        rows.foreach(r => assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) > 2.0)))
+        // recompute one row from exact integer moments
+        val cs = rows.map(_.getLong(2))
+        val (n, s1, ss) = (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+        val r0 = rows.head
+        val expect = BigDecimal((n * r0.getLong(2) - s1).toDouble /
+          math.sqrt((n * ss - s1 * s1).toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r0.getDouble(3) === expect)
+      } else rows.foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
+    }
+  }
 }
