@@ -83,16 +83,19 @@ object PageRank {
     // materialize the edges BEFORE the recursion: a temp view is a logical
     // plan, so each recursion level would otherwise re-run the whole IVF
     // graph derivation (measured 11.5s -> 3.4s at sf0.1)
+    // dir-scoped view name: temp views are session-global, so a bare name
+    // would collide across concurrent queries on different sf dirs
+    val view = s"graft_knn_edges_${math.abs(dir.hashCode)}"
     Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16)
       .select(col("src_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint()
-      .createOrReplaceTempView("graft_knn_edges")
+      .createOrReplaceTempView(view)
     spark.sql(
-      """WITH RECURSIVE walk(id, hop) AS (
+      s"""WITH RECURSIVE walk(id, hop) AS (
         |  SELECT CAST(0 AS BIGINT), 0
         |  UNION ALL
         |  SELECT g.dst, w.hop + 1
-        |  FROM walk w JOIN graft_knn_edges g ON g.src = w.id
+        |  FROM walk w JOIN $view g ON g.src = w.id
         |  WHERE w.hop < 4)
         |SELECT id, CAST(min(hop) AS BIGINT) AS hops
         |FROM walk GROUP BY id ORDER BY id""".stripMargin)
