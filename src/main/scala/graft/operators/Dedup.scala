@@ -409,6 +409,15 @@ object Dedup {
       (cfg("numHashes").toInt, cfg("shingleN").toInt, cfg("seed").toLong))
   }
 
+  /** The history side of [[crossNearDupsWithHistorySigs]]'s band join in its
+    * expected (old_id, band, band_hash) shape — batch-invariant, so an
+    * ingestion loop computes it once (and checkpoints it) rather than paying
+    * the full-history explode per arriving batch. */
+  def historyLshBands(oldSigs: DataFrame, idCol: String = "doc_id",
+      numBands: Int = 16, numHashes: Int = 64): DataFrame =
+    lshBands(oldSigs, idCol, numBands, numHashes)
+      .select(col(idCol).as("old_id"), col("band"), col("band_hash"))
+
   /** [[crossNearDups]] against PRECOMPUTED history signatures — the
     * ingestion-loop shape: the historical corpus pays its signatures once
     * (checkpointed here, parquet-persisted via [[writeMinhashIndex]] in
@@ -418,13 +427,16 @@ object Dedup {
       oldSigs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.7,
-      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L,
+      historyBands: Option[DataFrame] = None): DataFrame = {
     val newSigs = minHashSignatures(newDocs, textCol, idCol, numHashes, shingleN, seed)
       .localCheckpoint()
     val newBands = lshBands(newSigs, idCol, numBands, numHashes)
       .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
-    val oldBands = lshBands(oldSigs, idCol, numBands, numHashes)
-      .select(col(idCol).as("old_id"), col("band"), col("band_hash"))
+    // the history side of the band join is batch-invariant — a caller in an
+    // ingestion loop precomputes it ONCE via [[historyLshBands]] instead of
+    // re-exploding the full history signature set every micro-batch
+    val oldBands = historyBands.getOrElse(historyLshBands(oldSigs, idCol, numBands, numHashes))
     val est = graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b"))
     // distinct before the sig joins, est-prefilter before the shingle join —
     // same staging as ngramJaccard (see notes there); the band join keeps

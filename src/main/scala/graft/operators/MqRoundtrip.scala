@@ -538,35 +538,45 @@ object MqRoundtrip {
     MessageQueueSink.write(
       newDocs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
 
-    // the history index: signed once, reused by every micro-batch
+    // the history index: signed AND banded once, reused by every micro-batch
+    // (re-banding re-explodes the full history signature set 16-wide; paying
+    // that per arriving batch is pure per-batch waste)
     val oldSigs = Dedup.minHashSignatures(history).localCheckpoint()
+    val oldBands = Some(Dedup.historyLshBands(oldSigs).localCheckpoint())
 
     // ~4 micro-batches at ANY corpus size: enough to prove the multi-batch
     // union is lossless without paying per-batch planning overhead 10x over
     // (a fixed row cap degenerates to 1 batch at small SFs and dozens at
     // large ones; the RESULT is batch-count-independent either way)
     val trigger = math.max(50L, newDocs.count() / 4 + 1)
-    val q = spark.readStream.format("graft-mq")
-      .option("topic", topic).option("consumerGroup", "increm")
-      .option("rootDir", root).option("offsetResetTo", "earliest")
-      .option("maxRowsPerTrigger", trigger.toString)
-      .load()
-      .select(split(col("body"), "\u0001").as("f"))
-      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
-        element_at(col("f"), 2).as("text"))
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // foreachBatch is at-least-once: a replayed batch must land in the
-        // SAME batchId-keyed directory (overwrite), not append a duplicate
-        // copy of its pairs — this is what keeps "union over batches ==
-        // one-shot batch answer" true under retries
-        Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // per-batch shuffles sized to the batch, not the session default: each
+    // micro-batch runs the multi-join dedup machinery on ~1/4 of the new
+    // docs, so 32-partition exchanges x ~6 joins x 4 batches is mostly
+    // empty-task overhead (the purchase_attribution_stream recipe)
+    StreamingQueries.withStreamShuffle(spark, 8) {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", topic).option("consumerGroup", "increm")
+        .option("rootDir", root).option("offsetResetTo", "earliest")
+        .option("maxRowsPerTrigger", trigger.toString)
+        .load()
+        .select(split(col("body"), "\u0001").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+          element_at(col("f"), 2).as("text"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // foreachBatch is at-least-once: a replayed batch must land in the
+          // SAME batchId-keyed directory (overwrite), not append a duplicate
+          // copy of its pairs — this is what keeps "union over batches ==
+          // one-shot batch answer" true under retries
+          Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs,
+              historyBands = oldBands)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     TopicLog.deleteTopic(root, topic)
     spark.read.parquet(outPath.toString).drop("batch")
       .orderBy(col("new_id"), col("old_id"))
