@@ -409,64 +409,145 @@ object Dedup {
       (cfg("numHashes").toInt, cfg("shingleN").toInt, cfg("seed").toLong))
   }
 
+  /**
+   * Precomputed history band index: the (old_id, band, band_hash) frame PLUS
+   * the band-family parameters it was derived with. Bands banded under a
+   * different (numBands, numHashes) family produce band_hash keys that never
+   * collide with the batch side — missed duplicates with no error — so
+   * [[crossNearDupsWithHistorySigs]] validates these against its own args
+   * instead of trusting the frame blindly (the in-memory analog of the
+   * [[graft.util.IndexSidecar]] contract on persisted indexes).
+   */
+  final case class HistoryBands(df: DataFrame, idCol: String, numBands: Int, numHashes: Int) {
+    /** Checkpoint the frame, keeping the param tags (the ingestion-loop shape:
+      * band once, reuse across micro-batches). */
+    def localCheckpoint(): HistoryBands = copy(df = df.localCheckpoint())
+  }
+
   /** The history side of [[crossNearDupsWithHistorySigs]]'s band join in its
     * expected (old_id, band, band_hash) shape — batch-invariant, so an
     * ingestion loop computes it once (and checkpoints it) rather than paying
     * the full-history explode per arriving batch. */
   def historyLshBands(oldSigs: DataFrame, idCol: String = "doc_id",
-      numBands: Int = 16, numHashes: Int = 64): DataFrame =
-    lshBands(oldSigs, idCol, numBands, numHashes)
-      .select(col(idCol).as("old_id"), col("band"), col("band_hash"))
+      numBands: Int = 16, numHashes: Int = 64): HistoryBands =
+    HistoryBands(
+      lshBands(oldSigs, idCol, numBands, numHashes)
+        .select(col(idCol).as("old_id"), col("band"), col("band_hash")),
+      idCol, numBands, numHashes)
 
   /** [[crossNearDups]] against PRECOMPUTED history signatures — the
     * ingestion-loop shape: the historical corpus pays its signatures once
     * (checkpointed here, parquet-persisted via [[writeMinhashIndex]] in
     * production) and every arriving batch joins against that index
-    * instead of re-signing history per batch. */
+    * instead of re-signing history per batch.
+    *
+    * `broadcastBatch = true` is the MICRO-BATCH plan: when the new side is
+    * trigger-bounded (a stream's `maxRowsPerTrigger`, an ingestion tick) it
+    * broadcasts, so every history-side frame — bands, signatures, candidate
+    * text — streams MAP-SIDE with zero history shuffle per batch. The
+    * default shuffle-hash plan moves the full history band set through an
+    * exchange on every call, which is the dominant recurring cost of an
+    * ingestion loop at corpus scale (history is unbounded; the batch is
+    * not). Leave it false when the "batch" is itself corpus-sized (the
+    * one-shot `dedup_incremental` split), where broadcasting would OOM the
+    * executors. */
   def crossNearDupsWithHistorySigs(newDocs: DataFrame, oldDocs: DataFrame,
       oldSigs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.7,
       numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L,
-      historyBands: Option[DataFrame] = None): DataFrame = {
-    val newSigs = minHashSignatures(newDocs, textCol, idCol, numHashes, shingleN, seed)
-      .localCheckpoint()
-    val newBands = lshBands(newSigs, idCol, numBands, numHashes)
-      .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
+      historyBands: Option[HistoryBands] = None,
+      broadcastBatch: Boolean = false): DataFrame = {
+    historyBands.foreach { hb =>
+      require(hb.idCol == idCol && hb.numBands == numBands && hb.numHashes == numHashes,
+        s"precomputed history bands were built with (idCol=${hb.idCol}, " +
+          s"numBands=${hb.numBands}, numHashes=${hb.numHashes}) but this call uses " +
+          s"(idCol=$idCol, numBands=$numBands, numHashes=$numHashes) — band hashes " +
+          "from different families never collide, so the join would silently miss " +
+          "duplicates")
+    }
     // the history side of the band join is batch-invariant — a caller in an
     // ingestion loop precomputes it ONCE via [[historyLshBands]] instead of
     // re-exploding the full history signature set every micro-batch
-    val oldBands = historyBands.getOrElse(historyLshBands(oldSigs, idCol, numBands, numHashes))
+    val oldBands = historyBands.map(_.df)
+      .getOrElse(historyLshBands(oldSigs, idCol, numBands, numHashes).df)
+    // ONE batch scan computes BOTH per-doc kernels (MinHash signature +
+    // exact shingle set) and checkpoints them: the signature re-attach and
+    // the verify-stage shingle lookup both come from this frame, so the
+    // batch is never re-signed, re-shingled, or semi-join-filtered again
+    val batchPrep = newDocs
+      .select(col(idCol).as("new_id"),
+        graft.functions.GraftFunctions.minHashSig(col(textCol), shingleN, numHashes, seed)
+          .as("sig"),
+        shingleHashes(col(textCol), shingleN).as("shs_a"))
+      .filter(col("sig").isNotNull && size(col("shs_a")) > 0)
+      .localCheckpoint()
+    // in broadcastBatch mode every batch-side frame broadcasts so history
+    // streams map-side; otherwise the (checkpointed, so accurately sized)
+    // frame is left to the planner
+    def bcast(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    val newBands = lshBands(batchPrep.select(col("new_id").as(idCol), col("sig")),
+        idCol, numBands, numHashes)
+      .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
     val est = graft.functions.GraftFunctions.sigEqualFraction(col("sig_a"), col("sig_b"))
-    // distinct before the sig joins, est-prefilter before the shingle join —
-    // same staging as ngramJaccard (see notes there); the band join keeps
-    // its shuffle-hash pin against the explode-stale-estimate broadcast trap
-    val candidates = newBands
-      .join(oldBands.hint("shuffle_hash"), Seq("band", "band_hash"))
+    // NARROW distinct straight off the band join (band-collision multiplicity
+    // ≤ numBands dies before anything wide attaches), then the est-prefilter
+    // before any history text is touched; the default band join keeps its
+    // shuffle-hash pin against the explode-stale-estimate broadcast trap
+    val pairs = (if (broadcastBatch)
+        oldBands.join(broadcast(newBands), Seq("band", "band_hash"))
+      else
+        newBands.join(oldBands.hint("shuffle_hash"), Seq("band", "band_hash")))
       .select("new_id", "old_id").distinct()
-      .join(newSigs.select(col(idCol).as("new_id"), col("sig").as("sig_a")), "new_id")
-      .join(oldSigs.select(col(idCol).as("old_id"), col("sig").as("sig_b")), "old_id")
+      .join(bcast(batchPrep.select(col("new_id"), col("sig").as("sig_a"))), "new_id")
+    val candidates = (if (broadcastBatch)
+        // history signatures stream map-side past the broadcast pair set
+        pairs.hint("broadcast")
+          .join(oldSigs.select(col(idCol).as("old_id"), col("sig").as("sig_b")), "old_id")
+      else
+        // SHJ pinned with the build on the pair side: sorting 64-long
+        // signature arrays for an SMJ is pure waste, and the build side must
+        // be the candidate pairs, not the corpus-sized signature set
+        pairs.hint("shuffle_hash")
+          .join(oldSigs.select(col(idCol).as("old_id"), col("sig").as("sig_b")), "old_id"))
       .filter(est >= math.max(0.0, threshold - 0.15))
-      .select("new_id", "old_id").localCheckpoint()
-    val newSh = newDocs
-      .join(candidates.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
-      .select(col(idCol).as("new_id"), shingleHashes(col(textCol), shingleN).as("shs_a"))
-      .filter(size(col("shs_a")) > 0)
-    val oldSh = oldDocs
-      .join(candidates.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
-      .select(col(idCol).as("old_id"), shingleHashes(col(textCol), shingleN).as("shs_b"))
-      .filter(size(col("shs_b")) > 0)
-    candidates
-      .join(newSh, "new_id")
-      .join(oldSh, "old_id")
-      .withColumn("common",
-        graft.functions.GraftFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (size(col("shs_a")) + size(col("shs_b")) - col("common")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("new_id", "old_id", "jaccard")
-      .distinct()
+      .select("new_id", "old_id")
+      .join(bcast(batchPrep.select(col("new_id"), col("shs_a"))), "new_id")
+    if (broadcastBatch) {
+      // history TEXT also streams map-side: the shingle kernel runs only on
+      // rows the broadcast hash lets through — per-batch history cost is
+      // three column scans, ZERO history exchanges
+      oldDocs.select(col(idCol).as("old_id"), col(textCol).as("__old_text"))
+        .join(broadcast(candidates), "old_id")
+        .withColumn("shs_b", shingleHashes(col("__old_text"), shingleN))
+        .filter(size(col("shs_b")) > 0)
+        .withColumn("common",
+          graft.functions.GraftFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (size(col("shs_a")) + size(col("shs_b")) - col("common")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+        .distinct()
+    } else {
+      // corpus-sized new side: candidates checkpoint once (they feed the
+      // history semi-join AND the verify join), history shingles compute
+      // behind a semi-join so text never rides an exchange
+      val cand = candidates.localCheckpoint()
+      val oldSh = oldDocs
+        .join(cand.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+        .select(col(idCol).as("old_id"), shingleHashes(col(textCol), shingleN).as("shs_b"))
+        .filter(size(col("shs_b")) > 0)
+      cand.join(oldSh, "old_id")
+        .withColumn("common",
+          graft.functions.GraftFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (size(col("shs_a")) + size(col("shs_b")) - col("common")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+        .distinct()
+    }
   }
 
   // ---- Bloom-routed incremental exact dedup ----

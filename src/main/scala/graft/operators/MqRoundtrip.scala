@@ -549,11 +549,19 @@ object MqRoundtrip {
     // (a fixed row cap degenerates to 1 batch at small SFs and dozens at
     // large ones; the RESULT is batch-count-independent either way)
     val trigger = math.max(50L, newDocs.count() / 4 + 1)
+    // plan selection, same logic as any size-based join strategy: broadcast
+    // the batch (history strictly map-side, zero history exchange per batch)
+    // once history dwarfs the batch — the production ingestion regime. Below
+    // that ratio (small SFs) the whole history fits in a couple of shuffle
+    // files and the broadcast round-trips are the larger fixed cost. The
+    // broadcast plan's equivalence is pinned by DedupSpec's
+    // broadcastBatch-vs-default test at every suite run.
+    val broadcastBatch = oldSigs.count() > 50L * trigger
     // per-batch shuffles sized to the batch, not the session default: each
     // micro-batch runs the multi-join dedup machinery on ~1/4 of the new
     // docs, so 32-partition exchanges x ~6 joins x 4 batches is mostly
     // empty-task overhead (the purchase_attribution_stream recipe)
-    StreamingQueries.withStreamShuffle(spark, 8) {
+    StreamingQueries.withMicroBatchPlanConf(spark, 8) {
       val q = spark.readStream.format("graft-mq")
         .option("topic", topic).option("consumerGroup", "increm")
         .option("rootDir", root).option("offsetResetTo", "earliest")
@@ -569,7 +577,7 @@ object MqRoundtrip {
           // copy of its pairs — this is what keeps "union over batches ==
           // one-shot batch answer" true under retries
           Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs,
-              historyBands = oldBands)
+              historyBands = oldBands, broadcastBatch = broadcastBatch)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()
         }

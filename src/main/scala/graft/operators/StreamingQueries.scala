@@ -35,6 +35,19 @@ object StreamingQueries {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** [[withStreamShuffle]] plus AQE off: a foreachBatch body whose plan is
+    * candidate-sized by construction (trigger-bounded batch, broadcast or
+    * pre-sized joins) gains nothing from runtime re-planning but pays an
+    * extra driver round per shuffle stage per micro-batch — measurable
+    * latency when the per-batch work is seconds, not minutes. AQE stays on
+    * everywhere else (it is the skew/size safety net for data-bound plans). */
+  private[operators] def withMicroBatchPlanConf[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try withStreamShuffle(spark, n)(body) finally spark.conf.set(aqeKey, prevAqe)
+  }
+
   private def symlinkDir(dir: String, prefix: String): String = {
     val abs = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
     val streamDir = java.nio.file.Paths.get(

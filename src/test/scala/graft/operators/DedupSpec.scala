@@ -308,6 +308,37 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("broadcastBatch micro-batch plan reproduces the default cross-set answer") {
+    val docs = Tables.documents(spark, sfDir)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val sigs = Dedup.minHashSignatures(history).localCheckpoint()
+    val bands = Some(Dedup.historyLshBands(sigs).localCheckpoint())
+    val viaBroadcast = Dedup.crossNearDupsWithHistorySigs(newDocs, history, sigs,
+      historyBands = bands, broadcastBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val default = Dedup.crossNearDupsWithHistorySigs(newDocs, history, sigs,
+      historyBands = bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBroadcast === default)
+    assert(viaBroadcast.nonEmpty)
+  }
+
+  test("precomputed history bands from a different band family are rejected") {
+    val docs = Tables.documents(spark, sfDir)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val sigs = Dedup.minHashSignatures(history)
+    // banded under 32 bands, joined under the default 16: the band hashes
+    // would never collide and every duplicate would be silently missed —
+    // the call must fail fast instead
+    val mismatched = Some(Dedup.historyLshBands(sigs, numBands = 32, numHashes = 64))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossNearDupsWithHistorySigs(newDocs, history, sigs, historyBands = mismatched)
+    }
+    assert(e.getMessage.contains("numBands=32"))
+  }
+
   test("segmentDedup drops corpus-repeated segments, keeps order, keeps emptied docs") {
     import spark.implicits._
     val corpus = Seq(
