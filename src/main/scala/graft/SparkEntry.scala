@@ -72,6 +72,7 @@ object SparkEntry {
     "deser_documents" -> (Deser.deserDocuments _),
     "deser_dirty" -> (MqRoundtrip.deserDirty _),
     "mq_roundtrip_events" -> (MqRoundtrip.mqRoundtripEvents _),
+    "mq_roundtrip_continuous" -> (MqRoundtrip.mqRoundtripContinuous _),
     "text_stats" -> (TextAnalysis.textStats _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangId _),
@@ -698,6 +699,12 @@ object SparkEntry {
         | CASE WHEN doc_id % 4 = 1 THEN NULL ELSE n_chars END AS n_chars
         |FROM documents WHERE doc_id % 4 <> 3 ORDER BY doc_id""".stripMargin,
     "mq_roundtrip_events" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the continuous-trigger read path is held to the SAME parity SQL as
+    // the batch roundtrip: no loss, no dups, no corruption through the
+    // always-on reader
+    "mq_roundtrip_continuous" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
     // hugeint mirrors sampleBucket's overflow-free split-multiply: the

@@ -109,6 +109,85 @@ object MqRoundtrip {
   }
 
   /**
+   * The [[mqRoundtripEvents]] parity proof under `Trigger.Continuous`: the
+   * same events → sink → source → parse chain, but read by the DSv2
+   * ContinuousStream ([[graft.source.MessageQueueContinuousStream]] — the
+   * analog of the reference's always-on poll loop, reference:
+   * source/reader/RocketMQPartitionSplitReader.java:90-180) instead of
+   * micro-batch planning rounds. Long-running per-queue reader tasks tail
+   * the log, the epoch coordinator snips commits every 500 ms, and the
+   * memory sink accumulates rows as epochs land; the driver polls the sink
+   * until every written row has surfaced, then stops the query. The oracle
+   * is the SAME SQL as the batch roundtrip, so continuous mode is held to
+   * exact no-loss/no-dup/no-corruption parity with the batch and
+   * micro-batch paths — not just suite-level set checks.
+   *
+   * Queue count: each continuous split pins one long-running task slot for
+   * the query's LIFETIME, so queues are a core budget, not a throughput
+   * knob — and the driver's polling `count()` needs at least one free slot
+   * or the query and the poll deadlock against each other. Sized to
+   * defaultParallelism minus headroom, capped at 4.
+   */
+  def mqRoundtripContinuous(spark: SparkSession, dir: String): DataFrame = {
+    val root = sessionRoot("mq-rt-cont", dir)
+    val topic = "events_rt_cont"
+    TopicLog.deleteTopic(root, topic)
+    val numQueues = math.max(1,
+      math.min(4, spark.sparkContext.defaultParallelism - 2))
+
+    val events = Tables.events(spark, dir).select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      col("props"),
+      (unix_micros(col("ts")) / 1000L).cast("long").as("born_ms"))
+    val total = events.count()
+    val conv = new RowMessageConverter(
+      events.schema, fieldDelimiter = "\t",
+      keyColumns = Seq("event_id"), writeKeysToBody = true,
+      isDynamicTag = true, dynamicTagColumn = "event_type",
+      bornTsColumn = "born_ms")
+    MessageQueueSink.write(
+      events, root, new DefaultTopicSelector[Map[String, Any]](topic), conv,
+      numQueues = numQueues)
+
+    val name = "mq_rt_cont_" + math.abs(dir.hashCode)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("consumerGroup", "rtc")
+      .option("rootDir", root).option("offsetResetTo", "earliest")
+      .option("continuousPollMs", "20")
+      .load()
+      .select(split(col("body"), "\t").as("f"), col("tag"))
+      .select(
+        element_at(col("f"), 1).cast("long").as("event_id"),
+        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
+        element_at(col("f"), 3).cast("long").as("user_id"),
+        col("tag").as("event_type"),
+        element_at(col("f"), 5).cast("double").as("value"),
+        element_at(col("f"), 6).as("props"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("500 milliseconds"))
+      .start()
+    try {
+      // a continuous query never self-terminates: poll the sink until the
+      // full backlog has surfaced, fail LOUD on a stall (a partial result
+      // would just hash-mismatch downstream with no hint why)
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      var n = 0L
+      while (n < total && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        n = spark.table(name).count()
+      }
+      require(n == total,
+        s"continuous roundtrip surfaced $n of $total rows before timeout/stop")
+    } finally q.stop()
+    TopicLog.deleteTopic(root, topic)
+    spark.table(name).orderBy(col("event_id"))
+  }
+
+  /**
    * Oracle-checked dirty-data pipeline: deterministically corrupted
    * document rows written through the connector sink, read back with the
    * graft-mq batch source, and parsed by [[graft.serde.RowDeserializer]]

@@ -64,11 +64,13 @@ final case class ContinuousQueueSplit(topic: String, queueId: Int, startOffset: 
  * `Trigger.Continuous(...)` — the source advertises CONTINUOUS_READ and
  * Spark picks this stream over the micro-batch one automatically.
  *
- * Prototype status (documented in README §continuous): tag/property
- * pushdown and offset bookkeeping are shared with micro-batch mode, but
- * Spark's continuous engine itself supports only stateless
- * map/filter/project pipelines — windowed aggregates and joins still
- * require micro-batch mode.
+ * Scope (documented in README §continuous): tag/property pushdown and
+ * offset bookkeeping are shared with micro-batch mode, but Spark's
+ * continuous engine itself supports only stateless map/filter/project
+ * pipelines — windowed aggregates and joins still require micro-batch
+ * mode. End-to-end parity is oracle-checked by the
+ * `mq_roundtrip_continuous` entry (same SQL as the batch roundtrip), on
+ * top of ContinuousSpec's tailing/selector/offset suites.
  */
 class MessageQueueContinuousStream(opts: GraftOptions,
     requiredSchema: StructType = MessageQueueTable.Schema)
