@@ -40,7 +40,9 @@ object ScaleCheck {
     "hybrid_search" -> "documents", "ngram_containment" -> "documents",
     "dedup_minhash_best" -> "documents", "heavy_hitters" -> "documents",
     "graph_pagerank" -> "embeddings", "hard_negatives" -> "embeddings",
-    "q31_reachability" -> "embeddings")
+    "q31_reachability" -> "embeddings",
+    "bm25_search" -> "documents", "spell_correct" -> "documents",
+    "segment_dedup" -> "documents", "text_bigram_logprob" -> "documents")
 
   /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
     * guidance — generous enough for the job-floor noise on the small SF,
