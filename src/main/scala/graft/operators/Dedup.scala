@@ -740,8 +740,40 @@ object Dedup {
    * would walk hop by hop. Join-per-iteration with localCheckpoint to cut
    * lineage. Returns (doc_id, cluster_id = smallest reachable id) for
    * every doc that appears in a pair.
+   *
+   * Below `smallGraphEdges` the whole pair graph collects to the driver
+   * and union-find computes the same fixpoint in one pass (see the plan
+   * note in the body); pass 0 to force the distributed loop.
    */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Edge-count ceiling for [[nearDupClusters]]' driver fast path: 1M edges
+    * is ~16 MB of id pairs — comfortably a "small side" by Spark's own
+    * broadcast standards, and union-find closes it in milliseconds. */
+  val DefaultSmallGraphEdges: Long = 1000000L
+
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphEdges: Long = DefaultSmallGraphEdges): DataFrame = {
+    // size-based plan selection, the connected-components analog of a
+    // broadcast join: a VERIFIED near-dup pair graph is duplicate-density-
+    // sized — orders of magnitude smaller than the corpus that produced it
+    // — and below the ceiling the one limit-capped collect is strictly
+    // cheaper than even a single distributed iteration (each of which is a
+    // multi-job round trip; the full loop runs O(log diameter) of them).
+    // The collected edges feed union-find on the driver, which computes the
+    // IDENTICAL min-id fixpoint (suite-pinned against the distributed
+    // path). Graphs past the ceiling run the distributed pointer-jumping
+    // loop below, unchanged — the collect is bounded by construction, so
+    // this is a census, not a driver-side corpus loop.
+    if (smallGraphEdges > 0) {
+      val cap = math.min(smallGraphEdges + 1, Int.MaxValue.toLong).toInt
+      val probed = pairs
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(cap).collect()
+      if (probed.length <= smallGraphEdges)
+        return smallGraphClusters(pairs.sparkSession,
+          probed.map(r => (r.getLong(0), r.getLong(1))))
+      // past the ceiling: fall through (the probe pass is amortized by the
+      // big-graph iteration cost it just diagnosed)
+    }
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -795,10 +827,55 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The driver fast path of [[nearDupClusters]]: union-find (union by
+    * rank, path compression) over the collected edge list, then each
+    * component labeled by its minimum member id — the same fixpoint the
+    * distributed loop converges to, computed in one linear pass. */
+  private def smallGraphClusters(
+      spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    val idx = new java.util.HashMap[java.lang.Long, Integer]()
+    def indexOf(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue()
+      else { val i = idx.size(); idx.put(id, i); i }
+    }
+    val flat = edges.map { case (a, b) => (indexOf(a), indexOf(b)) }
+    val n = idx.size()
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Byte](n)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    flat.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val ids = new Array[Long](n)
+    idx.forEach((id, i) => ids(i.intValue()) = id.longValue())
+    val minOfRoot = new java.util.HashMap[Integer, java.lang.Long]()
+    (0 until n).foreach { i =>
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (cur == null || ids(i) < cur) minOfRoot.put(r, ids(i))
+    }
+    import spark.implicits._
+    (0 until n).map(i => (ids(i), minOfRoot.get(find(i)).longValue()))
+      .toDF("doc_id", "cluster_id")
+  }
+
   /** Keep decision per duplicate-cluster member: keep only the smallest id.
     * (doc_id, cluster_id, keep). Docs in no pair are implicitly kept. */
-  def nearDupKeepDecisions(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    nearDupClusters(pairs, maxIter)
+  def nearDupKeepDecisions(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphEdges: Long = DefaultSmallGraphEdges): DataFrame =
+    nearDupClusters(pairs, maxIter, smallGraphEdges)
       .withColumn("keep", col("doc_id") === col("cluster_id"))
 
   /** Keep/drop verdicts at the confident-duplicate threshold — dropping a

@@ -242,10 +242,26 @@ class DedupSpec extends SparkSpec {
     // iterations; with path halving the worst label reaches the root
     // in O(log) steps — 10 iterations must suffice
     val pairs = (1L until 65L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val clusters = Dedup.nearDupClusters(pairs, maxIter = 10)
+    // smallGraphEdges = 0 forces the DISTRIBUTED loop — this test pins the
+    // pointer jumping itself, which the driver fast path would bypass
+    val clusters = Dedup.nearDupClusters(pairs, maxIter = 10, smallGraphEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.size === 65)
     assert(clusters.values.forall(_ === 1L), s"unconverged labels: ${clusters.filter(_._2 != 1L)}")
+  }
+
+  test("small-graph union-find path equals the distributed pointer-jumping path") {
+    import spark.implicits._
+    // chained + branched + singleton-pair components, ids deliberately out
+    // of order so min-id labeling is non-trivial
+    val pairs = (Seq((50L, 3L), (3L, 40L), (40L, 7L), (90L, 91L), (91L, 12L)) ++
+      (100L until 120L).map(i => (i + 1, i))).toDF("doc_a", "doc_b")
+    val fast = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Dedup.nearDupClusters(pairs, smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === distributed)
+    assert(fast(50L) === 3L && fast(7L) === 3L && fast(90L) === 12L && fast(119L) === 100L)
   }
 
   test("nearDupKeepDecisions keeps exactly the cluster minimum") {
