@@ -34,9 +34,23 @@ object PageRank {
    * a source or destination. Damping 0.85 as num/den integers.
    */
   def pageRank(edges: DataFrame, srcCol: String = "src_id", dstCol: String = "dst_id",
-      iters: Int = 10, dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+      iters: Int = 10, dampNum: Int = 85, dampDen: Int = 100,
+      smallGraphEdges: Long = Dedup.DefaultSmallGraphEdges): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iteration count out of range: $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // size-based plan selection, as [[Dedup.nearDupClusters]]: below the
+    // edge ceiling one limit-capped collect replaces iters × (join + agg)
+    // distributed rounds, and the all-integer recurrence replays bit-exactly
+    // on the driver (suite-pinned against the distributed loop). Similarity
+    // graphs at corpus scale run the distributed loop below, unchanged.
+    if (smallGraphEdges > 0) {
+      val cap = math.min(smallGraphEdges + 1, Int.MaxValue.toLong).toInt
+      val probed = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(cap).collect()
+      if (probed.length <= smallGraphEdges)
+        return smallGraphPageRank(edges.sparkSession,
+          probed.map(r => (r.getLong(0), r.getLong(1))), iters, dampNum, dampDen)
+    }
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -65,6 +79,35 @@ object PageRank {
       if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** Driver fast path of [[pageRank]]: the identical integer recurrence —
+    * contribution = pr div deg per edge, update = base + (dampNum·Σ) div
+    * dampDen — over indexed arrays. Division and summation are exact longs,
+    * so this is bit-equal to the distributed loop by construction. */
+  private def smallGraphPageRank(spark: SparkSession, edges: Array[(Long, Long)],
+      iters: Int, dampNum: Int, dampDen: Int): DataFrame = {
+    val idx = new java.util.HashMap[java.lang.Long, Integer]()
+    def indexOf(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue()
+      else { val i = idx.size(); idx.put(id, i); i }
+    }
+    val flat = edges.map { case (a, b) => (indexOf(a), indexOf(b)) }
+    val n = idx.size()
+    val deg = new Array[Long](n)
+    flat.foreach { case (a, _) => deg(a) += 1 }
+    val base = (1000000L * (dampDen - dampNum)) / dampDen
+    var pr = Array.fill(n)(1000000L)
+    (1 to iters).foreach { _ =>
+      val s = new Array[Long](n)
+      flat.foreach { case (a, b) => s(b) += pr(a) / deg(a) }
+      pr = Array.tabulate(n)(i => base + (dampNum * s(i)) / dampDen)
+    }
+    val ids = new Array[Long](n)
+    idx.forEach((id, i) => ids(i.intValue()) = id.longValue())
+    import spark.implicits._
+    (0 until n).map(i => (ids(i), pr(i))).toDF("id", "pr")
   }
 
   /**
