@@ -317,6 +317,15 @@ object Dedup {
     // checkpoint blocks are context-cleaned once the frame is unreferenced
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
       .localCheckpoint()
+    // size-based side selection for the two attach joins below: the pair
+    // set is collision-density-sized (it can exceed the corpus by orders of
+    // magnitude on a high-background corpus — 1.75M pairs from 5k docs on
+    // the synthetic tables), so when the PER-DOC side is broadcastable the
+    // pairs must never shuffle their wide payloads. ~16k docs ≈ 8 MB of
+    // signatures / tens of MB of shingle sets; past that both attaches stay
+    // shuffle joins (the documented corpus-scale shape).
+    val smallCorpus = sigs.count() <= 16384
+    def attach(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
     val bands = lshBands(sigs, idCol, b, numHashes)
     // cheap signature prefilter (slightly below threshold to keep estimate
     // noise from dropping borderline pairs) before the wide shingle-set join
@@ -329,23 +338,27 @@ object Dedup {
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .join(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(attach(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(attach(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       .filter(est >= math.max(0.0, threshold - 0.15))
       .select("doc_a", "doc_b").localCheckpoint()
     // shingle sets materialize ONLY for docs that survived est-prefilter:
     // at production scale candidates cover a small fraction of the corpus,
     // so the semi-join saves two full-corpus shingle+sort kernel passes
     // (the kernel is the scan cost that multiplies at 100 TB; the extra
-    // id-only shuffle is candidate-sized)
+    // id-only shuffle is candidate-sized). Checkpointed: the a-side and
+    // b-side attaches partition on different keys, so without the barrier
+    // the semi-join + shingle kernel would execute TWICE (no exchange reuse
+    // across differently-keyed exchanges).
     val candIds = candidates.select(col("doc_a").as(idCol))
       .union(candidates.select(col("doc_b").as(idCol))).distinct()
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
+      .localCheckpoint()
     candidates
-      .join(sh.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
-      .join(sh.select(col(idCol).as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .join(attach(sh.select(col(idCol).as("doc_a"), col("shs").as("shs_a"))), "doc_a")
+      .join(attach(sh.select(col(idCol).as("doc_b"), col("shs").as("shs_b"))), "doc_b")
       .withColumn("common",
         graft.functions.GraftFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
