@@ -639,7 +639,11 @@ object MqRoundtrip {
     // per-batch shuffles sized to the batch, not the session default: each
     // micro-batch runs the multi-join dedup machinery on ~1/4 of the new
     // docs, so 32-partition exchanges x ~6 joins x 4 batches is mostly
-    // empty-task overhead (the purchase_attribution_stream recipe)
+    // empty-task overhead (the purchase_attribution_stream recipe). The 8
+    // never under-parallelizes the HISTORY side at large SFs: in the
+    // broadcastBatch regime history is strictly map-side (scan parallelism
+    // comes from input splits, not shuffle partitions), and the only
+    // exchanges are candidate-sized
     StreamingQueries.withMicroBatchPlanConf(spark, 8) {
       val q = spark.readStream.format("graft-mq")
         .option("topic", topic).option("consumerGroup", "increm")
