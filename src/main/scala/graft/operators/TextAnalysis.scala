@@ -475,7 +475,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0))).as("term"))
+    // checkpointed: both the df aggregation and the scoring join consume tf
+    // — without the barrier the corpus tokenize + token shuffle runs twice
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.count().toDouble
     val scored = tf.join(dfreq.hint("shuffle_hash"), "term")
@@ -526,7 +529,11 @@ object TextAnalysis {
     import spark.implicits._
     val toks = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0))).as("term"))
+    // checkpointed: four consumers (df census, doc-length stats, and the
+    // scoring join) would otherwise each re-run the corpus tokenize +
+    // token shuffle — the dominant scan cost of the whole operator
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // numTerms-row driver census defines the query set; df rides along so
     // scoring needs no second join against the vocabulary table
