@@ -42,7 +42,8 @@ object ScaleCheck {
     "graph_pagerank" -> "embeddings", "hard_negatives" -> "embeddings",
     "q31_reachability" -> "embeddings",
     "bm25_search" -> "documents", "spell_correct" -> "documents",
-    "segment_dedup" -> "documents", "text_bigram_logprob" -> "documents")
+    "segment_dedup" -> "documents", "text_bigram_logprob" -> "documents",
+    "dsir_select" -> "documents")
 
   /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
     * guidance — generous enough for the job-floor noise on the small SF,

@@ -139,6 +139,7 @@ object SparkEntry {
     "gram_coverage" -> (Dedup.gramCoverageQuery _),
     "text_logprob" -> (CorpusPipeline.corpusLogProb _),
     "text_bigram_logprob" -> (CorpusPipeline.corpusBigramLogProb _),
+    "dsir_select" -> (CorpusPipeline.dsirSelectQuery _),
     "corpus_assemble" -> (CorpusPipeline.corpusAssemble _),
     "chunk_documents" -> (CorpusPipeline.corpusChunk _),
     "corpus_shuffle" -> (CorpusPipeline.corpusShuffle _),
@@ -809,6 +810,34 @@ object SparkEntry {
         | round(avg(ln(c12::DOUBLE / c1::DOUBLE)), 4) AS logprob
         |FROM bg JOIN f USING (w1, w2) JOIN cx USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR importance weights: add-1-smoothed hashed-token-bucket log
+    // ratios (target = lang-'en' slice, raw = whole corpus), weight = 4-dp
+    // rounded per-doc sum, top floor(N/5) by (weight desc, doc_id) — the
+    // bucket hash is the engine-portable md5-prefix, totals and smoothing
+    // replayed identically
+    "dsir_select" ->
+      raw"""WITH w0 AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |tk AS (SELECT doc_id, tok FROM w0 WHERE tok <> ''),
+        |feat AS (SELECT doc_id, substr(md5(tok), 1, 3) AS b FROM tk),
+        |raw AS (SELECT b, count(*) AS cr FROM feat GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM feat JOIN documents USING (doc_id)
+        |        WHERE lang = 'en' GROUP BY b),
+        |r0 AS (SELECT raw.b AS b, cr, coalesce(ct, 0) AS ct
+        |       FROM raw LEFT JOIN tgt ON tgt.b = raw.b),
+        |tot AS (SELECT sum(cr)::DOUBLE AS tr, sum(ct)::DOUBLE AS tt FROM r0),
+        |ratio AS (SELECT b,
+        |  ln((ct + 1)::DOUBLE / ((SELECT tt FROM tot) + 4096)) -
+        |  ln((cr + 1)::DOUBLE / ((SELECT tr FROM tot) + 4096)) AS lr FROM r0),
+        |df AS (SELECT doc_id, b, count(*) AS c FROM feat GROUP BY 1, 2),
+        |w AS (SELECT doc_id, round(sum(c * lr), 4) AS logweight
+        |      FROM df JOIN ratio USING (b) GROUP BY doc_id),
+        |k AS (SELECT floor(count(*) * 0.2)::BIGINT AS k FROM w),
+        |ranked AS (SELECT doc_id, logweight,
+        |  row_number() OVER (ORDER BY logweight DESC, doc_id) AS rnk FROM w)
+        |SELECT doc_id, logweight, rnk FROM ranked
+        |WHERE rnk <= (SELECT k FROM k) ORDER BY doc_id""".stripMargin,
     // PMI over the bigram table: marginals and T re-derived from the same
     // counts in both engines; rank/limit over the 4-dp ROUNDED pmi with
     // (w1, w2) tie-break so identical values order identically

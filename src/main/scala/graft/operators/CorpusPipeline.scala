@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -500,6 +500,75 @@ object CorpusPipeline {
 
   def corpusBigramLogProb(spark: SparkSession, dir: String): DataFrame =
     bigramLogProb(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /**
+   * DSIR-style data selection (Xie et al., "Data Selection for Language
+   * Models via Importance Resampling", NeurIPS 2023): score every document
+   * by the log importance ratio of a TARGET domain over the RAW corpus on
+   * hashed token features — `Σ_tok ln p̂_target(b(tok)) − ln p̂_raw(b(tok))`
+   * with add-1-smoothed bucket probabilities — and keep the top
+   * `selectFraction` by weight (the deterministic top-k variant of the
+   * paper's Gumbel resampling; rank = 4-dp weight desc, doc_id asc, so the
+   * selection is engine-replayable). Features are the first `hexChars`
+   * chars of each token's md5 — the paper's hashed-n-gram trick with an
+   * engine-portable hash (16^hexChars buckets).
+   *
+   * Scale shape: ONE tokenize+hash pass (checkpointed) feeds the raw
+   * counts, the target counts (semi-join against the target ids) and the
+   * per-doc feature bag; both count tables are bucket-bounded
+   * (≤ 16^hexChars rows), their totals one driver census row, and the
+   * log-ratio table re-attaches as an explicit broadcast. Per-doc weights
+   * aggregate with map-side partials. The final rank is a global window —
+   * over the DOC-LEVEL weight table (id + one double per doc, corpus-text
+   * free); at 100 TB swap the window for [[budgetSelect]]'s histogram
+   * census selection, same semantics at zero global sort.
+   *
+   * 4-dp tolerance note: the weight is a double sum in partition order —
+   * the documented [[unigramLogProb]] ulp-at-boundary class.
+   */
+  def dsirSelect(docs: DataFrame, targetFilter: Column,
+      selectFraction: Double = 0.2, hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 15, s"hexChars out of range: $hexChars")
+    val buckets = math.pow(16, hexChars).toLong
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val feat = toks
+      .select(col("doc_id"), substring(md5(col("tok")), 1, hexChars).as("b"))
+      .localCheckpoint()
+    val raw = feat.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = feat
+      .join(docs.filter(targetFilter).select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    // target buckets ⊆ raw buckets by construction (the target is a subset
+    // of the corpus), so a left join loses nothing; absent buckets smooth
+    // through the +1
+    val counts = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("cr"), sum("ct")).head()
+    val (tr, tt) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    val ratio = counts.select(col("b"),
+      (log((col("ct") + 1).cast("double") / lit(tt + buckets)) -
+        log((col("cr") + 1).cast("double") / lit(tr + buckets))).as("lr"))
+    val weights = feat.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr")), 4).as("logweight"))
+      .localCheckpoint()
+    val k = math.floor(weights.count() * selectFraction).toLong
+    val byW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logweight").desc, col("doc_id"))
+    weights.withColumn("rnk", row_number().over(byW))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("logweight"), col("rnk"))
+  }
+
+  /** Query entry (oracle-checked): top fifth of the corpus by importance
+    * weight toward the English-document target slice. */
+  def dsirSelectQuery(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.documents(spark, dir), col("lang") === "en")
+      .orderBy(col("doc_id"))
 
   /**
    * PMI-ranked collocations (Church & Hanks 1990): the word pairs that

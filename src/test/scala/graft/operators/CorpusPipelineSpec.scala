@@ -602,4 +602,19 @@ class CorpusPipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("quality DESC"), plan.take(1500))
   }
+
+  test("dsirSelect keeps the docs whose token distribution matches the target slice") {
+    import spark.implicits._
+    // ids 0-4 share the target-slice vocabulary; ids 5-9 are per-doc token
+    // salad (every bucket count 1 in raw, 0 in target), so the importance
+    // ratio must rank all five target-like docs above all five others
+    val docs = ((0L until 5L).map(i => (i, s"the cat sat on the mat $i")) ++
+      (5L until 10L).map(i => (i, s"zz$i qq$i ww$i vv$i kk$i"))).toDF("doc_id", "text")
+    val out = CorpusPipeline.dsirSelect(docs, col("doc_id") < 5, selectFraction = 0.4)
+      .collect()
+    assert(out.length === 4) // floor(10 * 0.4)
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L until 5L).toSet))
+    // ranks are 1..k over (weight desc, doc_id) and weights are 4-dp
+    assert(out.map(_.getInt(2)).sorted.toSeq === (1 to 4))
+  }
 }
