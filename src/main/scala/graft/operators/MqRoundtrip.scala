@@ -659,8 +659,12 @@ object MqRoundtrip {
           // SAME batchId-keyed directory (overwrite), not append a duplicate
           // copy of its pairs — this is what keeps "union over batches ==
           // one-shot batch answer" true under retries
+          // coalesce(1): per-batch results are duplicate-pair-sized (bounded
+          // by batch x collision density), so eight near-empty task files +
+          // commit rounds per batch are pure overhead
           Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs,
               historyBands = oldBands, broadcastBatch = broadcastBatch)
+            .coalesce(1)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()
         }
