@@ -760,23 +760,68 @@ object Similarity {
     * must pass `maxExactRows` explicitly — the default refuses. */
   val DefaultMaxExactRows: Long = 1000000L
 
-  /** Exact near-pair baseline: every (a<b) pair with cosine >= threshold by
-    * a brute self-join. Quadratic by definition — it is the ground truth the
+  /** Exact near-pair baseline: every (a<b) pair with cosine >= threshold,
+    * brute force. Quadratic by definition — it is the ground truth the
     * LSH path is measured against, the ann_topk of the pair world. Guarded
     * by [[DefaultMaxExactRows]]: this is a BASELINE/oracle operator and must
-    * not be reachable at corpus scale by accident. The guard probes with
-    * `limit(max+1).count()` — a scan capped at max+1 rows, not a full count. */
+    * not be reachable at corpus scale by accident — which also means the
+    * corpus is BROADCASTABLE BY CONSTRUCTION whenever the guard admits it
+    * (the guard probe is a limit-capped collect, never an unbounded one).
+    *
+    * Execution: one broadcast of the (id, emb) rows + one parallelized pass
+    * with the pair loop fused in-kernel. The previous broadcast-nested-loop
+    * JOIN had the same memory shape (it broadcast the same corpus) but
+    * materialized N²/2 join rows each carrying two dim-length arrays —
+    * ~15× the cost of the arithmetic itself. The kernel replicates
+    * [[graft.functions.GraftFunctions.cosineSim]]'s accumulation order
+    * exactly and prefilters with a 1e-4 margin; the authoritative 4-dp
+    * round + threshold run as Column expressions, so the result is
+    * bit-identical to the join formulation. Assumes unique vec_ids (a
+    * duplicated id in the join form produced duplicated pairs — dirty
+    * input, not a contract). */
   def embeddingNearDupsExact(corpus: DataFrame, threshold: Double,
       maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
-    val probed = corpus.limit((maxExactRows + 1).min(Int.MaxValue.toLong).toInt).count()
-    require(probed <= maxExactRows,
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+      .limit((maxExactRows + 1).min(Int.MaxValue.toLong).toInt)
+      .as[(Long, Array[Double])].collect()
+    require(rows.length <= maxExactRows,
       s"embeddingNearDupsExact is a quadratic baseline: corpus exceeds " +
         s"$maxExactRows rows; use embeddingNearDups (LSH) at this scale, or " +
         s"pass maxExactRows explicitly if you really want the brute force")
-    corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
-      .join(broadcast(corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))),
-        col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 4))
+    val bc = spark.sparkContext.broadcast(rows)
+    val n = rows.length
+    // row i pairs with j>i (triangular): interleave the index order so every
+    // task draws a mix of heavy and light rows
+    val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
+    val margin = threshold - 1e-4 // 4-dp HALF_UP can raise a value < 5e-5
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4, n))
+    val raw = spark.createDataset(order).repartition(slices).mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { i =>
+        val (ida, ea) = all(i)
+        Iterator.range(i + 1, all.length).flatMap { j =>
+          val (idb, eb) = all(j)
+          if (ea.length != eb.length)
+            throw new IllegalArgumentException(
+              s"cosine_sim: dimension mismatch ${ea.length} vs ${eb.length} — " +
+                "a silent min-length similarity would be plausible but wrong")
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var k = 0
+          while (k < ea.length) {
+            dot += ea(k) * eb(k); na += ea(k) * ea(k); nb += eb(k) * eb(k)
+            k += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          val sim = if (denom == 0.0) 0.0 else dot / denom
+          if (sim >= margin)
+            Iterator.single(if (ida < idb) (ida, idb, sim) else (idb, ida, sim))
+          else Iterator.empty
+        }
+      }
+    }.toDF("vec_a", "vec_b", "sim")
+    raw.withColumn("sim", round(col("sim"), 4))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }
