@@ -391,7 +391,26 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int = 5,
       numCentroids: Int = 16, nprobe: Int = 16,
       lloydIters: Int = 0,
-      quantizer: (DataFrame, Int) => Array[Array[Double]] = sampleCentroids): DataFrame = {
+      quantizer: (DataFrame, Int) => Array[Array[Double]] = sampleCentroids,
+      exhaustiveKernelMaxRows: Long = 65536L): DataFrame = {
+    // size-based plan selection for the EXHAUSTIVE regime only (nprobe >=
+    // numCentroids, where the cell join provably equals brute force): below
+    // the row ceiling (~64 MB of vectors) the corpus broadcasts and the
+    // N x N scan runs as one fused kernel pass — the cell join's 6M+
+    // materialized candidate rows (two dim-length arrays each) were ~15x
+    // the arithmetic. Pruned probes (nprobe < numCentroids) and corpora
+    // past the ceiling keep the IVF cell-join shape below, unchanged.
+    if (nprobe >= numCentroids && exhaustiveKernelMaxRows > 0) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val cap = math.min(exhaustiveKernelMaxRows + 1, Int.MaxValue.toLong).toInt
+      val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+        .limit(cap).as[(Long, Array[Double])].collect()
+      if (rows.length <= exhaustiveKernelMaxRows)
+        return knnExhaustiveKernel(spark, rows, k)
+      // past the ceiling: fall through to the distributed cell join (the
+      // capped collect is amortized by the N^2 work it just diagnosed)
+    }
     val sampled = quantizer(corpus, numCentroids)
     val centroids =
       if (lloydIters > 0) lloydRefine(corpus.select("vec_id", "emb"), "emb", sampled, lloydIters)
@@ -406,6 +425,71 @@ object Similarity {
     indexed.join(probeCells.hint("shuffle_hash"), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("src_id"))
       .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src_id"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** The raw cosine loop shared by the fused brute-force kernels — the
+    * exact accumulation order of [[graft.functions.GraftFunctions.cosineSim]]
+    * (nullSafeEval), so kernel results are bit-identical to the expression. */
+  private def cosineRaw(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ${a.length} vs ${b.length} — " +
+          "a silent min-length similarity would be plausible but wrong")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Exhaustive-kNN fast path of [[knnGraph]]: per source row, one fused
+    * scan over the broadcast corpus keeps a raw top-k and emits only the
+    * candidates within 1e-4 of the k-th best (4-dp HALF_UP moves a value
+    * by < 5e-5, so nothing outside that band can enter the ROUNDED top-k);
+    * the authoritative round + rank then run as the SAME Column/window
+    * expressions as the cell-join path — bit-identical results, candidate
+    * volume n·(k+ε) instead of n². */
+  private def knnExhaustiveKernel(spark: SparkSession,
+      rows: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rows)
+    val n = rows.length
+    val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4, n))
+    val raw = spark.createDataset(order).repartition(slices).mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { i =>
+        val (ida, ea) = all(i)
+        val sims = new Array[Double](all.length)
+        val top = Array.fill(math.max(k, 1))(Double.NegativeInfinity)
+        var j = 0
+        while (j < all.length) {
+          if (j != i) {
+            val s = cosineRaw(ea, all(j)._2)
+            sims(j) = s
+            if (s > top(top.length - 1)) {
+              var p = top.length - 1
+              while (p > 0 && top(p - 1) < s) { top(p) = top(p - 1); p -= 1 }
+              top(p) = s
+            }
+          } else sims(j) = Double.NegativeInfinity
+          j += 1
+        }
+        val cut =
+          (if (all.length - 1 < k) Double.NegativeInfinity else top(k - 1)) - 1e-4
+        Iterator.range(0, all.length)
+          .filter(j => j != i && sims(j) >= cut)
+          .map(j => (ida, all(j)._1, sims(j)))
+      }
+    }.toDF("src_id", "vec_id", "sim")
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("vec_id"))
+    raw.withColumn("sim", round(col("sim"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("src_id"), col("vec_id").as("neighbor_id"), col("sim"))

@@ -375,8 +375,15 @@ class SimilaritySpec extends SparkSpec {
       .select(col("query_id").as("src_id"), col("neighbor_id"), col("sim"))
     assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty,
       "exhaustive knnGraph differs from the brute-force graph")
-    // plan shape: shuffle-hash on the cell key, no broadcast join anywhere
-    val plan = exact.queryExecution.executedPlan.toString
+    // the distributed cell-join path (forced past the kernel ceiling) must
+    // agree with the fused-kernel default bit for bit...
+    val exactCell = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16,
+      exhaustiveKernelMaxRows = 0)
+    assert(exactCell.exceptAll(exact).isEmpty && exact.exceptAll(exactCell).isEmpty,
+      "cell-join exhaustive path differs from the fused kernel path")
+    // ...and its plan shape stays shuffle-hash on the cell key, no
+    // broadcast join anywhere
+    val plan = exactCell.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$plan")
     assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
       s"corpus-sized probe side must not be broadcast:\n$plan")
