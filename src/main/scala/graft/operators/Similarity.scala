@@ -549,7 +549,57 @@ object Similarity {
    * what the oracle replays.
    */
   def hardNegatives(corpus: DataFrame, k: Int = 5,
-      numCentroids: Int = 16, nprobe: Int = 16): DataFrame = {
+      numCentroids: Int = 16, nprobe: Int = 16,
+      exhaustiveKernelMaxRows: Long = 65536L): DataFrame = {
+    // same size-based fast path as [[knnGraph]]'s exhaustive regime, with
+    // the label inequality applied inside the kernel scan
+    if (nprobe >= numCentroids && exhaustiveKernelMaxRows > 0) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val cap = math.min(exhaustiveKernelMaxRows + 1, Int.MaxValue.toLong).toInt
+      val rows = corpus.select(col("vec_id").cast("long").as("_1"),
+          col("emb").as("_2"), col("label").cast("long").as("_3"))
+        .limit(cap).as[(Long, Array[Double], Long)].collect()
+      if (rows.length <= exhaustiveKernelMaxRows) {
+        val bc = spark.sparkContext.broadcast(rows)
+        val n = rows.length
+        val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
+        val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4, n))
+        val raw = spark.createDataset(order).repartition(slices).mapPartitions { it =>
+          val all = bc.value
+          it.flatMap { i =>
+            val (ida, ea, la) = all(i)
+            val sims = new Array[Double](all.length)
+            val top = Array.fill(math.max(k, 1))(Double.NegativeInfinity)
+            var eligible = 0
+            var j = 0
+            while (j < all.length) {
+              if (all(j)._3 != la) {
+                eligible += 1
+                val s = cosineRaw(ea, all(j)._2)
+                sims(j) = s
+                if (s > top(top.length - 1)) {
+                  var p = top.length - 1
+                  while (p > 0 && top(p - 1) < s) { top(p) = top(p - 1); p -= 1 }
+                  top(p) = s
+                }
+              } else sims(j) = Double.NegativeInfinity
+              j += 1
+            }
+            val cut = (if (eligible < k) Double.NegativeInfinity else top(k - 1)) - 1e-4
+            Iterator.range(0, all.length)
+              .filter(j => all(j)._3 != la && sims(j) >= cut)
+              .map(j => (ida, all(j)._1, all(j)._3, sims(j)))
+          }
+        }.toDF("anchor_id", "vec_id", "negative_label", "sim")
+        val w = Window.partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("vec_id"))
+        return raw.withColumn("sim", round(col("sim"), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("anchor_id"), col("vec_id").as("negative_id"),
+            col("negative_label"), col("sim"))
+      }
+    }
     val centroids = sampleCentroids(corpus, numCentroids)
     val probeN = math.min(nprobe, centroids.length)
     val indexed = assignCells(corpus.select("vec_id", "emb", "label"), "emb", centroids)
