@@ -864,7 +864,8 @@ object Similarity {
    */
   def embeddingNearDups(
       corpus: DataFrame, threshold: Double = 0.95,
-      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
+      kernelVerifyMaxRows: Long = 65536L): DataFrame = {
     val buckets = lshBuckets(corpus, "emb", numTables, bitsPerTable, seed)
       .select(col("vec_id"), col("table"), col("bucket"))
     // candidate ids first (cheap distinct on two longs), embeddings joined
@@ -878,10 +879,35 @@ object Similarity {
         .hint("shuffle_hash"), Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    candidates
-      .join(corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
-      .join(corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
-      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 4))
+    // verify stage, size-adaptive: on a permissive banding (few bits, or a
+    // high-background corpus) the candidate set approaches all-pairs, and
+    // attaching embeddings by join materializes every pair as a row carrying
+    // two dim-length arrays — the dominant cost. Below the corpus ceiling
+    // (~64 MB of vectors) the embeddings broadcast as a lookup map and the
+    // cosine runs fused in-kernel over the bare id pairs; the authoritative
+    // 4-dp round + threshold stay Column expressions either way, so both
+    // paths are bit-identical (suite-pinned)
+    val fused: Option[DataFrame] = if (kernelVerifyMaxRows > 0) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val cap = math.min(kernelVerifyMaxRows + 1, Int.MaxValue.toLong).toInt
+      val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+        .limit(cap).as[(Long, Array[Double])].collect()
+      if (rows.length <= kernelVerifyMaxRows) {
+        val bc = spark.sparkContext.broadcast(rows.toMap)
+        Some(candidates.select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val m = bc.value
+            it.map { case (a, b) => (a, b, cosineRaw(m(a), m(b))) }
+          }.toDF("vec_a", "vec_b", "sim"))
+      } else None
+    } else None
+    fused.getOrElse(candidates
+        .join(corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+        .join(corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
+        .withColumn("sim", cosine(col("emb_a"), col("emb_b"))))
+      .withColumn("sim", round(col("sim"), 4))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }

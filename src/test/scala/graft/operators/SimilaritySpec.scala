@@ -313,6 +313,17 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall $recall%.3f, candidates $cand%.0f = ${cand / pairSpace * 100}%.2f%% of $pairSpace%.0f pairs")
   }
 
+  test("embeddingNearDups fused-kernel verify equals the join-path verify") {
+    val fused = Similarity.embeddingNearDups(embeddings, threshold = 0.3,
+        numTables = 16, bitsPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joined = Similarity.embeddingNearDups(embeddings, threshold = 0.3,
+        numTables = 16, bitsPerTable = 4, kernelVerifyMaxRows = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused === joined)
+    assert(fused.nonEmpty)
+  }
+
   test("LSH and near-dup plans contain no cartesian product") {
     val probes = embeddings.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
