@@ -448,6 +448,137 @@ object Dedup {
         .select(col(idCol).as("old_id"), col("band"), col("band_hash")),
       idCol, numBands, numHashes)
 
+  /** Ceiling (estimated serialized bytes) under which the history side of an
+    * ingestion loop broadcasts as a [[HistoryProbeIndex]] — the same role
+    * `spark.sql.autoBroadcastJoinThreshold` plays for a dim table, sized for
+    * executor memory, not bench convenience. Estimate: ~8 B per shingle
+    * (≈ one per text char) + sig/band overhead per doc. */
+  val DefaultProbeIndexMaxBytes: Long = 256L << 20
+
+  /**
+   * The broadcast form of a history MinHash index: band buckets, signatures
+   * and exact shingle sets as in-memory maps. This is the micro-batch analog
+   * of a broadcast hash join — an ingestion tick's batch is tiny and the
+   * history is the "dim side" of its dedup probe, so once the index fits the
+   * broadcast ceiling every arriving batch dedups in ONE narrow stage (scan →
+   * kernel probe → verify), zero exchanges, zero per-batch join planning.
+   * Above the ceiling the banded equi-join plan
+   * ([[crossNearDupsWithHistorySigs]]) stands — history is unbounded there.
+   *
+   * Band keys are the SAME Spark `hash(slice(sig,…))` values the distributed
+   * band join shuffles on (collected, not re-derived), and the probe side
+   * computes its band hashes with the same Column expression — so the
+   * candidate set, est-prefilter and exact-Jaccard verify are bit-identical
+   * to the join plan (suite-pinned).
+   */
+  final case class HistoryProbeIndex(
+      bands: Map[(Int, Int), Array[Long]],
+      sigs: Map[Long, Array[Long]],
+      shingles: Map[Long, Array[Long]],
+      idCol: String, numBands: Int, numHashes: Int, shingleN: Int)
+
+  /** Collect the history index for [[crossNearDupsWithProbeIndex]], or None
+    * when its estimated size exceeds `maxBytes` (broadcast-join semantics:
+    * past the ceiling, stay on the distributed plan). One narrow agg sizes
+    * it; three bounded collects build it — each a documented census capped
+    * by `maxBytes`, never corpus-scale. */
+  def buildHistoryProbeIndex(
+      oldDocs: DataFrame, oldSigs: DataFrame, bands: HistoryBands,
+      textCol: String = "text", shingleN: Int = 4,
+      maxBytes: Long = DefaultProbeIndexMaxBytes): Option[HistoryProbeIndex] = {
+    val spark = oldSigs.sparkSession
+    import spark.implicits._
+    val (nDocs, nChars) = oldDocs
+      .agg(count(lit(1)), coalesce(sum(length(col(textCol))), lit(0L)))
+      .as[(Long, Long)].head()
+    val estBytes = 8L * nChars + (8L * bands.numHashes + 24L * bands.numBands + 64L) * nDocs
+    if (maxBytes <= 0 || estBytes > maxBytes) None
+    else {
+      val sigs = oldSigs
+        .select(col(bands.idCol).cast("long").as("_1"), col("sig").as("_2"))
+        .as[(Long, Array[Long])].collect().toMap
+      val bandMap = bands.df
+        .select(col("old_id").cast("long").as("_1"), col("band").as("_2"),
+          col("band_hash").as("_3"))
+        .as[(Long, Int, Int)].collect()
+        .groupBy(r => (r._2, r._3))
+        .map { case (k, vs) => k -> vs.map(_._1) }
+      val shingles = oldDocs
+        .select(col(bands.idCol).cast("long").as("_1"),
+          shingleHashes(col(textCol), shingleN).as("_2"))
+        .as[(Long, Array[Long])].collect().filter(_._2.nonEmpty).toMap
+      Some(HistoryProbeIndex(
+        bandMap, sigs, shingles, bands.idCol, bands.numBands, bands.numHashes, shingleN))
+    }
+  }
+
+  /** [[crossNearDupsWithHistorySigs]] against a BROADCAST
+    * [[HistoryProbeIndex]]: per micro-batch ONE narrow stage — batch scan
+    * computes sig + shingles + band hashes (same Column kernels as the join
+    * plan), a per-row probe of the broadcast band map yields candidates, the
+    * est-prefilter and exact sorted-intersect verify run on the same static
+    * [[graft.functions.TextHashes]] kernels the distributed expressions
+    * call, and the authoritative round + threshold stay Column expressions.
+    * Broadcast ONCE by the caller and reused across batches. */
+  def crossNearDupsWithProbeIndex(
+      newDocs: DataFrame,
+      index: org.apache.spark.broadcast.Broadcast[HistoryProbeIndex],
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 4, threshold: Double = 0.7,
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+    val iv = index.value
+    require(iv.idCol == idCol && iv.numBands == numBands &&
+        iv.numHashes == numHashes && iv.shingleN == shingleN,
+      s"probe index was built with (idCol=${iv.idCol}, numBands=${iv.numBands}, " +
+        s"numHashes=${iv.numHashes}, shingleN=${iv.shingleN}) but this call uses " +
+        s"(idCol=$idCol, numBands=$numBands, numHashes=$numHashes, shingleN=$shingleN)")
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / numBands
+    val prep = newDocs
+      .select(col(idCol).cast("long").as("new_id"),
+        graft.functions.GraftFunctions.minHashSig(col(textCol), shingleN, numHashes, seed)
+          .as("sig"),
+        shingleHashes(col(textCol), shingleN).as("shs_a"))
+      .filter(col("sig").isNotNull && size(col("shs_a")) > 0)
+      .select(col("new_id"), col("sig"), col("shs_a"),
+        array((0 until numBands).map(b =>
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*).as("bhs"))
+    val estMin = math.max(0.0, threshold - 0.15)
+    prep.as[(Long, Array[Long], Array[Long], Array[Int])]
+      .mapPartitions { it =>
+        val idx = index.value
+        it.flatMap { case (newId, sig, shsA, bhs) =>
+          val seen = new java.util.HashSet[java.lang.Long]()
+          var b = 0
+          while (b < bhs.length) {
+            idx.bands.get((b, bhs(b))).foreach { arr =>
+              var i = 0
+              while (i < arr.length) { seen.add(arr(i)); i += 1 }
+            }
+            b += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Int)]
+          val iter = seen.iterator()
+          while (iter.hasNext) {
+            val oldId = iter.next().longValue()
+            if (graft.functions.TextHashes.sigEqualFraction(sig, idx.sigs(oldId)) >= estMin) {
+              idx.shingles.get(oldId).foreach { shsB =>
+                val common = graft.functions.TextHashes.sortedIntersectSize(shsA, shsB)
+                out += ((newId, oldId, common, shsA.length, shsB.length))
+              }
+            }
+          }
+          out
+        }
+      }
+      .toDF("new_id", "old_id", "common", "size_a", "size_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("size_a") + col("size_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   /** [[crossNearDups]] against PRECOMPUTED history signatures — the
     * ingestion-loop shape: the historical corpus pays its signatures once
     * (checkpointed here, parquet-persisted via [[writeMinhashIndex]] in

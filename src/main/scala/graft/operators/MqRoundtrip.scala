@@ -621,7 +621,16 @@ object MqRoundtrip {
     // (re-banding re-explodes the full history signature set 16-wide; paying
     // that per arriving batch is pure per-batch waste)
     val oldSigs = Dedup.minHashSignatures(history).localCheckpoint()
-    val oldBands = Some(Dedup.historyLshBands(oldSigs).localCheckpoint())
+    // under the broadcast ceiling the whole history probe index ships to
+    // executors ONCE and each micro-batch dedups in a single narrow stage —
+    // the broadcast-join regime of an ingestion tick (per-batch cost at
+    // bench SFs is otherwise ~1s of pure join planning + exchange rounds)
+    val rawBands = Dedup.historyLshBands(oldSigs)
+    val probeIdx = Dedup.buildHistoryProbeIndex(history, oldSigs, rawBands)
+      .map(spark.sparkContext.broadcast(_))
+    // the band frame only needs materializing when the per-batch JOIN plan
+    // will re-read it every micro-batch; the probe index already collected it
+    lazy val oldBands = Some(rawBands.localCheckpoint())
 
     // ~4 micro-batches at ANY corpus size: enough to prove the multi-batch
     // union is lossless without paying per-batch planning overhead 10x over
@@ -634,8 +643,9 @@ object MqRoundtrip {
     // that ratio (small SFs) the whole history fits in a couple of shuffle
     // files and the broadcast round-trips are the larger fixed cost. The
     // broadcast plan's equivalence is pinned by DedupSpec's
-    // broadcastBatch-vs-default test at every suite run.
-    val broadcastBatch = oldSigs.count() > 50L * trigger
+    // broadcastBatch-vs-default test at every suite run. Lazy: only the
+    // above-ceiling JOIN plan consults it (the probe index needs no count)
+    lazy val broadcastBatch = oldSigs.count() > 50L * trigger
     // per-batch shuffles sized to the batch, not the session default: each
     // micro-batch runs the multi-join dedup machinery on ~1/4 of the new
     // docs, so 32-partition exchanges x ~6 joins x 4 batches is mostly
@@ -662,8 +672,10 @@ object MqRoundtrip {
           // coalesce(1): per-batch results are duplicate-pair-sized (bounded
           // by batch x collision density), so eight near-empty task files +
           // commit rounds per batch are pure overhead
-          Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs,
-              historyBands = oldBands, broadcastBatch = broadcastBatch)
+          probeIdx.fold(
+              Dedup.crossNearDupsWithHistorySigs(batch, history, oldSigs,
+                historyBands = oldBands, broadcastBatch = broadcastBatch))(
+              bc => Dedup.crossNearDupsWithProbeIndex(batch, bc))
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()

@@ -340,6 +340,31 @@ class DedupSpec extends SparkSpec {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("broadcast probe index reproduces the join-plan cross-set answer") {
+    val docs = Tables.documents(spark, sfDir)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val sigs = Dedup.minHashSignatures(history).localCheckpoint()
+    val bands = Dedup.historyLshBands(sigs).localCheckpoint()
+    val idx = Dedup.buildHistoryProbeIndex(history, sigs, bands)
+    assert(idx.nonEmpty) // test corpus sits far under the broadcast ceiling
+    val bc = spark.sparkContext.broadcast(idx.get)
+    val fused = Dedup.crossNearDupsWithProbeIndex(newDocs, bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joined = Dedup.crossNearDupsWithHistorySigs(newDocs, history, sigs,
+      historyBands = Some(bands))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused === joined)
+    assert(fused.nonEmpty)
+    // a tiny ceiling refuses to build (the distributed plan's regime)
+    assert(Dedup.buildHistoryProbeIndex(history, sigs, bands, maxBytes = 1024).isEmpty)
+    // param mismatch fails fast, same contract as the historyBands guard
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossNearDupsWithProbeIndex(newDocs, bc, numBands = 32)
+    }
+    assert(e.getMessage.contains("numBands"))
+  }
+
   test("precomputed history bands from a different band family are rejected") {
     val docs = Tables.documents(spark, sfDir)
     val newDocs = docs.filter(col("doc_id") % 3 === 0)
