@@ -309,8 +309,31 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.5,
-      numHashes: Int = 64, numBands: Int = -1, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, numBands: Int = -1, seed: Long = 42L,
+      probeIndexMaxBytes: Long = DefaultProbeIndexMaxBytes): DataFrame = {
     val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
+    // broadcast-ceiling fast path: on a high-background corpus the banded
+    // self-join's candidate multiplicity (collision-density pairs → distinct
+    // → four wide attach joins) dwarfs the corpus; under the ceiling the
+    // whole (bands, sigs, shingles) index broadcasts and every pair is
+    // proposed AND verified inside one narrow probe stage — bit-identical
+    // output (suite-pinned equality against the join plan below). The corpus
+    // re-spreads across cores first: a ceiling-sized corpus often arrives in
+    // one parquet split, which would serialize every kernel pass
+    if (probeIndexMaxBytes > 0 &&
+        probeIndexEstBytes(docs, textCol, b, numHashes) <= probeIndexMaxBytes) {
+      val sc = docs.sparkSession.sparkContext
+      val spread = docs.select(col(idCol), col(textCol))
+        .repartition(sc.defaultParallelism).localCheckpoint()
+      val spreadSigs = minHashSignatures(spread, textCol, idCol, numHashes, shingleN, seed)
+        .localCheckpoint()
+      val idx = buildHistoryProbeIndex(
+        spread, spreadSigs, historyLshBands(spreadSigs, idCol, b, numHashes),
+        textCol, shingleN, probeIndexMaxBytes).get
+      val bc = sc.broadcast(idx)
+      return nearDupsWithProbeIndex(spread, bc, textCol, idCol, shingleN,
+        threshold, numHashes, b, seed)
+    }
     // localCheckpoint, not cache(): each call would otherwise pin a plan in
     // the session CacheManager forever (never unpersisted — a lazy
     // DataFrame-returning operator has no afterwards to unpersist in);
@@ -486,30 +509,42 @@ object Dedup {
       oldDocs: DataFrame, oldSigs: DataFrame, bands: HistoryBands,
       textCol: String = "text", shingleN: Int = 4,
       maxBytes: Long = DefaultProbeIndexMaxBytes): Option[HistoryProbeIndex] = {
-    val spark = oldSigs.sparkSession
-    import spark.implicits._
-    val (nDocs, nChars) = oldDocs
+    val estBytes = probeIndexEstBytes(oldDocs, textCol, bands.numBands, bands.numHashes)
+    if (maxBytes <= 0 || estBytes > maxBytes) None
+    else Some(collectProbeIndex(oldDocs, oldSigs, bands, textCol, shingleN))
+  }
+
+  /** Estimated in-memory bytes of the [[HistoryProbeIndex]] over `docs` —
+    * the broadcast-ceiling gate, one cheap census agg. */
+  def probeIndexEstBytes(docs: DataFrame, textCol: String = "text",
+      numBands: Int = 16, numHashes: Int = 64): Long = {
+    import docs.sparkSession.implicits._
+    val (nDocs, nChars) = docs
       .agg(count(lit(1)), coalesce(sum(length(col(textCol))), lit(0L)))
       .as[(Long, Long)].head()
-    val estBytes = 8L * nChars + (8L * bands.numHashes + 24L * bands.numBands + 64L) * nDocs
-    if (maxBytes <= 0 || estBytes > maxBytes) None
-    else {
-      val sigs = oldSigs
-        .select(col(bands.idCol).cast("long").as("_1"), col("sig").as("_2"))
-        .as[(Long, Array[Long])].collect().toMap
-      val bandMap = bands.df
-        .select(col("old_id").cast("long").as("_1"), col("band").as("_2"),
-          col("band_hash").as("_3"))
-        .as[(Long, Int, Int)].collect()
-        .groupBy(r => (r._2, r._3))
-        .map { case (k, vs) => k -> vs.map(_._1) }
-      val shingles = oldDocs
-        .select(col(bands.idCol).cast("long").as("_1"),
-          shingleHashes(col(textCol), shingleN).as("_2"))
-        .as[(Long, Array[Long])].collect().filter(_._2.nonEmpty).toMap
-      Some(HistoryProbeIndex(
-        bandMap, sigs, shingles, bands.idCol, bands.numBands, bands.numHashes, shingleN))
-    }
+    8L * nChars + (8L * numHashes + 24L * numBands + 64L) * nDocs
+  }
+
+  private def collectProbeIndex(
+      oldDocs: DataFrame, oldSigs: DataFrame, bands: HistoryBands,
+      textCol: String, shingleN: Int): HistoryProbeIndex = {
+    val spark = oldSigs.sparkSession
+    import spark.implicits._
+    val sigs = oldSigs
+      .select(col(bands.idCol).cast("long").as("_1"), col("sig").as("_2"))
+      .as[(Long, Array[Long])].collect().toMap
+    val bandMap = bands.df
+      .select(col("old_id").cast("long").as("_1"), col("band").as("_2"),
+        col("band_hash").as("_3"))
+      .as[(Long, Int, Int)].collect()
+      .groupBy(r => (r._2, r._3))
+      .map { case (k, vs) => k -> vs.map(_._1) }
+    val shingles = oldDocs
+      .select(col(bands.idCol).cast("long").as("_1"),
+        shingleHashes(col(textCol), shingleN).as("_2"))
+      .as[(Long, Array[Long])].collect().filter(_._2.nonEmpty).toMap
+    HistoryProbeIndex(
+      bandMap, sigs, shingles, bands.idCol, bands.numBands, bands.numHashes, shingleN)
   }
 
   /** [[crossNearDupsWithHistorySigs]] against a BROADCAST
@@ -525,58 +560,101 @@ object Dedup {
       index: org.apache.spark.broadcast.Broadcast[HistoryProbeIndex],
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.7,
-      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L,
+      probePartitions: Int = -1): DataFrame =
+    probeVerifiedPairs(newDocs, index, textCol, idCol, shingleN, threshold,
+      numHashes, numBands, seed, selfPairs = false, aName = "new_id", bName = "old_id",
+      probePartitions = probePartitions)
+
+  /** SELF-pair form of [[crossNearDupsWithProbeIndex]]: the corpus probes its
+    * own broadcast index, emitting each a<b pair once — the fused plan for
+    * [[ngramJaccard]] under the broadcast ceiling, where the banded
+    * self-join's candidate multiplicity (distinct over collision-density
+    * pairs, then four wide attach joins) is the dominant cost. */
+  def nearDupsWithProbeIndex(
+      docs: DataFrame,
+      index: org.apache.spark.broadcast.Broadcast[HistoryProbeIndex],
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 4, threshold: Double = 0.5,
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L,
+      probePartitions: Int = -1): DataFrame =
+    probeVerifiedPairs(docs, index, textCol, idCol, shingleN, threshold,
+      numHashes, numBands, seed, selfPairs = true, aName = "doc_a", bName = "doc_b",
+      probePartitions = probePartitions)
+
+  private def probeVerifiedPairs(
+      probeDocs: DataFrame,
+      index: org.apache.spark.broadcast.Broadcast[HistoryProbeIndex],
+      textCol: String, idCol: String, shingleN: Int, threshold: Double,
+      numHashes: Int, numBands: Int, seed: Long,
+      selfPairs: Boolean, aName: String, bName: String,
+      probePartitions: Int): DataFrame = {
     val iv = index.value
     require(iv.idCol == idCol && iv.numBands == numBands &&
         iv.numHashes == numHashes && iv.shingleN == shingleN,
       s"probe index was built with (idCol=${iv.idCol}, numBands=${iv.numBands}, " +
         s"numHashes=${iv.numHashes}, shingleN=${iv.shingleN}) but this call uses " +
         s"(idCol=$idCol, numBands=$numBands, numHashes=$numHashes, shingleN=$shingleN)")
-    val spark = newDocs.sparkSession
+    val spark = probeDocs.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / numBands
-    val prep = newDocs
-      .select(col(idCol).cast("long").as("new_id"),
+    // the probe kernel is CPU work proportional to bucket collision density;
+    // a corpus that arrives in a handful of parquet splits would run it on a
+    // handful of cores. The re-spread rows are (id, text) only and the probe
+    // plan is ceiling-bounded by construction, so the exchange is bounded by
+    // the broadcast ceiling — callers with pre-spread input (a micro-batch
+    // off an 8-queue source) leave it at -1
+    val spread = if (probePartitions > 0) probeDocs.repartition(probePartitions)
+      else probeDocs
+    val prep = spread
+      .select(col(idCol).cast("long").as("probe_id"),
         graft.functions.GraftFunctions.minHashSig(col(textCol), shingleN, numHashes, seed)
           .as("sig"),
         shingleHashes(col(textCol), shingleN).as("shs_a"))
       .filter(col("sig").isNotNull && size(col("shs_a")) > 0)
-      .select(col("new_id"), col("sig"), col("shs_a"),
+      .select(col("probe_id"), col("sig"), col("shs_a"),
         array((0 until numBands).map(b =>
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*).as("bhs"))
     val estMin = math.max(0.0, threshold - 0.15)
     prep.as[(Long, Array[Long], Array[Long], Array[Int])]
       .mapPartitions { it =>
         val idx = index.value
-        it.flatMap { case (newId, sig, shsA, bhs) =>
+        it.flatMap { case (probeId, sig, shsA, bhs) =>
           val seen = new java.util.HashSet[java.lang.Long]()
           var b = 0
           while (b < bhs.length) {
             idx.bands.get((b, bhs(b))).foreach { arr =>
               var i = 0
-              while (i < arr.length) { seen.add(arr(i)); i += 1 }
+              while (i < arr.length) {
+                // self mode: emit each unordered pair once, from its smaller id
+                if (!selfPairs || arr(i) > probeId) seen.add(arr(i))
+                i += 1
+              }
             }
             b += 1
           }
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Int)]
           val iter = seen.iterator()
           while (iter.hasNext) {
-            val oldId = iter.next().longValue()
-            if (graft.functions.TextHashes.sigEqualFraction(sig, idx.sigs(oldId)) >= estMin) {
-              idx.shingles.get(oldId).foreach { shsB =>
+            val otherId = iter.next().longValue()
+            if (graft.functions.TextHashes.sigEqualFraction(sig, idx.sigs(otherId)) >= estMin) {
+              idx.shingles.get(otherId).foreach { shsB =>
                 val common = graft.functions.TextHashes.sortedIntersectSize(shsA, shsB)
-                out += ((newId, oldId, common, shsA.length, shsB.length))
+                out += ((probeId, otherId, common, shsA.length, shsB.length))
               }
             }
           }
           out
         }
       }
-      .toDF("new_id", "old_id", "common", "size_a", "size_b")
+      .toDF(aName, bName, "common", "size_a", "size_b")
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("size_a") + col("size_b") - col("common")), 4))
       .filter(col("jaccard") >= threshold)
-      .select("new_id", "old_id", "jaccard")
+      .select(aName, bName, "jaccard")
+      // duplicate-id parity with the join plans' trailing distinct (cheap:
+      // thresholded-result-sized)
+      .distinct()
   }
 
   /** [[crossNearDups]] against PRECOMPUTED history signatures — the

@@ -365,6 +365,17 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("numBands"))
   }
 
+  test("ngramJaccard fused probe plan equals the banded-join plan") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(maxBytes: Long) =
+      Dedup.ngramJaccard(docs, threshold = 0.5, probeIndexMaxBytes = maxBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = run(Dedup.DefaultProbeIndexMaxBytes)
+    val joined = run(0L) // ceiling 0 forces the distributed join plan
+    assert(fused === joined)
+    assert(fused.nonEmpty)
+  }
+
   test("precomputed history bands from a different band family are rejected") {
     val docs = Tables.documents(spark, sfDir)
     val newDocs = docs.filter(col("doc_id") % 3 === 0)
