@@ -411,7 +411,26 @@ object Dedup {
   def crossNearDups(newDocs: DataFrame, oldDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.7,
-      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L,
+      probeIndexMaxBytes: Long = DefaultProbeIndexMaxBytes): DataFrame = {
+    // broadcast-ceiling fast path, same contract as [[ngramJaccard]]'s: the
+    // history side indexes once and the batch probes it in one narrow stage
+    // (both sides re-spread — ceiling-bounded corpora often arrive in one
+    // parquet split, serializing every kernel pass)
+    if (probeIndexMaxBytes > 0 &&
+        probeIndexEstBytes(oldDocs, textCol, numBands, numHashes) <= probeIndexMaxBytes) {
+      val sc = oldDocs.sparkSession.sparkContext
+      val spreadOld = oldDocs.select(col(idCol), col(textCol))
+        .repartition(sc.defaultParallelism).localCheckpoint()
+      val spreadSigs = minHashSignatures(spreadOld, textCol, idCol, numHashes, shingleN, seed)
+        .localCheckpoint()
+      val idx = buildHistoryProbeIndex(
+        spreadOld, spreadSigs, historyLshBands(spreadSigs, idCol, numBands, numHashes),
+        textCol, shingleN, probeIndexMaxBytes).get
+      val bc = sc.broadcast(idx)
+      return crossNearDupsWithProbeIndex(newDocs, bc, textCol, idCol, shingleN,
+        threshold, numHashes, numBands, seed, probePartitions = sc.defaultParallelism)
+    }
     val oldSigs = minHashSignatures(oldDocs, textCol, idCol, numHashes, shingleN, seed)
       .localCheckpoint()
     crossNearDupsWithHistorySigs(newDocs, oldDocs, oldSigs,

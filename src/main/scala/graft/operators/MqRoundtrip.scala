@@ -617,20 +617,26 @@ object MqRoundtrip {
     MessageQueueSink.write(
       newDocs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
 
-    // the history index: signed AND banded once, reused by every micro-batch
-    // (re-banding re-explodes the full history signature set 16-wide; paying
-    // that per arriving batch is pure per-batch waste)
-    val oldSigs = Dedup.minHashSignatures(history).localCheckpoint()
     // under the broadcast ceiling the whole history probe index ships to
     // executors ONCE and each micro-batch dedups in a single narrow stage —
     // the broadcast-join regime of an ingestion tick (per-batch cost at
-    // bench SFs is otherwise ~1s of pure join planning + exchange rounds)
-    val rawBands = Dedup.historyLshBands(oldSigs)
-    val probeIdx = Dedup.buildHistoryProbeIndex(history, oldSigs, rawBands)
-      .map(spark.sparkContext.broadcast(_))
-    // the band frame only needs materializing when the per-batch JOIN plan
-    // will re-read it every micro-batch; the probe index already collected it
-    lazy val oldBands = Some(rawBands.localCheckpoint())
+    // bench SFs is otherwise ~1s of pure join planning + exchange rounds).
+    // History re-spreads across cores first: a ceiling-sized history often
+    // arrives in one parquet split, serializing the sign/shingle kernels
+    val probeIdx =
+      if (Dedup.probeIndexEstBytes(history) <= Dedup.DefaultProbeIndexMaxBytes) {
+        val spread = history.select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+        val sigs = Dedup.minHashSignatures(spread).localCheckpoint()
+        Dedup.buildHistoryProbeIndex(spread, sigs, Dedup.historyLshBands(sigs))
+          .map(spark.sparkContext.broadcast(_))
+      } else None
+    // the JOIN plan's history index: signed AND banded once, reused by every
+    // micro-batch (re-banding re-explodes the full history signature set
+    // 16-wide; paying that per arriving batch is pure per-batch waste).
+    // Lazy — only the above-ceiling join plan materializes these
+    lazy val oldSigs = Dedup.minHashSignatures(history).localCheckpoint()
+    lazy val oldBands = Some(Dedup.historyLshBands(oldSigs).localCheckpoint())
 
     // ~4 micro-batches at ANY corpus size: enough to prove the multi-batch
     // union is lossless without paying per-batch planning overhead 10x over
