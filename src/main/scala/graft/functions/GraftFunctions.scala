@@ -40,6 +40,28 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+case class WordGramMd5sExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHashes.wordGramMd5s(input.asInstanceOf[UTF8String].toString, n))
+  // see ShingleHashesExpr: one static kernel call sited inside whole-stage
+  // codegen — the transform∘sequence∘md5∘array_join formulation interprets
+  // four lambdas per window per row and materializes every gram string
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.TextHashes.wordGramMd5s($c.toString(), $n));
+     """.stripMargin)
+  override def prettyName: String = "graft_word_gram_md5s"
+  override protected def withNewChildInternal(newChild: Expression): WordGramMd5sExpr =
+    copy(child = newChild)
+}
+
 case class CharGramsExpr(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -655,6 +677,10 @@ object GraftFunctions {
 
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashesExpr(ExpressionUtils.expression(text), n))
+
+  /** Distinct md5 hex of sliding word n-grams, first-occurrence order. */
+  def wordGramMd5s(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordGramMd5sExpr(ExpressionUtils.expression(text), n))
 
   def minHashSig(text: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
     ExpressionUtils.column(

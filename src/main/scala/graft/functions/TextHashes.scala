@@ -446,4 +446,45 @@ object TextHashes {
     while (it.hasNext) { out(o) = toHexUtf8(it.next()); o += 1 }
     out
   }
+
+  /**
+   * Distinct md5 hex digests of the sliding word `n`-grams of `text` in
+   * first-occurrence order — the fused one-loop form of
+   * `array_distinct(transform(sequence(1, size(w)-n+1), i =>
+   * md5(array_join(slice(w, i, n), " "))))` over `w = split(text, " ")`,
+   * whose interpreted per-window lambdas + string materialization dominated
+   * the containment gram explode. Split semantics match Spark's
+   * `split(str, " ")` (limit -1: trailing empty words kept); each digest is
+   * fed word bytes + separator directly, so no gram string is ever built.
+   */
+  def wordGramMd5s(text: String, n: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val words = text.split(" ", -1)
+    if (words.length < n)
+      return Array.empty[org.apache.spark.unsafe.types.UTF8String]
+    val wb = new Array[Array[Byte]](words.length)
+    var i = 0
+    while (i < words.length) {
+      wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = ' '.toByte
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    i = 0
+    while (i <= words.length - n) {
+      md.reset()
+      var j = i
+      while (j < i + n) {
+        md.update(wb(j))
+        if (j < i + n - 1) md.update(space)
+        j += 1
+      }
+      seen.add(toHexUtf8(md.digest()))
+      i += 1
+    }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
 }

@@ -1294,16 +1294,16 @@ object Dedup {
    */
   def containmentPairs(docs: DataFrame, n: Int = 6, threshold: Double = 0.5,
       maxDf: Int = 50, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // fused kernel: distinct gram md5s in one loop per row (the HOF
+    // transform∘sequence∘md5∘array_join form interprets four lambdas per
+    // window and materializes every gram string); docs shorter than n words
+    // produce an empty array, matching the old size(w) >= n pre-filter —
+    // and DuckDB's generate_series, which yields empty on a negative range
     val grams = docs
-      .select(col(idCol), split(col(textCol), " ").as("w"))
-      // Spark's sequence(1, negative) counts DOWN — short docs must be
-      // filtered, not fed an empty window range (DuckDB's generate_series
-      // yields empty there, so the filter also keeps the engines aligned)
-      .filter(size(col("w")) >= n)
       .select(col(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - (n - 1)),
-          i => md5(array_join(slice(col("w"), i, lit(n)), " "))))).as("g"))
+        graft.functions.GraftFunctions.wordGramMd5s(col(textCol), n).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col(idCol), explode(col("gs")).as("g"))
     val gc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val dfq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)

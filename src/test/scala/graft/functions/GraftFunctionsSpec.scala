@@ -23,6 +23,26 @@ class GraftFunctionsSpec extends SparkSpec {
       .sameElements(TextHashes.shingleHashesSorted("a b C", 3)))
   }
 
+  test("wordGramMd5s equals the HOF transform/md5/array_join formulation") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b c", "a b c ", "  doubled  spaces here x y z", "", "one",
+      "repeat repeat repeat repeat repeat repeat repeat")
+    val df = texts.toDF("text")
+    val n = 3
+    val fused = df.select(
+      GraftFunctions.wordGramMd5s(col("text"), n).as("gs")).collect()
+      .map(_.getSeq[String](0).toSet)
+    val hof = df.select(col("text"), split(col("text"), " ").as("w"))
+      .select(when(size(col("w")) >= n,
+        array_distinct(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => md5(array_join(slice(col("w"), i, lit(n)), " ")))))
+        .otherwise(array().cast("array<string>")).as("gs")).collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(fused.toSeq === hof.toSeq)
+    assert(fused.head.nonEmpty)
+  }
+
   test("minHashSig: numHashes entries, equal text equal sig, null for short text") {
     val a = TextHashes.minHashSig("the quick brown fox", 4, 64, 42)
     val b = TextHashes.minHashSig("the quick brown fox", 4, 64, 42)
