@@ -838,6 +838,11 @@ object CorpusPipeline {
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(round(coalesce(col("shared_grams"), lit(0L)).cast("double")
             / col("n_grams"), 4)).as("cfrac"))
+      // two consumers on different keys (histogram by cfrac, survivor
+      // semi-join by doc_id) — without a checkpoint each re-executes the
+      // qualityFilter + decontaminate gram-explode upstream; the frame is
+      // two narrow columns, one row per kept doc
+      .localCheckpoint()
     val hist = cfrac.groupBy("cfrac").agg(count(lit(1)).as("c"))
     // unpartitioned windows over the HISTOGRAM (≤ 10001 rows at any corpus
     // size) — the one-partition WindowExec is driver-trivial by design,
