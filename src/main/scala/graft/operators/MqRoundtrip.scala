@@ -29,10 +29,57 @@ object MqRoundtrip {
     * it), while two concurrent graft JVMs on the same testdata can never
     * delete each other's topic mid-read; the shutdown hook bounds /tmp at
     * one copy per live JVM (fresh-per-call dirs would silently re-leak). */
-  /** Roots whose events_attr topic is already written this JVM — see
-    * [[purchaseAttributionStream]]. */
-  private val attrTopicWritten =
+  /** (root, topic) pairs already written this JVM — see [[writeTopicOnce]]. */
+  private val writtenTopics =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write a topic at most once per JVM — the broker deployment shape:
+    * producers don't re-publish the firehose for every new consumer group.
+    * Sound because every caller's topic content is a pure function of `dir`,
+    * every read starts from earliest with a fresh per-invocation checkpoint,
+    * and each root hosts only the topics registered here. The registry is
+    * updated only after the write returns, so a failed write is retried,
+    * never half-read; the coarse lock serializes suites that race on a
+    * SHARED topic (check-then-act would let a second writer deleteTopic
+    * mid-write under sbt's parallel suite execution). */
+  private def writeTopicOnce(root: String, topic: String)(write: => Unit): Unit =
+    writtenTopics.synchronized {
+      val key = s"$root#$topic"
+      if (!writtenTopics.contains(key)) {
+        TopicLog.deleteTopic(root, topic)
+        write
+        writtenTopics.add(key)
+      }
+    }
+
+  /** Once-per-JVM full-documents firehose (doc_id U+0001 text, 8 queues):
+    * the docs-consuming stream entries (quality, tokens, blocklist, entropy)
+    * subscribe to the SAME topic under their own consumer groups — one
+    * producer, many consumer groups, per-group offset ledgers, exactly the
+    * fan-out the reference's consumer-group model exists for. */
+  private def docsTopic(spark: SparkSession, dir: String): (String, String) = {
+    val root = sessionRoot("mq-docs", dir)
+    val topic = "docs_stream"
+    writeTopicOnce(root, topic) {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val conv = new RowMessageConverter(
+        docs.schema, fieldDelimiter = "\u0001",
+        keyColumns = Seq("doc_id"), writeKeysToBody = true)
+      MessageQueueSink.write(
+        docs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv,
+        numQueues = 8)
+    }
+    (root, topic)
+  }
+
+  /** Once-per-JVM events firehose — shared by [[eventsEnrichStream]] and
+    * [[purchaseAttributionStream]] under distinct consumer groups. */
+  private def eventsTopic(spark: SparkSession, dir: String): (String, String) = {
+    val root = sessionRoot("mq-events", dir)
+    val topic = "events_stream"
+    writeTopicOnce(root, topic)(writeEventsTopic(spark, dir, root, topic))
+    (root, topic)
+  }
 
   private def sessionRoot(kind: String, dir: String): String =
     graft.util.Fs.processScopedTmpDir(
@@ -254,18 +301,7 @@ object MqRoundtrip {
    */
   def tokenCountStream(spark: SparkSession, dir: String): DataFrame = {
     val merges = CorpusPipeline.trainedMerges(spark, dir)
-    val root = sessionRoot("mq-docs-tok", dir)
-    val topic = "docs_tok"
-    TopicLog.deleteTopic(root, topic)
-
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-    val conv = new RowMessageConverter(
-      docs.schema, fieldDelimiter = "\u0001",
-      keyColumns = Seq("doc_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      docs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
-
+    val (root, topic) = docsTopic(spark, dir)
     val (nWords, nTokens) = CorpusPipeline.bpeTokenCols(col("text"), merges)
     val name = "docs_tok_" + math.abs(dir.hashCode)
     val q = spark.readStream.format("graft-mq")
@@ -280,23 +316,11 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
 
   def corpusQualityStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = sessionRoot("mq-docs", dir)
-    val topic = "docs_stream"
-    TopicLog.deleteTopic(root, topic)
-
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-    val conv = new RowMessageConverter(
-      docs.schema, fieldDelimiter = "\u0001",
-      keyColumns = Seq("doc_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      docs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
-
+    val (root, topic) = docsTopic(spark, dir)
     val name = "docs_quality_" + math.abs(dir.hashCode)
     val q = spark.readStream.format("graft-mq")
       .option("topic", topic).option("consumerGroup", "quality")
@@ -314,8 +338,6 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // the memory sink materialized everything driver-side; the log is dead
-    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
 
@@ -331,11 +353,7 @@ object MqRoundtrip {
    * streaming read path composes with Spark's join machinery losslessly.
    */
   def eventsEnrichStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = sessionRoot("mq-enrich", dir)
-    val topic = "events_enrich"
-    TopicLog.deleteTopic(root, topic)
-    writeEventsTopic(spark, dir, root, topic)
-
+    val (root, topic) = eventsTopic(spark, dir)
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     val name = "events_enrich_" + math.abs(dir.hashCode)
@@ -348,7 +366,6 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("event_id"))
   }
 
@@ -367,19 +384,7 @@ object MqRoundtrip {
    * state + interval-join semantics end to end.
    */
   def purchaseAttributionStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = sessionRoot("mq-attr", dir)
-    val topic = "events_attr"
-    // the topic content is a pure function of `dir`, every read starts from
-    // earliest (fresh checkpoint per invocation), and this root hosts only
-    // this entry — so the log is written ONCE per JVM and re-read by later
-    // invocations, the broker deployment shape (producers don't re-publish
-    // the topic for every new consumer). The registry is set only after the
-    // write returns, so a failed write is retried, never half-read.
-    if (!attrTopicWritten.contains(root)) {
-      TopicLog.deleteTopic(root, topic)
-      writeEventsTopic(spark, dir, root, topic)
-      attrTopicWritten.add(root)
-    }
+    val (root, topic) = eventsTopic(spark, dir)
 
     // ONE topic scan, split by filter into the two join sides: both
     // branches reference the same streaming source node, so each
@@ -439,15 +444,18 @@ object MqRoundtrip {
   def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
     val root = sessionRoot("mq-decon", dir)
     val topic = "docs_decon"
-    TopicLog.deleteTopic(root, topic)
-
     val all = Tables.documents(spark, dir)
-    val corpus = all.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("text"))
-    val conv = new RowMessageConverter(
-      corpus.schema, fieldDelimiter = "\u0001",
-      keyColumns = Seq("doc_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      corpus, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+    // the CORPUS slice of the split (not the full-docs firehose) — own topic
+    writeTopicOnce(root, topic) {
+      val corpus = all.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val conv = new RowMessageConverter(
+        corpus.schema, fieldDelimiter = "\u0001",
+        keyColumns = Seq("doc_id"), writeKeysToBody = true)
+      MessageQueueSink.write(
+        corpus, root, new DefaultTopicSelector[Map[String, Any]](topic), conv,
+        numQueues = 8)
+    }
 
     val benchDistinct = all.filter(col("doc_id") % 97 === 0)
       .select(explode(Dedup.shingleHashes(col("text"), 8)).as("sh"))
@@ -482,7 +490,6 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
 
@@ -499,17 +506,8 @@ object MqRoundtrip {
    * micro-batches IS the batch answer.
    */
   def blocklistStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = sessionRoot("mq-block", dir)
-    val topic = "docs_block"
-    TopicLog.deleteTopic(root, topic)
-
+    val (root, topic) = docsTopic(spark, dir)
     val docs = Tables.documents(spark, dir)
-    val conv = new RowMessageConverter(
-      docs.select("doc_id", "text").schema, fieldDelimiter = "",
-      keyColumns = Seq("doc_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      docs.select("doc_id", "text"), root,
-      new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
 
     // the blocklist census (5 strings) — derived once, batch-side, exactly
     // as a deployment would load its curated list before starting the stream
@@ -524,7 +522,7 @@ object MqRoundtrip {
       .option("topic", topic).option("consumerGroup", "block")
       .option("rootDir", root).option("offsetResetTo", "earliest")
       .load()
-      .select(split(col("body"), "").as("f"))
+      .select(split(col("body"), "\u0001").as("f"))
       .select(element_at(col("f"), 1).cast("long").as("doc_id"),
         element_at(col("f"), 2).as("text"))
       .select(col("doc_id"),
@@ -534,7 +532,6 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
 
@@ -549,24 +546,14 @@ object MqRoundtrip {
    * of the batch input, so the micro-batch union IS the batch answer).
    */
   def entropyStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = sessionRoot("mq-entropy", dir)
-    val topic = "docs_entropy"
-    TopicLog.deleteTopic(root, topic)
-
-    val docs = Tables.documents(spark, dir)
-    val conv = new RowMessageConverter(
-      docs.select("doc_id", "text").schema, fieldDelimiter = "",
-      keyColumns = Seq("doc_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      docs.select("doc_id", "text"), root,
-      new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+    val (root, topic) = docsTopic(spark, dir)
 
     val name = "docs_entropy_" + math.abs(dir.hashCode)
     val q = spark.readStream.format("graft-mq")
       .option("topic", topic).option("consumerGroup", "entropy")
       .option("rootDir", root).option("offsetResetTo", "earliest")
       .load()
-      .select(split(col("body"), "").as("f"))
+      .select(split(col("body"), "\u0001").as("f"))
       .select(element_at(col("f"), 1).cast("long").as("doc_id"),
         element_at(col("f"), 2).as("text"))
       .select(col("doc_id"), graft.functions.CharEntropy.entropy(col("text")).as("e"))
@@ -582,7 +569,6 @@ object MqRoundtrip {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TopicLog.deleteTopic(root, topic)
     spark.table(name).orderBy(col("doc_id"))
   }
 
@@ -604,18 +590,20 @@ object MqRoundtrip {
   def dedupIncrementalStream(spark: SparkSession, dir: String): DataFrame = {
     val root = sessionRoot("mq-increm", dir)
     val topic = "docs_increm"
-    TopicLog.deleteTopic(root, topic)
     val outPath = java.nio.file.Paths.get(root, "increm-out")
     graft.util.Fs.deleteRecursively(outPath)
 
     val all = Tables.documents(spark, dir)
     val newDocs = all.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
     val history = all.filter(col("doc_id") % 3 =!= 0)
-    val conv = new RowMessageConverter(
-      newDocs.schema, fieldDelimiter = "\u0001",
-      keyColumns = Seq("doc_id"), writeKeysToBody = true)
-    MessageQueueSink.write(
-      newDocs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv, numQueues = 8)
+    writeTopicOnce(root, topic) {
+      val conv = new RowMessageConverter(
+        newDocs.schema, fieldDelimiter = "\u0001",
+        keyColumns = Seq("doc_id"), writeKeysToBody = true)
+      MessageQueueSink.write(
+        newDocs, root, new DefaultTopicSelector[Map[String, Any]](topic), conv,
+        numQueues = 8)
+    }
 
     // under the broadcast ceiling the whole history probe index ships to
     // executors ONCE and each micro-batch dedups in a single narrow stage —
@@ -690,7 +678,6 @@ object MqRoundtrip {
         .start()
       q.awaitTermination()
     }
-    TopicLog.deleteTopic(root, topic)
     spark.read.parquet(outPath.toString).drop("batch")
       .orderBy(col("new_id"), col("old_id"))
   }

@@ -49,7 +49,11 @@ class Round11PlanShapesSpec extends SparkSpec {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("emb"),
         col("label").cast("long").as("label"))
-    val p = plan(Similarity.hardNegatives(emb, k = 5))
+    // force the distributed IVF-join path (exhaustiveKernelMaxRows = 0):
+    // below the ceiling the entry picks the fused exhaustive kernel, whose
+    // plan has no join at all — the invariant under test is the DISTRIBUTED
+    // plan's shape, the one that runs at 100 TB
+    val p = plan(Similarity.hardNegatives(emb, k = 5, exhaustiveKernelMaxRows = 0))
     assert(p.contains("ShuffledHashJoin"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
