@@ -874,11 +874,11 @@ object Similarity {
     // shuffle-hash pin: bucket rows are explode-amplified (numTables x per
     // vector) but keep the pre-explode size estimate — unpinned, the planner
     // broadcasts a corpus-sized side at mid scale
-    val candidates = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
+    val collisions = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
       .join(buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket"))
         .hint("shuffle_hash"), Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+      .select("vec_a", "vec_b")
     // verify stage, size-adaptive: on a permissive banding (few bits, or a
     // high-background corpus) the candidate set approaches all-pairs, and
     // attaching embeddings by join materializes every pair as a row carrying
@@ -895,15 +895,28 @@ object Similarity {
         .limit(cap).as[(Long, Array[Double])].collect()
       if (rows.length <= kernelVerifyMaxRows) {
         val bc = spark.sparkContext.broadcast(rows.toMap)
-        Some(candidates.select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+        // the collision MULTISET feeds the kernel directly — a pair
+        // colliding in d tables costs d extra dot products (cheap) instead
+        // of shuffling the whole candidate set through a pre-verify
+        // distinct; the dedup runs AFTER the threshold cut, on the
+        // near-dup-density-sized survivor set. The pre-cut keeps a 1e-4
+        // slack so the authoritative 4-dp round below can never pass a
+        // pair the slack filter dropped; sim is bit-deterministic per pair
+        // (same kernel, same inputs), so dropDuplicates is sound.
+        Some(collisions.select(col("vec_a").cast("long"), col("vec_b").cast("long"))
           .as[(Long, Long)]
           .mapPartitions { it =>
             val m = bc.value
             it.map { case (a, b) => (a, b, cosineRaw(m(a), m(b))) }
-          }.toDF("vec_a", "vec_b", "sim"))
+          }.toDF("vec_a", "vec_b", "sim")
+          .filter(col("sim") >= threshold - 1e-4)
+          .dropDuplicates("vec_a", "vec_b"))
       } else None
     } else None
-    fused.getOrElse(candidates
+    // the join path KEEPS the pre-verify distinct: its pair rows carry two
+    // dim-length arrays, so verifying collision duplicates would amplify
+    // the dominant materialization cost, not the cheap part
+    fused.getOrElse(collisions.distinct()
         .join(corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
         .join(corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
         .withColumn("sim", cosine(col("emb_a"), col("emb_b"))))
