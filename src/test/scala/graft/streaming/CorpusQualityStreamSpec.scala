@@ -39,6 +39,20 @@ class CorpusQualityStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("re-invocation reuses the once-per-JVM topic and returns identical rows") {
+    // the cached-firehose contract: a second consumer run against the SAME
+    // JVM's topic (no re-publish, same consumer group, fresh checkpoint)
+    // must re-read from earliest and reproduce the result exactly — a
+    // committed-group-offset leak into a fresh query would surface here as
+    // an empty or truncated second read
+    val first = MqRoundtrip.corpusQualityStream(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val second = MqRoundtrip.corpusQualityStream(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(first === second)
+    assert(second.nonEmpty)
+  }
+
   test("streamed incremental dedup equals the one-shot batch crossNearDups") {
     import org.apache.spark.sql.functions.col
     val streamed = MqRoundtrip.dedupIncrementalStream(spark, sfDir).collect()
