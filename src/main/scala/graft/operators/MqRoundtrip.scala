@@ -20,15 +20,14 @@ object MqRoundtrip {
 
   /** Queue-log root reused across invocations for the same (kind, dir) —
     * a fresh createTempDirectory per call leaked a full corpus copy every
-    * Bench iteration / test run; deleteTopic at the start of each run
-    * wipes the previous log, so disk stays bounded at one copy per kind.
-    *
-    * Roots are PROCESS-scoped ([[graft.util.Fs.processScopedTmpDir]]):
-    * within one JVM each (kind, dir) log is written once and reused across
-    * invocations (each entry fully materializes before the next rewrites
-    * it), while two concurrent graft JVMs on the same testdata can never
-    * delete each other's topic mid-read; the shutdown hook bounds /tmp at
-    * one copy per live JVM (fresh-per-call dirs would silently re-leak). */
+    * Bench iteration / test run. Roots are PROCESS-scoped
+    * ([[graft.util.Fs.processScopedTmpDir]]): cached topics are written
+    * once per JVM and reused ([[writeTopicOnce]]); the roundtrip/deser
+    * entries, whose WRITE path is the thing under test, re-publish per
+    * invocation behind a deleteTopic that wipes the previous log. Either
+    * way disk stays bounded at one copy per kind per live JVM (the
+    * shutdown hook reclaims it), and two concurrent graft JVMs on the same
+    * testdata can never delete each other's topic mid-read. */
   /** (root, topic) pairs already written this JVM — see [[writeTopicOnce]]. */
   private val writtenTopics =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
