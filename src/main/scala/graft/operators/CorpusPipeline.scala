@@ -824,8 +824,13 @@ object CorpusPipeline {
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       gramN: Int = 8, dropNum: Int = 1, dropDen: Int = 4,
       budget: Int = 2048, shardDocs: Int = 4096): DataFrame = {
-    val kept = docs.join(qualityFilter(docs).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    // the quality verdict id-set is consumed on both sides of the cfrac
+    // checkpoint (cfrac build + survivor join) — checkpoint the NARROW
+    // verdict, not `kept` itself (one id column vs re-materializing the
+    // full corpus text), so the kernel+histogram pass runs once and each
+    // consumer pays only a scan + broadcast semi-join
+    val qualityIds = qualityFilter(docs).select("doc_id").localCheckpoint()
+    val kept = docs.join(qualityIds, Seq("doc_id"), "left_semi")
     // contamination fraction per doc: shared grams over the doc's own
     // distinct gram count, 4-dp rounded (the cross-engine contract scale);
     // docs the screen never flags count as 0 — they must weigh in the
