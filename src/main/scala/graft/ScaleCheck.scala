@@ -43,7 +43,9 @@ object ScaleCheck {
     "q31_reachability" -> "embeddings",
     "bm25_search" -> "documents", "spell_correct" -> "documents",
     "segment_dedup" -> "documents", "text_bigram_logprob" -> "documents",
-    "dsir_select" -> "documents", "corpus_assemble" -> "documents")
+    "dsir_select" -> "documents", "corpus_assemble" -> "documents",
+    "knn_graph_probe" -> "embeddings", "dedup_bloom" -> "documents",
+    "snapshot_diff" -> "documents", "gram_coverage" -> "documents")
 
   /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
     * guidance — generous enough for the job-floor noise on the small SF,
