@@ -598,9 +598,18 @@ object TextAnalysis {
     // seconds). The outer Generate is exempt from that rule; the cheap
     // isNotNull on the GENERATED attribute (which cannot be pushed below
     // the Generate) restores exact explode semantics.
-    val fps = winnowFingerprints(docs, "text", k, w)
+    // doc-level repartition ahead of the kernel (heavy_hitters precedent):
+    // at bench SFs the corpus is one parquet split, so the md5-heavy winnow
+    // scan otherwise runs in a single task; at production scale the scan
+    // has natural split parallelism and the exchange is corpus-narrow.
+    // The checkpoint matters at every scale: fps feeds BOTH the df census
+    // and the join — un-checkpointed, the winnow kernel executes twice
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val fps = winnowFingerprints(spread, "text", k, w)
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)
+      .localCheckpoint()
     val shared = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2 && col("n_docs") <= maxDocs)
       .localCheckpoint()
