@@ -1299,17 +1299,26 @@ object Dedup {
     // window and materializes every gram string); docs shorter than n words
     // produce an empty array, matching the old size(w) >= n pre-filter —
     // and DuckDB's generate_series, which yields empty on a negative range
+    // checkpointed: three consumers on different keys (per-doc census,
+    // df census, postings join) would otherwise re-run the gram kernel +
+    // explode per consumer — the reuse>=2 materialization tradeoff, same
+    // as ngramJaccard's candidate shingle table. Spread first: one parquet
+    // split at bench SFs would run the kernel single-task
     val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
         graft.functions.GraftFunctions.wordGramMd5s(col(textCol), n).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col(idCol), explode(col("gs")).as("g"))
+      .localCheckpoint()
     val gc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val dfq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
     // postings are explode-amplified — the same shuffle-hash pin as every
-    // band/inverted join in this file
+    // band/inverted join in this file; checkpointed because the pair
+    // self-join consumes it twice and the df cap bounds it
     val pr = grams.join(dfq.select("g").hint("shuffle_hash"), "g")
+      .localCheckpoint()
     pr.select(col("g"), col(idCol).as("contained_id"))
       .join(pr.select(col("g"), col(idCol).as("container_id")).hint("shuffle_hash"), "g")
       .filter(col("contained_id") =!= col("container_id"))
