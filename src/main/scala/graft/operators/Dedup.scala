@@ -1245,7 +1245,11 @@ object Dedup {
   def segmentDedup(docs: DataFrame, segWords: Int = 6, minCount: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(segWords > 0 && minCount > 1, s"segWords=$segWords minCount=$minCount")
+    // spread + checkpoint (duplicate_passages/containmentPairs pattern):
+    // two consumers (occurrence census, verdict join) would re-run the
+    // segment explode per consumer, in a single task at one-split SFs
     val segs = docs.filter(length(col(textCol)) > 0)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .select(col(idCol),
         explode(sequence(lit(0),
@@ -1255,6 +1259,7 @@ object Dedup {
         array_join(slice(col("w"), col("seg_idx") * segWords + 1, lit(segWords)), " ")
           .as("seg"))
       .withColumn("k", md5(col("seg")))
+      .localCheckpoint()
     val repeated = segs.groupBy("k").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
     segs.join(repeated.hint("shuffle_hash"), Seq("k"), "left")
