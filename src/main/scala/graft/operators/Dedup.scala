@@ -948,8 +948,13 @@ object Dedup {
    */
   def gramCoverage(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", gramN: Int = 8): DataFrame = {
-    val g = docs.select(col(idCol),
-      explode(shingleHashes(col(textCol), gramN)).as("g"))
+    // spread + checkpoint (containmentPairs pattern): the df census and
+    // the coverage join both consume the exploded gram table
+    val g = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        explode(shingleHashes(col(textCol), gramN)).as("g"))
+      .localCheckpoint()
     val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
     // shuffle-hash hint: Catalyst's size estimate for the exploded side is
     // the parquet FILE size, so at small SF it happily BROADCASTS the
