@@ -896,15 +896,21 @@ object Dedup {
   def ngramJaccardInverted(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    // spread + checkpoint (containmentPairs pattern): df census and
+    // postings join both consume the exploded table; the df-capped
+    // postings feed both sides of the pair self-join
     val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .withColumn("n_sh", size(col("shs")))
     val inv = sh.select(col(idCol), col("n_sh"), explode(col("shs")).as("s"))
+      .localCheckpoint()
     val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     // postings are explode-amplified too — same shuffle-hash pin as the
     // band joins; df-capped `rare` is the smaller (build) side
     val pruned = inv.join(rare.select("s").hint("shuffle_hash"), "s")
+      .localCheckpoint()
     val a = pruned.select(col("s"), col(idCol).as("doc_a"), col("n_sh").as("n_a"))
     val b = pruned.select(col("s"), col(idCol).as("doc_b"), col("n_sh").as("n_b"))
     a.join(b.hint("shuffle_hash"), "s").filter(col("doc_a") < col("doc_b"))
