@@ -232,7 +232,14 @@ object PlanDump {
         org.apache.spark.sql.execution.SimpleMode).take(8000))
       sb.append("\n```\n")
     }
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    // plan strings can embed raw control bytes (e.g. the U+0001 field
+    // delimiter printed inside split() literals) which corrupt diffs and
+    // renderers — escape them on the way out
+    val sanitized = sb.toString.map {
+      case c if c < ' ' && c != '\n' && c != '\t' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString
+    Files.writeString(Paths.get("PLANS.md"), sanitized)
     println(s"wrote PLANS.md (${headline.size} plans)")
     spark.stop()
   }
