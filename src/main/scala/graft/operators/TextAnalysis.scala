@@ -736,10 +736,14 @@ object TextAnalysis {
     val planted = docs.withColumn("text",
       when(col("doc_id") % 13 === 0 && w =!= "",
         concat(col("text"), lit(" "), typo)).otherwise(col("text")))
+    // checkpointed: the rare/frequent split consumes vc twice and the
+    // threshold total once more — un-checkpointed, each re-runs this full
+    // corpus explode+aggregate; the vocab table is vocabulary-bounded
     val counts = planted
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0)))
         .as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // corpus-relative rare/frequent threshold: the 1-row total re-enters as
     // a broadcast (a global window would single-partition the vocab table);
     // floor division keeps it integer-exact in both engines (Spark's `/` on
