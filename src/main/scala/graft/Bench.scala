@@ -22,6 +22,13 @@ object Bench {
     // timings measure the operators, not the correctness harness — the
     // approximate entries skip their eager recall-assertion jobs under bench
     sys.props("graft.bench") = "1"
+    // SPARK_GRAFT_BENCH_FORCE_DISTRIBUTED=1: every size-adaptive fast path
+    // reports ineligible (graft.util.FastPaths), so this run measures the
+    // DISTRIBUTED plans — the 100 TB path — on the same data. Results land
+    // in *_distributed sidecars, never clobbering the default board.
+    val forceDistributed =
+      sys.env.get("SPARK_GRAFT_BENCH_FORCE_DISTRIBUTED").contains("1")
+    if (forceDistributed) sys.props("graft.force.distributed") = "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -102,38 +109,30 @@ object Bench {
     }
     // The driver stores only the LAST 2000 chars of stdout as the round's
     // bench artifact — and sbt appends an ~82-char "[success] Total time"
-    // epilogue we can't suppress (run is forked). A flat {"name":sec}
-    // object over 90+ queries is ≥2.1 KB in key names + punctuation alone,
-    // so it CANNOT fit — rounds 7-9 were front-truncated, losing the
-    // alphabetically-early keys every time. The full board fits as a
-    // space-separated "name:sec" STRING (valid JSON, every key greppable,
-    // ~190 punctuation chars cheaper than an object) with 2-3 significant
-    // digits per value. Exact numbers live in the committed sidecars:
-    // BENCH_board.json (flat 3-decimal object) and BENCH_iters.json
-    // (per-iteration samples).
+    // epilogue we can't suppress (run is forked). A 137-key board cannot
+    // fit in that window IN ANY FORMAT (names alone exceed it — the
+    // round-13 artifact lost the line's head and parsed as null), so the
+    // full board rides ONLY in the committed sidecars (BENCH_board.json:
+    // flat 3-decimal object; BENCH_iters.json: per-iteration samples) and
+    // stdout carries ONE compact, always-parseable JSON line: the total,
+    // the most expensive entries (what a reader triages first), and
+    // counts + a pointer to the board sidecar.
     def sec(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
-    // inside the "queries" STRING payload the values aren't JSON numbers,
-    // so sub-second seconds drop the leading 0 (".38") — with 90+ queries
-    // every per-entry char decides whether the line fits the window.
-    // `coarse` is the fallback format if the precise one still overflows.
-    def sig(v: Double, coarse: Boolean): String =
-      if (v < 0) "-1"
-      else if (v >= 100) f"$v%.0f"
-      else if (v >= 10) { if (coarse) f"$v%.0f" else f"$v%.1f" }
-      else if (v >= 1) f"$v%.1f"
-      else if (coarse) f"$v%.1f".stripPrefix("0")
-      else f"$v%.2f".stripPrefix("0")
     // a BENCH_ONLY-restricted run covers a subset of keys, and writing it
     // to the committed sidecar names would CLOBBER the full board (this
     // happened: a one-key isolated run replaced the 109-key board at HEAD).
     // Partial runs land in *.partial files; merge deliberately or not at all.
-    def sidecar(envKey: String, base: String, content: String): Unit =
+    def sidecar(envKey: String, base0: String, content: String): Unit =
       try {
+        // the distributed lane writes its own sidecar family — a forced-
+        // distributed run must never clobber the default board
+        val base = if (forceDistributed)
+          base0.replace(".json", "_distributed.json") else base0
         val default = if (only.isDefined) base + ".partial" else base
         val p = java.nio.file.Paths.get(sys.env.getOrElse(envKey, default))
         java.nio.file.Files.write(p,
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case e: Throwable => System.err.println(s"[bench] $base write failed: $e") }
+      } catch { case e: Throwable => System.err.println(s"[bench] $base0 write failed: $e") }
     // per-iteration times make noise windows visible: a query whose min is
     // honest shows agreeing samples, a noise-window victim shows the outlier
     // it survived (for isolatedFirst queries, sample 0 IS the isolated one).
@@ -146,14 +145,14 @@ object Bench {
     sidecar("SPARK_GRAFT_BOARD_OUT", "BENCH_board.json", s"""{"queries":$board,"sf":"$sfDir"}""")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    // the driver stores the last 2000 stdout chars and sbt appends an ~82
-    // char epilogue after this line — over ~1916 the line loses its head
-    def line(coarse: Boolean): String = {
-      val qs = results.map { case (k, v) => s"$k:${sig(v, coarse)}" }.mkString(" ")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":"$qs","sf":"$sfName"}"""
-    }
-    val out = if (line(coarse = false).length <= 1890) line(coarse = false) else line(coarse = true)
-    println(out)
+    // top-20 by wall time: ~800 chars worst-case, comfortably inside the
+    // ~1900-char budget that survives the driver's tail capture intact
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val qs = top.map { case (k, v) => s"\"" + k + s"\":${sec(v)}" }.mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+      s""""queries":$qs,"nq":${results.size},"failed":$failed,""" +
+      s""""note":"top-20 of ${results.size} keys; full board in BENCH_board.json","sf":"$sfName"}""")
     spark.stop()
     System.out.flush()
     // hard-exit the forked JVM: a leaked non-daemon thread (state store

@@ -320,19 +320,30 @@ object Dedup {
     // output (suite-pinned equality against the join plan below). The corpus
     // re-spreads across cores first: a ceiling-sized corpus often arrives in
     // one parquet split, which would serialize every kernel pass
-    if (probeIndexMaxBytes > 0 &&
-        probeIndexEstBytes(docs, textCol, b, numHashes) <= probeIndexMaxBytes) {
+    // eligibility also requires an integral id (the index is keyed by
+    // primitive Long; see [[HistoryProbeIndex]]) — and the probe-path ids
+    // cast back to the input id type below, so plan selection never
+    // changes the result schema. The ceiling decision runs the census ONCE
+    // (one aggregate job at call time — this operator is no longer a fully
+    // lazy builder when the fast path is enabled) and the index build
+    // reuses that answer instead of re-scanning the spread frame.
+    val idDt = docs.schema(idCol).dataType
+    val effMaxBytes = graft.util.FastPaths.ceiling(probeIndexMaxBytes)
+    if (effMaxBytes > 0 && graft.util.IdTypes.integral(idDt) &&
+        probeIndexEstBytes(docs, textCol, b, numHashes) <= effMaxBytes) {
       val sc = docs.sparkSession.sparkContext
-      val spread = docs.select(col(idCol), col(textCol))
-        .repartition(sc.defaultParallelism).localCheckpoint()
+      val spread = graft.util.Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
+        .localCheckpoint()
       val spreadSigs = minHashSignatures(spread, textCol, idCol, numHashes, shingleN, seed)
         .localCheckpoint()
-      val idx = buildHistoryProbeIndex(
+      val idx = collectProbeIndex(
         spread, spreadSigs, historyLshBands(spreadSigs, idCol, b, numHashes),
-        textCol, shingleN, probeIndexMaxBytes).get
+        textCol, shingleN)
       val bc = sc.broadcast(idx)
       return nearDupsWithProbeIndex(spread, bc, textCol, idCol, shingleN,
-        threshold, numHashes, b, seed)
+          threshold, numHashes, b, seed)
+        .select(col("doc_a").cast(idDt).as("doc_a"),
+          col("doc_b").cast(idDt).as("doc_b"), col("jaccard"))
     }
     // localCheckpoint, not cache(): each call would otherwise pin a plan in
     // the session CacheManager forever (never unpersisted — a lazy
@@ -417,19 +428,28 @@ object Dedup {
     // history side indexes once and the batch probes it in one narrow stage
     // (both sides re-spread — ceiling-bounded corpora often arrive in one
     // parquet split, serializing every kernel pass)
-    if (probeIndexMaxBytes > 0 &&
-        probeIndexEstBytes(oldDocs, textCol, numBands, numHashes) <= probeIndexMaxBytes) {
+    // same eligibility + census-once + output-cast contract as
+    // [[ngramJaccard]]'s fast path; both id columns must be integral (the
+    // index and the probe kernel are keyed by primitive Long)
+    val newDt = newDocs.schema(idCol).dataType
+    val oldDt = oldDocs.schema(idCol).dataType
+    val effMaxBytes = graft.util.FastPaths.ceiling(probeIndexMaxBytes)
+    if (effMaxBytes > 0 && graft.util.IdTypes.integral(newDt) &&
+        graft.util.IdTypes.integral(oldDt) &&
+        probeIndexEstBytes(oldDocs, textCol, numBands, numHashes) <= effMaxBytes) {
       val sc = oldDocs.sparkSession.sparkContext
-      val spreadOld = oldDocs.select(col(idCol), col(textCol))
-        .repartition(sc.defaultParallelism).localCheckpoint()
+      val spreadOld = graft.util.Spread.ifNarrow(oldDocs.select(col(idCol), col(textCol)))
+        .localCheckpoint()
       val spreadSigs = minHashSignatures(spreadOld, textCol, idCol, numHashes, shingleN, seed)
         .localCheckpoint()
-      val idx = buildHistoryProbeIndex(
+      val idx = collectProbeIndex(
         spreadOld, spreadSigs, historyLshBands(spreadSigs, idCol, numBands, numHashes),
-        textCol, shingleN, probeIndexMaxBytes).get
+        textCol, shingleN)
       val bc = sc.broadcast(idx)
       return crossNearDupsWithProbeIndex(newDocs, bc, textCol, idCol, shingleN,
-        threshold, numHashes, numBands, seed, probePartitions = sc.defaultParallelism)
+          threshold, numHashes, numBands, seed, probePartitions = sc.defaultParallelism)
+        .select(col("new_id").cast(newDt).as("new_id"),
+          col("old_id").cast(oldDt).as("old_id"), col("jaccard"))
     }
     val oldSigs = minHashSignatures(oldDocs, textCol, idCol, numHashes, shingleN, seed)
       .localCheckpoint()
@@ -514,10 +534,36 @@ object Dedup {
    * to the join plan (suite-pinned).
    */
   final case class HistoryProbeIndex(
-      bands: Map[(Int, Int), Array[Long]],
-      sigs: Map[Long, Array[Long]],
-      shingles: Map[Long, Array[Long]],
-      idCol: String, numBands: Int, numHashes: Int, shingleN: Int)
+      bandKeys: Array[Long], bandPostings: Array[Array[Long]],
+      ids: Array[Long], sigs: Array[Array[Long]], shingles: Array[Array[Long]],
+      idCol: String, numBands: Int, numHashes: Int, shingleN: Int) {
+    // storage is primitive parallel sorted arrays, NOT Map[Long, _]: a
+    // boxed-key map costs 2–4× the payload in entry objects and boxed
+    // longs, so a near-ceiling index could blow a default driver heap that
+    // the byte estimate said was safe. With flat long arrays the real heap
+    // tracks [[probeIndexEstBytes]] (8 B per shingle/sig cell + one array
+    // header per doc), and lookups are binary searches — O(log n) with no
+    // allocation, cache-friendlier than a hash map's pointer chase.
+    def postingsFor(band: Int, bandHash: Int): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(bandKeys, bandKey(band, bandHash))
+      if (i >= 0) bandPostings(i) else null
+    }
+    def sigFor(id: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(ids, id)
+      if (i >= 0) sigs(i) else null
+    }
+    /** null when the doc is unknown OR had no shingles (empty sets are not
+      * stored — same contract as the old filtered map). */
+    def shinglesFor(id: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(ids, id)
+      if (i >= 0) shingles(i) else null
+    }
+    def numDocs: Int = ids.length
+    def numBuckets: Int = bandKeys.length
+  }
+
+  @inline private def bandKey(band: Int, bandHash: Int): Long =
+    (band.toLong << 32) | (bandHash.toLong & 0xffffffffL)
 
   /** Collect the history index for [[crossNearDupsWithProbeIndex]], or None
     * when its estimated size exceeds `maxBytes` (broadcast-join semantics:
@@ -528,8 +574,13 @@ object Dedup {
       oldDocs: DataFrame, oldSigs: DataFrame, bands: HistoryBands,
       textCol: String = "text", shingleN: Int = 4,
       maxBytes: Long = DefaultProbeIndexMaxBytes): Option[HistoryProbeIndex] = {
+    // non-integral ids can't key the primitive-Long index — report
+    // ineligible (the caller stays on the distributed join plan) rather
+    // than collecting nulls that would NPE inside the probe kernel
+    if (!graft.util.IdTypes.integral(oldDocs.schema(bands.idCol).dataType)) return None
+    val effMaxBytes = graft.util.FastPaths.ceiling(maxBytes)
     val estBytes = probeIndexEstBytes(oldDocs, textCol, bands.numBands, bands.numHashes)
-    if (maxBytes <= 0 || estBytes > maxBytes) None
+    if (effMaxBytes <= 0 || estBytes > effMaxBytes) None
     else Some(collectProbeIndex(oldDocs, oldSigs, bands, textCol, shingleN))
   }
 
@@ -549,21 +600,44 @@ object Dedup {
       textCol: String, shingleN: Int): HistoryProbeIndex = {
     val spark = oldSigs.sparkSession
     import spark.implicits._
-    val sigs = oldSigs
+    // transient boxing during the build is fine (one-time, collect-sized);
+    // what matters is the STEADY-STATE layout, which is primitive arrays
+    val sigPairs = oldSigs
       .select(col(bands.idCol).cast("long").as("_1"), col("sig").as("_2"))
-      .as[(Long, Array[Long])].collect().toMap
-    val bandMap = bands.df
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val ids = sigPairs.map(_._1)
+    val sigArr = sigPairs.map(_._2)
+    val shingleArr = new Array[Array[Long]](ids.length)
+    oldDocs
+      .select(col(bands.idCol).cast("long").as("_1"),
+        shingleHashes(col(textCol), shingleN).as("_2"))
+      .as[(Long, Array[Long])].collect()
+      .foreach { case (id, shs) =>
+        if (shs.nonEmpty) {
+          val i = java.util.Arrays.binarySearch(ids, id)
+          if (i >= 0) shingleArr(i) = shs
+        }
+      }
+    val keyed = bands.df
       .select(col("old_id").cast("long").as("_1"), col("band").as("_2"),
         col("band_hash").as("_3"))
       .as[(Long, Int, Int)].collect()
-      .groupBy(r => (r._2, r._3))
-      .map { case (k, vs) => k -> vs.map(_._1) }
-    val shingles = oldDocs
-      .select(col(bands.idCol).cast("long").as("_1"),
-        shingleHashes(col(textCol), shingleN).as("_2"))
-      .as[(Long, Array[Long])].collect().filter(_._2.nonEmpty).toMap
+      .map { case (id, band, bh) => (bandKey(band, bh), id) }
+      .sortBy(_._1)
+    val postIds = keyed.map(_._2)
+    val bandKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bandPostings = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    var i = 0
+    while (i < keyed.length) {
+      var j = i
+      while (j < keyed.length && keyed(j)._1 == keyed(i)._1) j += 1
+      bandKeys += keyed(i)._1
+      bandPostings += java.util.Arrays.copyOfRange(postIds, i, j)
+      i = j
+    }
     HistoryProbeIndex(
-      bandMap, sigs, shingles, bands.idCol, bands.numBands, bands.numHashes, shingleN)
+      bandKeys.toArray, bandPostings.toArray, ids, sigArr, shingleArr,
+      bands.idCol, bands.numBands, bands.numHashes, shingleN)
   }
 
   /** [[crossNearDupsWithHistorySigs]] against a BROADCAST
@@ -609,6 +683,11 @@ object Dedup {
       selfPairs: Boolean, aName: String, bName: String,
       probePartitions: Int): DataFrame = {
     val iv = index.value
+    require(graft.util.IdTypes.integral(probeDocs.schema(idCol).dataType),
+      s"the probe kernel is keyed by primitive Long ids; probe column $idCol " +
+        s"has type ${probeDocs.schema(idCol).dataType} — use the distributed " +
+        "join plan (crossNearDupsWithHistorySigs / ngramJaccard) for " +
+        "non-integral ids")
     require(iv.idCol == idCol && iv.numBands == numBands &&
         iv.numHashes == numHashes && iv.shingleN == shingleN,
       s"probe index was built with (idCol=${iv.idCol}, numBands=${iv.numBands}, " +
@@ -642,7 +721,8 @@ object Dedup {
           val seen = new java.util.HashSet[java.lang.Long]()
           var b = 0
           while (b < bhs.length) {
-            idx.bands.get((b, bhs(b))).foreach { arr =>
+            val arr = idx.postingsFor(b, bhs(b))
+            if (arr != null) {
               var i = 0
               while (i < arr.length) {
                 // self mode: emit each unordered pair once, from its smaller id
@@ -656,8 +736,9 @@ object Dedup {
           val iter = seen.iterator()
           while (iter.hasNext) {
             val otherId = iter.next().longValue()
-            if (graft.functions.TextHashes.sigEqualFraction(sig, idx.sigs(otherId)) >= estMin) {
-              idx.shingles.get(otherId).foreach { shsB =>
+            if (graft.functions.TextHashes.sigEqualFraction(sig, idx.sigFor(otherId)) >= estMin) {
+              val shsB = idx.shinglesFor(otherId)
+              if (shsB != null) {
                 val common = graft.functions.TextHashes.sortedIntersectSize(shsA, shsB)
                 out += ((probeId, otherId, common, shsA.length, shsB.length))
               }
@@ -896,11 +977,12 @@ object Dedup {
   def ngramJaccardInverted(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    // spread + checkpoint (containmentPairs pattern): df census and
+    // partition-gated spread + checkpoint (Spread.ifNarrow: only when the
+    // input arrives narrower than the session parallelism -- at scale the
+    // scan is already wide and no extra shuffle is inserted): df census and
     // postings join both consume the exploded table; the df-capped
     // postings feed both sides of the pair self-join
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sh = graft.util.Spread.ifNarrow(docs)
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .withColumn("n_sh", size(col("shs")))
     val inv = sh.select(col(idCol), col("n_sh"), explode(col("shs")).as("s"))
@@ -954,10 +1036,11 @@ object Dedup {
    */
   def gramCoverage(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", gramN: Int = 8): DataFrame = {
-    // spread + checkpoint (containmentPairs pattern): the df census and
+    // partition-gated spread + checkpoint (Spread.ifNarrow: only when the
+    // input arrives narrower than the session parallelism -- at scale the
+    // scan is already wide and no extra shuffle is inserted): the df census and
     // the coverage join both consume the exploded gram table
-    val g = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val g = graft.util.Spread.ifNarrow(docs)
       .select(col(idCol),
         explode(shingleHashes(col(textCol), gramN)).as("g"))
       .localCheckpoint()
@@ -1007,25 +1090,40 @@ object Dedup {
     // size-based plan selection, the connected-components analog of a
     // broadcast join: a VERIFIED near-dup pair graph is duplicate-density-
     // sized — orders of magnitude smaller than the corpus that produced it
-    // — and below the ceiling the one limit-capped collect is strictly
-    // cheaper than even a single distributed iteration (each of which is a
+    // — and below the ceiling the one bounded collect is strictly cheaper
+    // than even a single distributed iteration (each of which is a
     // multi-job round trip; the full loop runs O(log diameter) of them).
     // The collected edges feed union-find on the driver, which computes the
     // IDENTICAL min-id fixpoint (suite-pinned against the distributed
-    // path). Graphs past the ceiling run the distributed pointer-jumping
-    // loop below, unchanged — the collect is bounded by construction, so
-    // this is a census, not a driver-side corpus loop.
-    if (smallGraphEdges > 0) {
-      val cap = math.min(smallGraphEdges + 1, Int.MaxValue.toLong).toInt
-      val probed = pairs
-        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .limit(cap).collect()
-      if (probed.length <= smallGraphEdges)
-        return smallGraphClusters(pairs.sparkSession,
-          probed.map(r => (r.getLong(0), r.getLong(1))))
-      // past the ceiling: fall through (the probe pass is amortized by the
-      // big-graph iteration cost it just diagnosed)
+    // path). The driver kernel indexes by primitive Long, so eligibility
+    // additionally requires an integral id type (string/decimal ids run
+    // the type-agnostic distributed loop), and the output ids cast back to
+    // the INPUT id type — plan selection never changes the result schema.
+    // The edge pipeline (often LSH + verify) checkpoints ONCE and serves
+    // the ceiling probe, the fast-path collect AND the distributed loop's
+    // edge table; the probe itself is a count over the checkpointed id
+    // pairs — no bytes haul to the driver on the fall-through path.
+    val idDt = pairs.schema("doc_a").dataType
+    val effEdges = graft.util.FastPaths.ceiling(smallGraphEdges)
+    if (effEdges > 0 && graft.util.IdTypes.integral(idDt) &&
+        pairs.schema("doc_b").dataType == idDt) {
+      val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"))
+        .localCheckpoint()
+      val clustered =
+        if (p.count() <= effEdges)
+          smallGraphClusters(pairs.sparkSession,
+            p.collect().map(r => (r.getLong(0), r.getLong(1))))
+        else distributedNearDupClusters(p, maxIter)
+      return clustered.select(col("doc_id").cast(idDt).as("doc_id"),
+        col("cluster_id").cast(idDt).as("cluster_id"))
     }
+    distributedNearDupClusters(pairs, maxIter)
+  }
+
+  /** The pointer-jumping distributed plan of [[nearDupClusters]] — the
+    * 100 TB path, type-agnostic over the pair id columns. */
+  private def distributedNearDupClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -1256,11 +1354,12 @@ object Dedup {
   def segmentDedup(docs: DataFrame, segWords: Int = 6, minCount: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(segWords > 0 && minCount > 1, s"segWords=$segWords minCount=$minCount")
-    // spread + checkpoint (duplicate_passages/containmentPairs pattern):
+    // partition-gated spread + checkpoint (Spread.ifNarrow; see
+    // containmentPairs):
     // two consumers (occurrence census, verdict join) would re-run the
     // segment explode per consumer, in a single task at one-split SFs
-    val segs = docs.filter(length(col(textCol)) > 0)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val segs = graft.util.Spread.ifNarrow(
+        docs.filter(length(col(textCol)) > 0))
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .select(col(idCol),
         explode(sequence(lit(0),
@@ -1318,10 +1417,10 @@ object Dedup {
     // checkpointed: three consumers on different keys (per-doc census,
     // df census, postings join) would otherwise re-run the gram kernel +
     // explode per consumer — the reuse>=2 materialization tradeoff, same
-    // as ngramJaccard's candidate shingle table. Spread first: one parquet
-    // split at bench SFs would run the kernel single-task
-    val grams = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // as ngramJaccard's candidate shingle table. Gated spread first
+    // (Spread.ifNarrow): one parquet split at bench SFs would run the
+    // kernel single-task; an already-wide production scan passes through
+    val grams = graft.util.Spread.ifNarrow(docs)
       .select(col(idCol),
         graft.functions.GraftFunctions.wordGramMd5s(col(textCol), n).as("gs"))
       .filter(size(col("gs")) > 0)

@@ -185,6 +185,15 @@ object MqRoundtrip {
     val root = sessionRoot("mq-rt-cont", dir)
     val topic = "events_rt_cont"
     TopicLog.deleteTopic(root, topic)
+    // fail fast instead of deadlocking: each continuous reader task pins a
+    // slot for the life of the query, so on a 1-slot session (local[1])
+    // the driver's polling count() would never get scheduled and the entry
+    // would time out with a misleading "surfaced 0 rows" message
+    require(spark.sparkContext.defaultParallelism >= 2,
+      "mqRoundtripContinuous needs at least 2 scheduler slots: the " +
+        "continuous-trigger reader pins one slot per queue for the whole " +
+        "query, and the driver's progress poll needs a free slot of its " +
+        s"own (defaultParallelism = ${spark.sparkContext.defaultParallelism})")
     val numQueues = math.max(1,
       math.min(4, spark.sparkContext.defaultParallelism - 2))
 
@@ -621,14 +630,16 @@ object MqRoundtrip {
     // is a pure function of `dir`, and reusing the built index across
     // invocations is exactly the production deployment — the parquet-
     // persisted writeMinhashIndex loaded once, serving every ingestion tick
-    val probeIdx = probeIndexCache.computeIfAbsent(root, _ =>
-      if (Dedup.probeIndexEstBytes(history) <= Dedup.DefaultProbeIndexMaxBytes) {
+    val probeIdx = probeIndexCache.computeIfAbsent(root, { _ =>
+      val effMaxBytes = graft.util.FastPaths.ceiling(Dedup.DefaultProbeIndexMaxBytes)
+      if (effMaxBytes > 0 && Dedup.probeIndexEstBytes(history) <= effMaxBytes) {
         val spread = history.select(col("doc_id"), col("text"))
           .repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
         val sigs = Dedup.minHashSignatures(spread).localCheckpoint()
         Dedup.buildHistoryProbeIndex(spread, sigs, Dedup.historyLshBands(sigs))
           .map(spark.sparkContext.broadcast(_))
-      } else None)
+      } else None
+    })
     // the JOIN plan's history index: signed AND banded once, reused by every
     // micro-batch (re-banding re-explodes the full history signature set
     // 16-wide; paying that per arriving batch is pure per-batch waste).

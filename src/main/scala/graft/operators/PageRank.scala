@@ -37,20 +37,40 @@ object PageRank {
       iters: Int = 10, dampNum: Int = 85, dampDen: Int = 100,
       smallGraphEdges: Long = Dedup.DefaultSmallGraphEdges): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iteration count out of range: $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // size-based plan selection, as [[Dedup.nearDupClusters]]: below the
-    // edge ceiling one limit-capped collect replaces iters × (join + agg)
+    // edge ceiling one bounded collect replaces iters × (join + agg)
     // distributed rounds, and the all-integer recurrence replays bit-exactly
     // on the driver (suite-pinned against the distributed loop). Similarity
-    // graphs at corpus scale run the distributed loop below, unchanged.
-    if (smallGraphEdges > 0) {
-      val cap = math.min(smallGraphEdges + 1, Int.MaxValue.toLong).toInt
-      val probed = e.select(col("src").cast("long"), col("dst").cast("long"))
-        .limit(cap).collect()
-      if (probed.length <= smallGraphEdges)
-        return smallGraphPageRank(edges.sparkSession,
-          probed.map(r => (r.getLong(0), r.getLong(1))), iters, dampNum, dampDen)
+    // graphs at corpus scale run the distributed loop, unchanged. Same
+    // eligibility contract as nearDupClusters: integral same-typed id
+    // columns only (the driver kernel indexes by primitive Long), output
+    // ids cast back to the input type, and the (often knnGraph-derived)
+    // edge pipeline checkpoints ONCE to serve the count-only ceiling
+    // probe, the fast-path collect and the distributed loop alike — the
+    // fall-through path hauls no edge bytes to the driver.
+    val srcDt = edges.schema(srcCol).dataType
+    val effEdges = graft.util.FastPaths.ceiling(smallGraphEdges)
+    if (effEdges > 0 && graft.util.IdTypes.integral(srcDt) &&
+        edges.schema(dstCol).dataType == srcDt) {
+      val p = edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .localCheckpoint()
+      val ranked =
+        if (p.count() <= effEdges)
+          smallGraphPageRank(edges.sparkSession,
+            p.collect().map(r => (r.getLong(0), r.getLong(1))), iters, dampNum, dampDen)
+        else distributedPageRank(p, iters, dampNum, dampDen)
+      return ranked.select(col("id").cast(srcDt).as("id"), col("pr"))
     }
+    distributedPageRank(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      iters, dampNum, dampDen)
+  }
+
+  /** The per-iteration join/agg distributed plan of [[pageRank]] — the
+    * 100 TB path, type-agnostic over the (src, dst) edge columns. */
+  private def distributedPageRank(e: DataFrame,
+      iters: Int, dampNum: Int, dampDen: Int): DataFrame = {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()

@@ -400,16 +400,26 @@ object Similarity {
     // materialized candidate rows (two dim-length arrays each) were ~15x
     // the arithmetic. Pruned probes (nprobe < numCentroids) and corpora
     // past the ceiling keep the IVF cell-join shape below, unchanged.
-    if (nprobe >= numCentroids && exhaustiveKernelMaxRows > 0) {
+    // eligibility additionally requires an integral id (the kernel indexes
+    // by primitive Long); the kernel's ids cast back to the input id type,
+    // so plan selection never changes the result schema. The ceiling probe
+    // is a COUNT over the (column-pruned, limit-stopped) corpus scan —
+    // cheap either way, and the fall-through path hauls no vector bytes
+    val idDt = corpus.schema("vec_id").dataType
+    val effRows = graft.util.FastPaths.ceiling(exhaustiveKernelMaxRows)
+    if (nprobe >= numCentroids && effRows > 0 &&
+        graft.util.IdTypes.integral(idDt)) {
       val spark = corpus.sparkSession
       import spark.implicits._
-      val cap = math.min(exhaustiveKernelMaxRows + 1, Int.MaxValue.toLong).toInt
-      val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
-        .limit(cap).as[(Long, Array[Double])].collect()
-      if (rows.length <= exhaustiveKernelMaxRows)
+      val cap = math.min(effRows + 1, Int.MaxValue.toLong).toInt
+      if (corpus.limit(cap).count() <= effRows) {
+        val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+          .as[(Long, Array[Double])].collect()
         return knnExhaustiveKernel(spark, rows, k)
-      // past the ceiling: fall through to the distributed cell join (the
-      // capped collect is amortized by the N^2 work it just diagnosed)
+          .select(col("src_id").cast(idDt).as("src_id"),
+            col("neighbor_id").cast(idDt).as("neighbor_id"), col("sim"))
+      }
+      // past the ceiling: fall through to the distributed cell join
     }
     val sampled = quantizer(corpus, numCentroids)
     val centroids =
@@ -552,15 +562,24 @@ object Similarity {
       numCentroids: Int = 16, nprobe: Int = 16,
       exhaustiveKernelMaxRows: Long = 65536L): DataFrame = {
     // same size-based fast path as [[knnGraph]]'s exhaustive regime, with
-    // the label inequality applied inside the kernel scan
-    if (nprobe >= numCentroids && exhaustiveKernelMaxRows > 0) {
+    // the label inequality applied inside the kernel scan. Same eligibility
+    // contract too, extended to the label column (the kernel compares
+    // labels as primitive longs): non-integral ids OR labels run the
+    // type-agnostic cell join, and the kernel's id/label columns cast back
+    // to the input types. Count-only ceiling probe — the fall-through
+    // path hauls no vector bytes.
+    val idDt = corpus.schema("vec_id").dataType
+    val labelDt = corpus.schema("label").dataType
+    val effRows = graft.util.FastPaths.ceiling(exhaustiveKernelMaxRows)
+    if (nprobe >= numCentroids && effRows > 0 &&
+        graft.util.IdTypes.integral(idDt) && graft.util.IdTypes.integral(labelDt)) {
       val spark = corpus.sparkSession
       import spark.implicits._
-      val cap = math.min(exhaustiveKernelMaxRows + 1, Int.MaxValue.toLong).toInt
-      val rows = corpus.select(col("vec_id").cast("long").as("_1"),
-          col("emb").as("_2"), col("label").cast("long").as("_3"))
-        .limit(cap).as[(Long, Array[Double], Long)].collect()
-      if (rows.length <= exhaustiveKernelMaxRows) {
+      val cap = math.min(effRows + 1, Int.MaxValue.toLong).toInt
+      if (corpus.limit(cap).count() <= effRows) {
+        val rows = corpus.select(col("vec_id").cast("long").as("_1"),
+            col("emb").as("_2"), col("label").cast("long").as("_3"))
+          .as[(Long, Array[Double], Long)].collect()
         val bc = spark.sparkContext.broadcast(rows)
         val n = rows.length
         val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
@@ -596,8 +615,9 @@ object Similarity {
         return raw.withColumn("sim", round(col("sim"), 4))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
-          .select(col("anchor_id"), col("vec_id").as("negative_id"),
-            col("negative_label"), col("sim"))
+          .select(col("anchor_id").cast(idDt).as("anchor_id"),
+            col("vec_id").cast(idDt).as("negative_id"),
+            col("negative_label").cast(labelDt).as("negative_label"), col("sim"))
       }
     }
     val centroids = sampleCentroids(corpus, numCentroids)
@@ -887,13 +907,20 @@ object Similarity {
     // cosine runs fused in-kernel over the bare id pairs; the authoritative
     // 4-dp round + threshold stay Column expressions either way, so both
     // paths are bit-identical (suite-pinned)
-    val fused: Option[DataFrame] = if (kernelVerifyMaxRows > 0) {
+    // fused-path eligibility follows the knnGraph contract: integral
+    // vec_id only (the broadcast lookup is keyed by primitive Long), pair
+    // ids cast back to the input type, count-only ceiling probe so the
+    // fall-through path hauls no vector bytes
+    val idDt = corpus.schema("vec_id").dataType
+    val effVerifyRows = graft.util.FastPaths.ceiling(kernelVerifyMaxRows)
+    val fused: Option[DataFrame] = if (effVerifyRows > 0 &&
+        graft.util.IdTypes.integral(idDt)) {
       val spark = corpus.sparkSession
       import spark.implicits._
-      val cap = math.min(kernelVerifyMaxRows + 1, Int.MaxValue.toLong).toInt
-      val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
-        .limit(cap).as[(Long, Array[Double])].collect()
-      if (rows.length <= kernelVerifyMaxRows) {
+      val cap = math.min(effVerifyRows + 1, Int.MaxValue.toLong).toInt
+      if (corpus.limit(cap).count() <= effVerifyRows) {
+        val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+          .as[(Long, Array[Double])].collect()
         val bc = spark.sparkContext.broadcast(rows.toMap)
         // the collision MULTISET feeds the kernel directly — a pair
         // colliding in d tables costs d extra dot products (cheap) instead
@@ -910,7 +937,9 @@ object Similarity {
             it.map { case (a, b) => (a, b, cosineRaw(m(a), m(b))) }
           }.toDF("vec_a", "vec_b", "sim")
           .filter(col("sim") >= threshold - 1e-4)
-          .dropDuplicates("vec_a", "vec_b"))
+          .dropDuplicates("vec_a", "vec_b")
+          .select(col("vec_a").cast(idDt).as("vec_a"),
+            col("vec_b").cast(idDt).as("vec_b"), col("sim")))
       } else None
     } else None
     // the join path KEEPS the pre-verify distinct: its pair rows carry two
@@ -956,13 +985,20 @@ object Similarity {
       maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
-      .limit((maxExactRows + 1).min(Int.MaxValue.toLong).toInt)
-      .as[(Long, Array[Double])].collect()
-    require(rows.length <= maxExactRows,
+    val idDt = corpus.schema("vec_id").dataType
+    require(graft.util.IdTypes.integral(idDt),
+      s"embeddingNearDupsExact indexes vectors by primitive Long id and " +
+        s"requires an integral vec_id column (got $idDt); attach a " +
+        "monotonically_increasing_id or use embeddingNearDups (LSH)")
+    // count-only guard probe (column-pruned, limit-stopped): the refusal
+    // path hauls no vector bytes to the driver
+    require(corpus.limit((maxExactRows + 1).min(Int.MaxValue.toLong).toInt)
+        .count() <= maxExactRows,
       s"embeddingNearDupsExact is a quadratic baseline: corpus exceeds " +
         s"$maxExactRows rows; use embeddingNearDups (LSH) at this scale, or " +
         s"pass maxExactRows explicitly if you really want the brute force")
+    val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+      .as[(Long, Array[Double])].collect()
     val bc = spark.sparkContext.broadcast(rows)
     val n = rows.length
     // row i pairs with j>i (triangular): interleave the index order so every
@@ -996,7 +1032,8 @@ object Similarity {
     }.toDF("vec_a", "vec_b", "sim")
     raw.withColumn("sim", round(col("sim"), 4))
       .filter(col("sim") >= threshold)
-      .select("vec_a", "vec_b", "sim")
+      .select(col("vec_a").cast(idDt).as("vec_a"),
+        col("vec_b").cast(idDt).as("vec_b"), col("sim"))
   }
 
   /** Query entry (oracle-checked): exact cosine>=0.3 pairs — DuckDB computes

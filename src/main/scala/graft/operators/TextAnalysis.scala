@@ -598,14 +598,13 @@ object TextAnalysis {
     // seconds). The outer Generate is exempt from that rule; the cheap
     // isNotNull on the GENERATED attribute (which cannot be pushed below
     // the Generate) restores exact explode semantics.
-    // doc-level repartition ahead of the kernel (heavy_hitters precedent):
+    // partition-gated spread ahead of the kernel (Spread.ifNarrow):
     // at bench SFs the corpus is one parquet split, so the md5-heavy winnow
     // scan otherwise runs in a single task; at production scale the scan
-    // has natural split parallelism and the exchange is corpus-narrow.
+    // has natural split parallelism and no exchange is inserted at all.
     // The checkpoint matters at every scale: fps feeds BOTH the df census
     // and the join — un-checkpointed, the winnow kernel executes twice
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = graft.util.Spread.ifNarrow(docs)
     val fps = winnowFingerprints(spread, "text", k, w)
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)

@@ -91,3 +91,59 @@ object Fs {
         try deleteRecursively(java.nio.file.Paths.get(p))
         catch { case _: Throwable => () })))
 }
+
+/** Partition-count-gated pre-kernel "spread": the ceiling-gate form of the
+  * bench-scale repartition. At small scale factors a whole corpus arrives
+  * in ONE parquet split, so an explode/md5-heavy kernel downstream runs
+  * single-task; at production scale the scan already carries thousands of
+  * splits and an unconditional `repartition(defaultParallelism)` would add
+  * a pointless full shuffle of raw text — and on a big cluster COLLAPSE a
+  * many-thousand-partition scan down to the core count. `ifNarrow` applies
+  * the spread only when the input's actual partition count is below the
+  * session parallelism, which is exactly the regime the spread exists for;
+  * otherwise the input passes through untouched. Results are identical
+  * either way (repartition is a pure re-bucketing) — this gates COST, not
+  * semantics, the same discipline as every broadcast/kernel ceiling in
+  * [[graft.operators.Dedup]] / [[graft.operators.Similarity]]. */
+object Spread {
+  /** `df` repartitioned to `defaultParallelism` iff it currently has fewer
+    * partitions than that; `df` unchanged otherwise. Inspecting the
+    * partition count plans the query (driver-side only, no job). */
+  def ifNarrow(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
+
+/** Plan-selection guard for the driver/fused fast paths in
+  * [[graft.operators.Dedup]] / [[graft.operators.Similarity]] /
+  * [[graft.operators.PageRank]]: those kernels index rows by a primitive
+  * `Long` id, so they are eligible only when the id column is an integral
+  * type. Any other id type (string UUIDs, decimals) falls through to the
+  * distributed plan, which is type-agnostic — and the fast paths cast
+  * their output ids back to the INPUT id type, so plan selection (which is
+  * data-size-driven) can never change the result schema. */
+object IdTypes {
+  import org.apache.spark.sql.types._
+  def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+}
+
+/** Process-wide diagnostic switch that forces every size-adaptive fast
+  * path (driver union-find / integer PageRank replay, fused broadcast
+  * kernels, broadcast probe indexes) to report INELIGIBLE, so the
+  * distributed plans — the ones the 100 TB story rests on — run and can be
+  * measured even on corpora under the ceilings. Enabled by
+  * `-Dgraft.force.distributed=1` (Bench sets it from
+  * `SPARK_GRAFT_BENCH_FORCE_DISTRIBUTED=1` to produce the committed
+  * distributed-lane side-board). Default off; results are identical either
+  * way (the parity suites pin that), only the plan changes. */
+object FastPaths {
+  def forceDistributed: Boolean =
+    sys.props.get("graft.force.distributed").contains("1")
+  /** The effective ceiling: `default` normally, 0 (= never eligible) when
+    * the distributed lane is forced. */
+  def ceiling(default: Long): Long = if (forceDistributed) 0L else default
+}

@@ -28,8 +28,8 @@ object ProfNgramMain {
     val idx = t("build_index") {
       Dedup.buildHistoryProbeIndex(docs, sigs, Dedup.historyLshBands(sigs)).get
     }
-    println(s"[prof] bands=${idx.bands.size} sigs=${idx.sigs.size} shingles=${idx.shingles.size}" +
-      s" shingleCells=${idx.shingles.valuesIterator.map(_.length.toLong).sum}")
+    println(s"[prof] buckets=${idx.numBuckets} docs=${idx.numDocs}" +
+      s" shingleCells=${idx.shingles.iterator.filter(_ != null).map(_.length.toLong).sum}")
     val bc = spark.sparkContext.broadcast(idx)
     for (i <- 1 to 2) t(s"probe_$i") { Dedup.nearDupsWithProbeIndex(docs, bc).count() }
     // candidate / est-passing volumes
