@@ -52,6 +52,31 @@ object ScaleCheck {
     * far below the ~10× extra a quadratic stage costs on a 10× step. */
   val SlackFactor: Double = 1.5
 
+  /** The partition-gated gram-family entries (round-14: their pre-kernel
+    * spread now applies only to narrow inputs — [[graft.util.Spread]]), so
+    * their growth bound rests on TWO ratios, not one: a derived mid-SF
+    * (deterministic 30% sample of the big dir's documents) splits the 10×
+    * step into small→mid and mid→big. A super-linear stage hiding inside
+    * one wide step shows up in at least one of the two sub-steps. */
+  val ThirdPointKeys: Seq[(String, String)] = Seq(
+    "ngram_jaccard_inverted" -> "documents", "gram_coverage" -> "documents",
+    "segment_dedup" -> "documents", "ngram_containment" -> "documents",
+    "duplicate_passages" -> "documents")
+
+  /** Materialize the derived mid-SF dir if absent: documents sampled
+    * deterministically (doc_id % 10 < 3) from `big` — row counts are
+    * re-measured by [[dataRatio]], so the bounds self-calibrate to the
+    * actual sampled sizes. Only the documents table is written; the
+    * third-point keys read nothing else. */
+  def ensureMidDir(spark: SparkSession, big: String, mid: String): Unit = {
+    val f = java.nio.file.Paths.get(mid, "documents.parquet")
+    if (!java.nio.file.Files.exists(f)) {
+      spark.read.parquet(s"$big/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 3)
+        .write.mode("overwrite").parquet(f.toString)
+    }
+  }
+
   /** Measured min-of-`iters` wall time of one entry against one SF dir.
     * Shared by the main and the suite. */
   def time(spark: SparkSession, key: String, dir: String, iters: Int = 2): Double = {
@@ -110,14 +135,24 @@ object ScaleCheck {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val results = check(spark, DataBoundEntries, small, big)
-    val json = results.map(r =>
+    def entryJson(rs: Seq[Result]): String = rs.map(r =>
       f""""${r.key}":{"small":${r.tSmall}%.3f,"big":${r.tBig}%.3f,""" +
         f""""ratio":${r.ratio}%.2f,"bound":${r.bound}%.2f,"ok":${r.ok}}""")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_growth","small":"$small","big":"$big","entries":$json}"""
+    // third point: split the 10× step into two sub-steps for the
+    // partition-gated gram-family keys (see [[ThirdPointKeys]])
+    val mid = sys.env.getOrElse("SPARK_GRAFT_SCALE_MID",
+      graft.util.Fs.processScopedTmpDir("graft-sf-mid").toString)
+    ensureMidDir(spark, big, mid)
+    val step1 = check(spark, ThirdPointKeys, small, mid)
+    val step2 = check(spark, ThirdPointKeys, mid, big)
+    val line = s"""{"metric":"scale_growth","small":"$small","big":"$big",""" +
+      s""""entries":${entryJson(results)},""" +
+      s""""third_point_small_mid":${entryJson(step1)},""" +
+      s""""third_point_mid_big":${entryJson(step2)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
     println(line)
-    val bad = results.filterNot(_.ok)
+    val bad = (results ++ step1 ++ step2).filterNot(_.ok)
     bad.foreach(r => System.err.println(
       f"[scale] ${r.key} grew ${r.ratio}%.1fx across the data step (bound ${r.bound}%.1fx)"))
     spark.stop()
