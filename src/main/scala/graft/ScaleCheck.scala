@@ -63,6 +63,23 @@ object ScaleCheck {
     "segment_dedup" -> "documents", "ngram_containment" -> "documents",
     "duplicate_passages" -> "documents")
 
+  /** The non-streaming keys with a size-adaptive fast path. Every bench
+    * corpus sits under the fast-path ceilings, so the DEFAULT lane's
+    * growth bounds above measure the fused/driver kernels — but at 100 TB
+    * the distributed siblings run. This lane re-checks the same keys with
+    * [[graft.util.FastPaths]] forced to report ineligible, so the plans
+    * the scale story actually rests on carry their own measured growth
+    * bound (the two-lane bench side-board gives them a wall-time number;
+    * this gives them a growth RATIO). `dedup_incremental_stream` is the
+    * one fast-path key excluded — streaming wall time tracks micro-batch
+    * admission, which the streaming suites pin separately. */
+  val ForcedDistributedKeys: Seq[(String, String)] = Seq(
+    "dedup_minhash_keep" -> "documents", "ngram_jaccard" -> "documents",
+    "semantic_dedup" -> "embeddings", "text_lsh_clusters" -> "documents",
+    "graph_pagerank" -> "embeddings", "hard_negatives" -> "embeddings",
+    "embed_neardup" -> "embeddings", "q31_reachability" -> "embeddings",
+    "knn_graph_probe" -> "embeddings")
+
   /** Materialize the derived mid-SF dir if absent: documents sampled
     * deterministically (doc_id % 10 < 3) from `big` — row counts are
     * re-measured by [[dataRatio]], so the bounds self-calibrate to the
@@ -146,13 +163,19 @@ object ScaleCheck {
     ensureMidDir(spark, big, mid)
     val step1 = check(spark, ThirdPointKeys, small, mid)
     val step2 = check(spark, ThirdPointKeys, mid, big)
+    // forced-distributed lane LAST: the flag is process-wide, so nothing
+    // may time a default-lane entry after it flips
+    sys.props("graft.force.distributed") = "1"
+    val forced = try check(spark, ForcedDistributedKeys, small, big)
+      finally sys.props.remove("graft.force.distributed")
     val line = s"""{"metric":"scale_growth","small":"$small","big":"$big",""" +
       s""""entries":${entryJson(results)},""" +
       s""""third_point_small_mid":${entryJson(step1)},""" +
-      s""""third_point_mid_big":${entryJson(step2)}}"""
+      s""""third_point_mid_big":${entryJson(step2)},""" +
+      s""""forced_distributed":${entryJson(forced)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
     println(line)
-    val bad = (results ++ step1 ++ step2).filterNot(_.ok)
+    val bad = (results ++ step1 ++ step2 ++ forced).filterNot(_.ok)
     bad.foreach(r => System.err.println(
       f"[scale] ${r.key} grew ${r.ratio}%.1fx across the data step (bound ${r.bound}%.1fx)"))
     spark.stop()

@@ -40,4 +40,14 @@ class ScaleCheckSpec extends SparkSpec {
       }
     }
   }
+
+  test("the forced-distributed lane re-checks registered data-bound keys only") {
+    val base = ScaleCheck.DataBoundEntries.toMap
+    ScaleCheck.ForcedDistributedKeys.foreach { case (key, table) =>
+      assert(base.get(key).contains(table),
+        s"$key -> $table is not a registered data-bound entry; the forced lane " +
+          "must re-measure the same keys under the same growth bounds")
+      assert(SparkEntry.queries.contains(key), s"$key has no queries entry")
+    }
+  }
 }
