@@ -7,6 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_VERIFY_FORCE_DISTRIBUTED=1: same switch as Bench's —
+    // every size-adaptive fast path reports ineligible (graft.util
+    // .FastPaths), so the dump exercises the DISTRIBUTED plans and the
+    // DuckDB compare gates the 100 TB path, not just the under-ceiling one.
+    if (sys.env.get("SPARK_GRAFT_VERIFY_FORCE_DISTRIBUTED").contains("1")) {
+      sys.props("graft.force.distributed") = "1"
+      println("[verify] forced-distributed: every size-adaptive fast path ineligible")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
