@@ -186,7 +186,11 @@ object Dedup {
     require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val numBands = maxHamming + 1
     val width = 64 / numBands // last band absorbs the leftover high bits
-    val hashes = simHashes(docs, textCol, idCol).cache()
+    // localCheckpoint, not cache(): both self-join sides re-derive the
+    // simhash kernel without a cut, and a cache() in a lazy builder pins
+    // the plan in the session CacheManager forever (no afterwards to
+    // unpersist in — same reasoning as [[ngramJaccard]]). Eager.
+    val hashes = simHashes(docs, textCol, idCol).localCheckpoint()
     val bands = (0 until numBands).map { b =>
       val bits =
         if (b == numBands - 1) shiftrightunsigned(col("simhash"), b * width)
@@ -1118,16 +1122,24 @@ object Dedup {
       return clustered.select(col("doc_id").cast(idDt).as("doc_id"),
         col("cluster_id").cast(idDt).as("cluster_id"))
     }
-    distributedNearDupClusters(pairs, maxIter)
+    // non-integral ids (and the forced-distributed lane) get the same
+    // one-pass materialization the integral branch's probe produced: the
+    // pair pipeline (often LSH + verify) feeds BOTH union branches of the
+    // edge table and would otherwise derive twice. Eager, like the probe.
+    distributedNearDupClusters(pairs.localCheckpoint(), maxIter)
   }
 
   /** The pointer-jumping distributed plan of [[nearDupClusters]] — the
     * 100 TB path, type-agnostic over the pair id columns. */
   private def distributedNearDupClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // localCheckpoint, not cache(): the edge table is read every iteration,
+    // but a cache() in an operator that returns before unpersisting pins
+    // the plan in the session CacheManager for the session's lifetime —
+    // one leaked entry per call (same reasoning as [[ngramJaccard]]).
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

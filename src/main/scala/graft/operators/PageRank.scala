@@ -62,8 +62,14 @@ object PageRank {
         else distributedPageRank(p, iters, dampNum, dampDen)
       return ranked.select(col("id").cast(srcDt).as("id"), col("pr"))
     }
+    // non-integral ids (and the forced-distributed lane) take the same
+    // one-pass materialization the over-ceiling path gets: the edge
+    // pipeline is often join-derived (e.g. a kNN graph) and the
+    // distributed plan scans it three ways (nodes, outdeg, withDeg) —
+    // without the cut each scan would re-derive it. Eager, like the
+    // ceiling probe above.
     distributedPageRank(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(),
       iters, dampNum, dampDen)
   }
 
