@@ -485,8 +485,13 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
     extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
-  require(nprobe >= 1 && nprobe <= centroids.length,
-    s"nprobe ($nprobe) must be in [1, ${centroids.length}]")
+  // centroids MAY be empty: the default quantizers sample from the corpus,
+  // so an EMPTY corpus yields zero centroids — the expression then assigns
+  // no cells (empty array per row; there are no rows anyway), and every
+  // downstream cell join degrades to the structurally-correct empty result
+  // instead of failing the [1, K] contract at plan-build time.
+  require(nprobe >= 1 && nprobe <= math.max(1, centroids.length),
+    s"nprobe ($nprobe) must be in [1, ${math.max(1, centroids.length)}]")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

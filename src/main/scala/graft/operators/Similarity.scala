@@ -257,7 +257,7 @@ object Similarity {
       else sampled
     // a tiny corpus can yield fewer centroids than requested; an unclamped
     // nprobe would violate the expression's [1, K] contract
-    val probeN = math.min(nprobe, centroids.length)
+    val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
     val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
     val probeCells = probes
       .withColumn("cell", explode(
@@ -425,7 +425,7 @@ object Similarity {
     val centroids =
       if (lloydIters > 0) lloydRefine(corpus.select("vec_id", "emb"), "emb", sampled, lloydIters)
       else sampled
-    val probeN = math.min(nprobe, centroids.length)
+    val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
     val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
     val probeCells = corpus
       .select(col("vec_id").as("src_id"), col("emb").as("q_emb"))
@@ -621,7 +621,7 @@ object Similarity {
       }
     }
     val centroids = sampleCentroids(corpus, numCentroids)
-    val probeN = math.min(nprobe, centroids.length)
+    val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
     val indexed = assignCells(corpus.select("vec_id", "emb", "label"), "emb", centroids)
     val probes = corpus
       .select(col("vec_id").as("anchor_id"), col("emb").as("q_emb"),
@@ -733,7 +733,7 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, path: String, probes: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     val (indexed, centroids) = readIvfIndex(spark, path)
-    val probeN = math.min(nprobe, centroids.length)
+    val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
     // checkpoint: the cell-list collect below and the join both consume
     // probeCells — uncheckpointed, an expensive probes subquery would
     // execute twice per call
