@@ -664,14 +664,23 @@ object CorpusPipeline {
     var seg = words.select(
       regexp_replace(col("w"), "(.)", s"$S$$1$E").as("seg"), col("cnt"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to nMerges) {
-      val best = bpePairCounts(seg)
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // headOption, not head(): an empty corpus — or a vocabulary whose
+      // words are all single symbols after `step` merges — has no adjacent
+      // pair left to merge, and the merge table simply ends early
+      bpePairCounts(seg)
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).as[(String, String, Long)].head()
-      merges += ((step, best._1, best._2, best._3))
-      seg = seg.withColumn("seg",
-        replace(col("seg"), lit(s"$S${best._1}$E$S${best._2}$E"),
-          lit(s"$S${best._1}${best._2}$E")))
+        .limit(1).as[(String, String, Long)].collect().headOption match {
+        case None => exhausted = true
+        case Some(best) =>
+          merges += ((step, best._1, best._2, best._3))
+          seg = seg.withColumn("seg",
+            replace(col("seg"), lit(s"$S${best._1}$E$S${best._2}$E"),
+              lit(s"$S${best._1}${best._2}$E")))
+          step += 1
+      }
     }
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
       .orderBy("step")
