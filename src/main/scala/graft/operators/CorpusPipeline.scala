@@ -443,7 +443,7 @@ object CorpusPipeline {
     // the checkpointed vocabulary — a single Long to the driver (same
     // driver-sized-census contract as the IVF centroids), NOT a global
     // window, which would drag the whole vocabulary into one partition
-    val total = freq.agg(sum("c")).head().getLong(0)
+    val total = freq.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
     val scored = freq.withColumn("logp",
       log(col("c").cast("double") / lit(total.toDouble)))
     // tolerance note: avg over doubles is accumulation-order dependent and
@@ -546,7 +546,7 @@ object CorpusPipeline {
     val counts = raw.join(tgt, Seq("b"), "left")
       .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
       .localCheckpoint()
-    val tot = counts.agg(sum("cr"), sum("ct")).head()
+    val tot = counts.agg(coalesce(sum("cr"), lit(0L)), coalesce(sum("ct"), lit(0L))).head()
     val (tr, tt) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
     val ratio = counts.select(col("b"),
       (log((col("ct") + 1).cast("double") / lit(tt + buckets)) -
@@ -599,7 +599,7 @@ object CorpusPipeline {
       .localCheckpoint()
     val left = freq.groupBy("w1").agg(sum("c12").as("c1"))
     val right = freq.groupBy("w2").agg(sum("c12").as("c2"))
-    val t = freq.agg(sum("c12")).head.getLong(0).toDouble
+    val t = freq.agg(coalesce(sum("c12"), lit(0L))).head.getLong(0).toDouble
     freq.filter(col("c12") >= minCount)
       .join(left.hint("shuffle_hash"), "w1")
       .join(right.hint("shuffle_hash"), "w2")

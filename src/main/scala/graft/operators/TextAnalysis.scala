@@ -543,7 +543,7 @@ object TextAnalysis {
     }.toSeq.toDF("query_id", "term", "df")
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // scored corpus = docs with >= 1 token (tokenless docs cannot match)
-    val statsRow = dl.agg(avg(col("dl").cast("double")), count(lit(1))).head()
+    val statsRow = dl.agg(coalesce(avg(col("dl").cast("double")), lit(0.0)), count(lit(1))).head()
     val avgdl = statsRow.getDouble(0)
     val n = statsRow.getLong(1).toDouble
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

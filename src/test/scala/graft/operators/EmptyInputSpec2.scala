@@ -45,4 +45,15 @@ class EmptyInputSpec2 extends SparkSpec {
     assert(CorpusPipeline.packSequences(emptySourcedDocs).count() === 0)
     assert(TextAnalysis.winnowFingerprints(emptyDocs).count() === 0)
   }
+
+  test("unigramLogProb / collocationsPmi / bm25Search / dsirSelect: empty corpus") {
+    // these four fold a driver-side census of the corpus (total tokens,
+    // bucket totals, avg doc length) — a null sum/avg from an empty input
+    // must coalesce to zero, not NPE out of Row.getLong/getDouble
+    assert(CorpusPipeline.unigramLogProb(emptyDocs).count() === 0)
+    assert(CorpusPipeline.collocationsPmi(emptyDocs).count() === 0)
+    assert(TextAnalysis.bm25Search(emptyDocs).count() === 0)
+    assert(CorpusPipeline.dsirSelect(emptyDocs,
+      org.apache.spark.sql.functions.lit(false)).count() === 0)
+  }
 }
