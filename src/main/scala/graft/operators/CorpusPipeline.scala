@@ -132,9 +132,14 @@ object CorpusPipeline {
       Literal(n), Literal(numBits)).toAggregateExpression()
     val bloomBytes = benchShingles.select(ColumnShim.column(bloomAgg).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val mightContain = ColumnShim.column(new BloomFilterMightContain(
-      Literal.create(bloomBytes, BinaryType),
-      ColumnShim.expression(xxhash64(col("sh")))))
+    // an EMPTY benchmark aggregates to a NULL sketch and might_contain
+    // (null) is null — make the "no benchmark grams" case an explicit
+    // nothing-matches instead of relying on null-drop filter semantics
+    val mightContain =
+      if (bloomBytes == null) lit(false)
+      else ColumnShim.column(new BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType),
+        ColumnShim.expression(xxhash64(col("sh")))))
     docs
       .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), gramN)).as("sh"))
       .filter(mightContain)

@@ -932,6 +932,11 @@ object Dedup {
     val bloomBytes = hKeys.select(ColumnShim.column(bloomAgg).as("bf"))
       .head().getAs[Array[Byte]](0)
     val keyed = batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    // EMPTY history aggregates to a NULL sketch, and might_contain(null)
+    // is null — both filters would then drop every batch row (first-tick
+    // data loss). No history means nothing can collide: the whole batch
+    // is definitely new.
+    if (bloomBytes == null) return (keyed, keyed.limit(0))
     val mightContain = ColumnShim.column(new BloomFilterMightContain(
       Literal.create(bloomBytes, BinaryType),
       ColumnShim.expression(xxhash64(col("content_hash")))))

@@ -46,6 +46,21 @@ class EmptyInputSpec2 extends SparkSpec {
     assert(TextAnalysis.winnowFingerprints(emptyDocs).count() === 0)
   }
 
+  test("dedupBloomIncremental: empty history keeps the WHOLE batch as definitely-new") {
+    val batch = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    // a null bloom sketch must not null-drop the batch from both routes —
+    // with no history every batch doc is new
+    assert(Dedup.dedupBloomIncremental(batch, emptyDocs).count() === 2)
+  }
+
+  test("decontaminateBloom: empty benchmark contaminates nothing; empty docs flow through") {
+    val docs = Seq((1L, "some shingled text that is long enough to gram"))
+      .toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusPipeline.decontaminateBloom(docs, bench).count() === 0)
+    assert(CorpusPipeline.decontaminateBloom(emptyDocs, docs).count() === 0)
+  }
+
   test("unigramLogProb / collocationsPmi / bm25Search / dsirSelect: empty corpus") {
     // these four fold a driver-side census of the corpus (total tokens,
     // bucket totals, avg doc length) — a null sum/avg from an empty input
