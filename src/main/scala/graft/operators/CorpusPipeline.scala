@@ -1123,7 +1123,9 @@ object CorpusPipeline {
    * running sum for that bin alone).
    */
   def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
-    val scored = docs.select(col("doc_id"),
+    // null text = absent document: it has no tokens and cannot be selected
+    // (a null n_tokens would also crash the driver-side histogram census)
+    val scored = docs.filter(col("text").isNotNull).select(col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       graft.functions.TextSignals.signals(col("text")).as("sig"))
       .select(col("doc_id"),

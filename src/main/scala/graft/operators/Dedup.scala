@@ -316,6 +316,12 @@ object Dedup {
       numHashes: Int = 64, numBands: Int = -1, seed: Long = 42L,
       probeIndexMaxBytes: Long = DefaultProbeIndexMaxBytes): DataFrame = {
     val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
+    // a NULL text is an absent document: it can never pair. The distributed
+    // plan drops it naturally (null join keys / exploded null bands never
+    // match) but the probe-index fast path collects arrays the kernel
+    // indexes into — filter once at the head so BOTH lanes see the same
+    // corpus and plan selection cannot change null handling.
+    val livedocs = docs.filter(col(textCol).isNotNull)
     // broadcast-ceiling fast path: on a high-background corpus the banded
     // self-join's candidate multiplicity (collision-density pairs → distinct
     // → four wide attach joins) dwarfs the corpus; under the ceiling the
@@ -334,9 +340,9 @@ object Dedup {
     val idDt = docs.schema(idCol).dataType
     val effMaxBytes = graft.util.FastPaths.ceiling(probeIndexMaxBytes)
     if (effMaxBytes > 0 && graft.util.IdTypes.integral(idDt) &&
-        probeIndexEstBytes(docs, textCol, b, numHashes) <= effMaxBytes) {
+        probeIndexEstBytes(livedocs, textCol, b, numHashes) <= effMaxBytes) {
       val sc = docs.sparkSession.sparkContext
-      val spread = graft.util.Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
+      val spread = graft.util.Spread.ifNarrow(livedocs.select(col(idCol), col(textCol)))
         .localCheckpoint()
       val spreadSigs = minHashSignatures(spread, textCol, idCol, numHashes, shingleN, seed)
         .localCheckpoint()
@@ -353,7 +359,7 @@ object Dedup {
     // the session CacheManager forever (never unpersisted — a lazy
     // DataFrame-returning operator has no afterwards to unpersist in);
     // checkpoint blocks are context-cleaned once the frame is unreferenced
-    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
+    val sigs = minHashSignatures(livedocs, textCol, idCol, numHashes, shingleN, seed)
       .localCheckpoint()
     // size-based side selection for the two attach joins below: the pair
     // set is collision-density-sized (it can exceed the corpus by orders of
@@ -390,7 +396,7 @@ object Dedup {
     // across differently-keyed exchanges).
     val candIds = candidates.select(col("doc_a").as(idCol))
       .union(candidates.select(col("doc_b").as(idCol))).distinct()
-    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+    val sh = livedocs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
       .localCheckpoint()
@@ -428,6 +434,10 @@ object Dedup {
       shingleN: Int = 4, threshold: Double = 0.7,
       numHashes: Int = 64, numBands: Int = 16, seed: Long = 42L,
       probeIndexMaxBytes: Long = DefaultProbeIndexMaxBytes): DataFrame = {
+    // null text = absent document on BOTH sides (see ngramJaccard): the
+    // probe kernel indexes collected arrays, so filter before either lane
+    val liveNew = newDocs.filter(col(textCol).isNotNull)
+    val liveOld = oldDocs.filter(col(textCol).isNotNull)
     // broadcast-ceiling fast path, same contract as [[ngramJaccard]]'s: the
     // history side indexes once and the batch probes it in one narrow stage
     // (both sides re-spread — ceiling-bounded corpora often arrive in one
@@ -440,9 +450,9 @@ object Dedup {
     val effMaxBytes = graft.util.FastPaths.ceiling(probeIndexMaxBytes)
     if (effMaxBytes > 0 && graft.util.IdTypes.integral(newDt) &&
         graft.util.IdTypes.integral(oldDt) &&
-        probeIndexEstBytes(oldDocs, textCol, numBands, numHashes) <= effMaxBytes) {
+        probeIndexEstBytes(liveOld, textCol, numBands, numHashes) <= effMaxBytes) {
       val sc = oldDocs.sparkSession.sparkContext
-      val spreadOld = graft.util.Spread.ifNarrow(oldDocs.select(col(idCol), col(textCol)))
+      val spreadOld = graft.util.Spread.ifNarrow(liveOld.select(col(idCol), col(textCol)))
         .localCheckpoint()
       val spreadSigs = minHashSignatures(spreadOld, textCol, idCol, numHashes, shingleN, seed)
         .localCheckpoint()
@@ -450,14 +460,14 @@ object Dedup {
         spreadOld, spreadSigs, historyLshBands(spreadSigs, idCol, numBands, numHashes),
         textCol, shingleN)
       val bc = sc.broadcast(idx)
-      return crossNearDupsWithProbeIndex(newDocs, bc, textCol, idCol, shingleN,
+      return crossNearDupsWithProbeIndex(liveNew, bc, textCol, idCol, shingleN,
           threshold, numHashes, numBands, seed, probePartitions = sc.defaultParallelism)
         .select(col("new_id").cast(newDt).as("new_id"),
           col("old_id").cast(oldDt).as("old_id"), col("jaccard"))
     }
-    val oldSigs = minHashSignatures(oldDocs, textCol, idCol, numHashes, shingleN, seed)
+    val oldSigs = minHashSignatures(liveOld, textCol, idCol, numHashes, shingleN, seed)
       .localCheckpoint()
-    crossNearDupsWithHistorySigs(newDocs, oldDocs, oldSigs,
+    crossNearDupsWithHistorySigs(liveNew, liveOld, oldSigs,
       textCol, idCol, shingleN, threshold, numHashes, numBands, seed)
   }
 

@@ -42,7 +42,9 @@ object Similarity {
    *               it is broadcast to every task.
    */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val joined = corpus
+    // a NULL embedding is an absent vector (same contract as the dedup
+    // operators' null text): filter before either lane sees the corpus
+    val joined = corpus.filter(col("emb").isNotNull)
       .join(broadcast(probes), col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -251,15 +253,18 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 8, lloydIters: Int = 0,
       quantizer: (DataFrame, Int) => Array[Array[Double]] = sampleCentroids): DataFrame = {
-    val sampled = quantizer(corpus, numCentroids)
+    // a NULL embedding is an absent vector (same contract as the dedup
+    // operators' null text): filter before either lane sees the corpus
+    val live = corpus.filter(col("emb").isNotNull)
+    val sampled = quantizer(live, numCentroids)
     val centroids =
-      if (lloydIters > 0) lloydRefine(corpus.select("vec_id", "emb"), "emb", sampled, lloydIters)
+      if (lloydIters > 0) lloydRefine(live.select("vec_id", "emb"), "emb", sampled, lloydIters)
       else sampled
     // a tiny corpus can yield fewer centroids than requested; an unclamped
     // nprobe would violate the expression's [1, K] contract
     val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
-    val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
-    val probeCells = probes
+    val indexed = assignCells(live.select("vec_id", "emb"), "emb", centroids)
+    val probeCells = probes.filter(col("q_emb").isNotNull)
       .withColumn("cell", explode(
         graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
       .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
@@ -406,14 +411,17 @@ object Similarity {
     // is a COUNT over the (column-pruned, limit-stopped) corpus scan —
     // cheap either way, and the fall-through path hauls no vector bytes
     val idDt = corpus.schema("vec_id").dataType
+    // a NULL embedding is an absent vector (same contract as the dedup
+    // operators' null text): filter once so BOTH lanes see the same corpus
+    val live = corpus.filter(col("emb").isNotNull)
     val effRows = graft.util.FastPaths.ceiling(exhaustiveKernelMaxRows)
     if (nprobe >= numCentroids && effRows > 0 &&
         graft.util.IdTypes.integral(idDt)) {
       val spark = corpus.sparkSession
       import spark.implicits._
       val cap = math.min(effRows + 1, Int.MaxValue.toLong).toInt
-      if (corpus.limit(cap).count() <= effRows) {
-        val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+      if (live.limit(cap).count() <= effRows) {
+        val rows = live.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
           .as[(Long, Array[Double])].collect()
         return knnExhaustiveKernel(spark, rows, k)
           .select(col("src_id").cast(idDt).as("src_id"),
@@ -421,13 +429,13 @@ object Similarity {
       }
       // past the ceiling: fall through to the distributed cell join
     }
-    val sampled = quantizer(corpus, numCentroids)
+    val sampled = quantizer(live, numCentroids)
     val centroids =
-      if (lloydIters > 0) lloydRefine(corpus.select("vec_id", "emb"), "emb", sampled, lloydIters)
+      if (lloydIters > 0) lloydRefine(live.select("vec_id", "emb"), "emb", sampled, lloydIters)
       else sampled
     val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
-    val indexed = assignCells(corpus.select("vec_id", "emb"), "emb", centroids)
-    val probeCells = corpus
+    val indexed = assignCells(live.select("vec_id", "emb"), "emb", centroids)
+    val probeCells = live
       .select(col("vec_id").as("src_id"), col("emb").as("q_emb"))
       .withColumn("centroid_id", explode(
         graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
@@ -570,14 +578,17 @@ object Similarity {
     // path hauls no vector bytes.
     val idDt = corpus.schema("vec_id").dataType
     val labelDt = corpus.schema("label").dataType
+    // a NULL embedding is an absent vector (same contract as the dedup
+    // operators' null text): filter once so BOTH lanes see the same corpus
+    val live = corpus.filter(col("emb").isNotNull)
     val effRows = graft.util.FastPaths.ceiling(exhaustiveKernelMaxRows)
     if (nprobe >= numCentroids && effRows > 0 &&
         graft.util.IdTypes.integral(idDt) && graft.util.IdTypes.integral(labelDt)) {
       val spark = corpus.sparkSession
       import spark.implicits._
       val cap = math.min(effRows + 1, Int.MaxValue.toLong).toInt
-      if (corpus.limit(cap).count() <= effRows) {
-        val rows = corpus.select(col("vec_id").cast("long").as("_1"),
+      if (live.limit(cap).count() <= effRows) {
+        val rows = live.select(col("vec_id").cast("long").as("_1"),
             col("emb").as("_2"), col("label").cast("long").as("_3"))
           .as[(Long, Array[Double], Long)].collect()
         val bc = spark.sparkContext.broadcast(rows)
@@ -620,10 +631,10 @@ object Similarity {
             col("negative_label").cast(labelDt).as("negative_label"), col("sim"))
       }
     }
-    val centroids = sampleCentroids(corpus, numCentroids)
+    val centroids = sampleCentroids(live, numCentroids)
     val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
-    val indexed = assignCells(corpus.select("vec_id", "emb", "label"), "emb", centroids)
-    val probes = corpus
+    val indexed = assignCells(live.select("vec_id", "emb", "label"), "emb", centroids)
+    val probes = live
       .select(col("vec_id").as("anchor_id"), col("emb").as("q_emb"),
         col("label").as("anchor_label"))
       .withColumn("centroid_id", explode(
@@ -856,10 +867,13 @@ object Similarity {
     * only K×B×partitions candidate rows. */
   def clusterSample(corpus: DataFrame, numCentroids: Int, perCell: Int,
       quantizer: (DataFrame, Int) => Array[Array[Double]] = knuthCentroids): DataFrame = {
-    val centroids = quantizer(corpus, numCentroids)
+    // a NULL embedding is an absent vector (same contract as the dedup
+    // operators' null text): filter before either lane sees the corpus
+    val live = corpus.filter(col("emb").isNotNull)
+    val centroids = quantizer(live, numCentroids)
     val w = Window.partitionBy(col("centroid_id"))
       .orderBy(knuthHash32(col("vec_id")), col("vec_id"))
-    assignCells(corpus.select(col("vec_id"), col("emb")), "emb", centroids)
+    assignCells(live.select(col("vec_id"), col("emb")), "emb", centroids)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perCell)
       .select(col("vec_id"), col("centroid_id").cast("long").as("cell"))
@@ -886,7 +900,10 @@ object Similarity {
       corpus: DataFrame, threshold: Double = 0.95,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
       kernelVerifyMaxRows: Long = 65536L): DataFrame = {
-    val buckets = lshBuckets(corpus, "emb", numTables, bitsPerTable, seed)
+    // a NULL embedding is an absent vector (same contract as the dedup
+    // operators' null text): filter once so BOTH lanes see the same corpus
+    val live = corpus.filter(col("emb").isNotNull)
+    val buckets = lshBuckets(live, "emb", numTables, bitsPerTable, seed)
       .select(col("vec_id"), col("table"), col("bucket"))
     // candidate ids first (cheap distinct on two longs), embeddings joined
     // back once per surviving pair — never shuffle vectors through the
@@ -918,8 +935,8 @@ object Similarity {
       val spark = corpus.sparkSession
       import spark.implicits._
       val cap = math.min(effVerifyRows + 1, Int.MaxValue.toLong).toInt
-      if (corpus.limit(cap).count() <= effVerifyRows) {
-        val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+      if (live.limit(cap).count() <= effVerifyRows) {
+        val rows = live.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
           .as[(Long, Array[Double])].collect()
         val bc = spark.sparkContext.broadcast(rows.toMap)
         // the collision MULTISET feeds the kernel directly — a pair
@@ -946,8 +963,8 @@ object Similarity {
     // dim-length arrays, so verifying collision duplicates would amplify
     // the dominant materialization cost, not the cheap part
     fused.getOrElse(collisions.distinct()
-        .join(corpus.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
-        .join(corpus.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
+        .join(live.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+        .join(live.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
         .withColumn("sim", cosine(col("emb_a"), col("emb_b"))))
       .withColumn("sim", round(col("sim"), 4))
       .filter(col("sim") >= threshold)

@@ -335,7 +335,9 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, s"degenerate winnowing config k=$k w=$w")
-    docs
+    // null text = absent document (same contract as the dedup operators):
+    // no fingerprint row, rather than a (doc_id, null) row
+    docs.filter(col(textCol).isNotNull)
       .withColumn("_norm",
         regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
       .withColumn("n_grams",
