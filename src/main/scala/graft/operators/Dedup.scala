@@ -546,6 +546,11 @@ object Dedup {
    * computes its band hashes with the same Column expression — so the
    * candidate set, est-prefilter and exact-Jaccard verify are bit-identical
    * to the join plan (suite-pinned).
+   *
+   * Input contract: doc ids must be UNIQUE. The index's binary searches
+   * resolve a duplicated id to an arbitrary one of its rows, where the
+   * distributed join would emit per-row — duplicate-id corpora are invalid
+   * input to every id-keyed operator here, not a plan-selection difference.
    */
   final case class HistoryProbeIndex(
       bandKeys: Array[Long], bandPostings: Array[Array[Long]],
