@@ -68,6 +68,23 @@ class NullInputSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: zero-norm embeddings rank at similarity 0 identically in both lanes") {
+    // failed embedding jobs emit all-zero vectors; the cosine kernel guards
+    // the zero norm (sim 0.0, never NaN) and plan selection must not change
+    // that
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 0.0)),
+      (3L, Array(0.9, 0.1)), (4L, Array(0.0, 1.0))
+    ).toDF("vec_id", "emb")
+    val fast = Similarity.knnGraph(emb, k = 2, numCentroids = 2, nprobe = 2)
+      .collect().toSet
+    val dist = Similarity.knnGraph(emb, k = 2, numCentroids = 2, nprobe = 2,
+      exhaustiveKernelMaxRows = 0).collect().toSet
+    assert(fast === dist)
+    assert(fast.forall(r => !r.getDouble(2).isNaN))
+    assert(fast.filter(_.getLong(0) == 2L).forall(_.getDouble(2) == 0.0))
+  }
+
   test("budgetSelect / chunkDocuments: null text rows are dropped, not fatal") {
     assert(CorpusPipeline.budgetSelect(docsWithNull, budgetTokens = 100)
       .filter(col("doc_id") === 2L).count() === 0)
