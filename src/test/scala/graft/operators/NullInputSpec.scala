@@ -85,6 +85,20 @@ class NullInputSpec extends SparkSpec {
     assert(fast.filter(_.getLong(0) == 2L).forall(_.getDouble(2) == 0.0))
   }
 
+  test("blank text (empty / whitespace-only) never pairs and scores zero tokens") {
+    // distinct from null: blank text yields EMPTY shingle/token arrays, a
+    // shape the kernels and probe index must also tolerate
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "   \t  "),
+      (4L, "the quick brown fox jumps over the lazy dog!")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.3)
+    assert(pairs.filter(col("doc_a").isin(2L, 3L) || col("doc_b").isin(2L, 3L))
+      .count() === 0)
+    assert(pairs.filter(col("doc_a") === 1L && col("doc_b") === 4L).count() === 1)
+    assert(CorpusPipeline.budgetSelect(docs, 50)
+      .filter(col("doc_id") === 2L && col("n_tokens") =!= 0L).count() === 0)
+  }
+
   test("budgetSelect / chunkDocuments: null text rows are dropped, not fatal") {
     assert(CorpusPipeline.budgetSelect(docsWithNull, budgetTokens = 100)
       .filter(col("doc_id") === 2L).count() === 0)
