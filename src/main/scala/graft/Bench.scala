@@ -118,17 +118,26 @@ object Bench {
     // the most expensive entries (what a reader triages first), and
     // counts + a pointer to the board sidecar.
     def sec(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
-    // a BENCH_ONLY-restricted run covers a subset of keys, and writing it
-    // to the committed sidecar names would CLOBBER the full board (this
-    // happened: a one-key isolated run replaced the 109-key board at HEAD).
-    // Partial runs land in *.partial files; merge deliberately or not at all.
+    // the COMMITTED board (BENCH_board.json) changes only by deliberate
+    // min-fold, never as a side effect of running Bench:
+    //  - a BENCH_ONLY-restricted run covers a subset of keys and writing it
+    //    to the committed name would CLOBBER the full board (this happened:
+    //    a one-key isolated run replaced the 109-key board at HEAD) →
+    //    partial runs land in *.partial files;
+    //  - a FULL pass is usually the driver's contended single-pass refresh
+    //    (runs alongside Verify/tests; BASELINE.md capture protocol), whose
+    //    numbers are interpretable but must not silently replace the idle
+    //    min-of-3 fold → full runs land in *_refresh.json. Fold into the
+    //    committed board only via an explicit SPARK_GRAFT_BOARD_OUT.
     def sidecar(envKey: String, base0: String, content: String): Unit =
       try {
         // the distributed lane writes its own sidecar family — a forced-
         // distributed run must never clobber the default board
         val base = if (forceDistributed)
           base0.replace(".json", "_distributed.json") else base0
-        val default = if (only.isDefined) base + ".partial" else base
+        val default =
+          if (only.isDefined) base + ".partial"
+          else base.replace(".json", "_refresh.json")
         val p = java.nio.file.Paths.get(sys.env.getOrElse(envKey, default))
         java.nio.file.Files.write(p,
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -510,7 +510,11 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
     // |x| is constant across centroids, so ranking by dot(x,c)/|c| is the
     // cosine ranking without ever computing |x|
     val k = centroids.length
-    val n = nprobe
+    // size the selection to min(nprobe, k): with ZERO centroids (empty-corpus
+    // quantizer) this returns an empty array per row — never the Int.MaxValue
+    // sentinel the NaN note above promises can't leak
+    val n = math.min(nprobe, k)
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
     val topSim = new Array[Double](n)
     val topCid = new Array[Int](n)
     java.util.Arrays.fill(topSim, Double.NegativeInfinity)

@@ -339,8 +339,13 @@ object Dedup {
     // reuses that answer instead of re-scanning the spread frame.
     val idDt = docs.schema(idCol).dataType
     val effMaxBytes = graft.util.FastPaths.ceiling(probeIndexMaxBytes)
+    // census = (rows, chars, distinct ids): one agg gates the byte ceiling
+    // AND the unique-id precondition — duplicate ids fall through to the
+    // banded join plan, which tolerates them (lane-parity, not corruption)
+    lazy val (cnDocs, cnChars, cnIds) = probeIndexCensus(livedocs, textCol, idCol)
     if (effMaxBytes > 0 && graft.util.IdTypes.integral(idDt) &&
-        probeIndexEstBytes(livedocs, textCol, b, numHashes) <= effMaxBytes) {
+        probeIndexBytesFor(cnDocs, cnChars, b, numHashes) <= effMaxBytes &&
+        cnIds == cnDocs) {
       val sc = docs.sparkSession.sparkContext
       val spread = graft.util.Spread.ifNarrow(livedocs.select(col(idCol), col(textCol)))
         .localCheckpoint()
@@ -448,9 +453,13 @@ object Dedup {
     val newDt = newDocs.schema(idCol).dataType
     val oldDt = oldDocs.schema(idCol).dataType
     val effMaxBytes = graft.util.FastPaths.ceiling(probeIndexMaxBytes)
+    // history-side census gates bytes AND unique ids in one agg — duplicate
+    // old_ids fall through to the signature-join plan (tolerates them)
+    lazy val (cnDocs, cnChars, cnIds) = probeIndexCensus(liveOld, textCol, idCol)
     if (effMaxBytes > 0 && graft.util.IdTypes.integral(newDt) &&
         graft.util.IdTypes.integral(oldDt) &&
-        probeIndexEstBytes(liveOld, textCol, numBands, numHashes) <= effMaxBytes) {
+        probeIndexBytesFor(cnDocs, cnChars, numBands, numHashes) <= effMaxBytes &&
+        cnIds == cnDocs) {
       val sc = oldDocs.sparkSession.sparkContext
       val spreadOld = graft.util.Spread.ifNarrow(liveOld.select(col(idCol), col(textCol)))
         .localCheckpoint()
@@ -547,10 +556,12 @@ object Dedup {
    * candidate set, est-prefilter and exact-Jaccard verify are bit-identical
    * to the join plan (suite-pinned).
    *
-   * Input contract: doc ids must be UNIQUE. The index's binary searches
-   * resolve a duplicated id to an arbitrary one of its rows, where the
-   * distributed join would emit per-row — duplicate-id corpora are invalid
-   * input to every id-keyed operator here, not a plan-selection difference.
+   * Input contract: doc ids must be UNIQUE — and the contract is ENFORCED,
+   * not just documented: every eligibility gate runs a census
+   * (count vs count_distinct, one agg) and duplicate-id corpora fall
+   * through to the distributed join plan, which emits per-row; a direct
+   * [[collectProbeIndex]] caller trips an adjacent-duplicate fail-fast
+   * instead of silently binding sigs/shingles to an arbitrary twin.
    */
   final case class HistoryProbeIndex(
       bandKeys: Array[Long], bandPostings: Array[Array[Long]],
@@ -598,8 +609,15 @@ object Dedup {
     // than collecting nulls that would NPE inside the probe kernel
     if (!graft.util.IdTypes.integral(oldDocs.schema(bands.idCol).dataType)) return None
     val effMaxBytes = graft.util.FastPaths.ceiling(maxBytes)
-    val estBytes = probeIndexEstBytes(oldDocs, textCol, bands.numBands, bands.numHashes)
-    if (effMaxBytes <= 0 || estBytes > effMaxBytes) None
+    if (effMaxBytes <= 0) return None
+    val (nDocs, nChars, nIds) = probeIndexCensus(oldDocs, textCol, bands.idCol)
+    val estBytes = probeIndexBytesFor(nDocs, nChars, bands.numBands, bands.numHashes)
+    // duplicate ids are INELIGIBLE, not silently corrupting: the index is a
+    // sorted primitive-Long layout where binarySearch would attach
+    // sigs/shingles to an arbitrary twin — wrong pairs, no error. The
+    // distributed join plan tolerates duplicates, so the caller falls
+    // through to it and both lanes keep one answer contract.
+    if (estBytes > effMaxBytes || nIds != nDocs) None
     else Some(collectProbeIndex(oldDocs, oldSigs, bands, textCol, shingleN))
   }
 
@@ -611,7 +629,22 @@ object Dedup {
     val (nDocs, nChars) = docs
       .agg(count(lit(1)), coalesce(sum(length(col(textCol))), lit(0L)))
       .as[(Long, Long)].head()
+    probeIndexBytesFor(nDocs, nChars, numBands, numHashes)
+  }
+
+  private def probeIndexBytesFor(nDocs: Long, nChars: Long,
+      numBands: Int, numHashes: Int): Long =
     8L * nChars + (8L * numHashes + 24L * numBands + 64L) * nDocs
+
+  /** ONE census agg serving both probe-index gates: (rows, chars, distinct
+    * ids). Sizes the index and checks the unique-id precondition in the
+    * same job — the precondition is enforced, not just documented. */
+  private def probeIndexCensus(docs: DataFrame, textCol: String,
+      idCol: String): (Long, Long, Long) = {
+    import docs.sparkSession.implicits._
+    docs.agg(count(lit(1)), coalesce(sum(length(col(textCol))), lit(0L)),
+        count_distinct(col(idCol)))
+      .as[(Long, Long, Long)].head()
   }
 
   private def collectProbeIndex(
@@ -625,6 +658,18 @@ object Dedup {
       .select(col(bands.idCol).cast("long").as("_1"), col("sig").as("_2"))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
     val ids = sigPairs.map(_._1)
+    // the unique-id precondition is gate-checked upstream (probeIndexCensus
+    // at every eligibility site); this adjacent scan over the already-sorted
+    // collected ids is the zero-cost fail-fast against a direct caller —
+    // duplicates would make every binarySearch attach data to an arbitrary
+    // twin: wrong pairs, no error
+    var dup = 1
+    while (dup < ids.length) {
+      require(ids(dup) != ids(dup - 1),
+        s"probe index requires unique ${bands.idCol} values (id ${ids(dup)} " +
+          "appears more than once); dedup ids or use the distributed join plan")
+      dup += 1
+    }
     val sigArr = sigPairs.map(_._2)
     val shingleArr = new Array[Array[Long]](ids.length)
     oldDocs
@@ -1131,9 +1176,9 @@ object Dedup {
     val effEdges = graft.util.FastPaths.ceiling(smallGraphEdges)
     if (effEdges > 0 && graft.util.IdTypes.integral(idDt) &&
         pairs.schema("doc_b").dataType == idDt) {
-      val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
-          col("doc_b").cast("long").as("doc_b"))
-        .localCheckpoint()
+      val p = graft.util.Materialize.cut(
+        pairs.select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b")))
       val clustered =
         if (p.count() <= effEdges)
           smallGraphClusters(pairs.sparkSession,
@@ -1146,23 +1191,25 @@ object Dedup {
     // one-pass materialization the integral branch's probe produced: the
     // pair pipeline (often LSH + verify) feeds BOTH union branches of the
     // edge table and would otherwise derive twice. Eager, like the probe.
-    distributedNearDupClusters(pairs.localCheckpoint(), maxIter)
+    distributedNearDupClusters(graft.util.Materialize.cut(pairs), maxIter)
   }
 
   /** The pointer-jumping distributed plan of [[nearDupClusters]] — the
     * 100 TB path, type-agnostic over the pair id columns. */
   private def distributedNearDupClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
-    // localCheckpoint, not cache(): the edge table is read every iteration,
+    // Materialize.cut, not cache(): the edge table is read every iteration,
     // but a cache() in an operator that returns before unpersisting pins
     // the plan in the session CacheManager for the session's lifetime —
-    // one leaked entry per call (same reasoning as [[ngramJaccard]]).
-    val edges = pairs
+    // one leaked entry per call (same reasoning as [[ngramJaccard]]). cut()
+    // is a RELIABLE checkpoint when a checkpoint dir is configured (this is
+    // the at-scale lane — executor loss must recompute, not fail the query)
+    // and localCheckpoint in local mode.
+    val edges = graft.util.Materialize.cut(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = graft.util.Materialize.cut(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -1186,16 +1233,16 @@ object Dedup {
           // materialize before the self-join: both jump sides read the
           // labels⋈neighborMin subtree, which would otherwise plan (and
           // run) twice per iteration on the corpus-sized label table
-          val s = stepped.localCheckpoint()
+          val s = graft.util.Materialize.cut(stepped)
           s.alias("a")
             .join(s.select(col("id").as("jid"), col("mid").as("jlabel")).alias("b"),
               col("a.mid") === col("jid"), "left")
             .select(col("a.id").as("id"), col("a.label").as("label"),
               least(col("a.mid"), coalesce(col("jlabel"), col("a.mid"))).as("next"))
         })
-        .localCheckpoint()
-      changed = compressed.filter(col("next") < col("label")).count()
-      labels = compressed.select(col("id"), col("next").as("label"))
+      val materialized = graft.util.Materialize.cut(compressed)
+      changed = materialized.filter(col("next") < col("label")).count()
+      labels = materialized.select(col("id"), col("next").as("label"))
       iter += 1
     }
     // unconverged labels would flow silently into keep decisions (several

@@ -633,8 +633,8 @@ object MqRoundtrip {
     val probeIdx = probeIndexCache.computeIfAbsent(root, { _ =>
       val effMaxBytes = graft.util.FastPaths.ceiling(Dedup.DefaultProbeIndexMaxBytes)
       if (effMaxBytes > 0 && Dedup.probeIndexEstBytes(history) <= effMaxBytes) {
-        val spread = history.select(col("doc_id"), col("text"))
-          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+        val spread = graft.util.Spread.ifNarrow(
+          history.select(col("doc_id"), col("text"))).localCheckpoint()
         val sigs = Dedup.minHashSignatures(spread).localCheckpoint()
         Dedup.buildHistoryProbeIndex(spread, sigs, Dedup.historyLshBands(sigs))
           .map(spark.sparkContext.broadcast(_))

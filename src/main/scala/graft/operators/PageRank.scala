@@ -52,9 +52,9 @@ object PageRank {
     val effEdges = graft.util.FastPaths.ceiling(smallGraphEdges)
     if (effEdges > 0 && graft.util.IdTypes.integral(srcDt) &&
         edges.schema(dstCol).dataType == srcDt) {
-      val p = edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .localCheckpoint()
+      val p = graft.util.Materialize.cut(
+        edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")))
       val ranked =
         if (p.count() <= effEdges)
           smallGraphPageRank(edges.sparkSession,
@@ -69,7 +69,8 @@ object PageRank {
     // without the cut each scan would re-derive it. Eager, like the
     // ceiling probe above.
     distributedPageRank(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(),
+      graft.util.Materialize.cut(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))),
       iters, dampNum, dampDen)
   }
 
@@ -77,13 +78,13 @@ object PageRank {
     * 100 TB path, type-agnostic over the (src, dst) edge columns. */
   private def distributedPageRank(e: DataFrame,
       iters: Int, dampNum: Int, dampDen: Int): DataFrame = {
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint()
+    val nodes = graft.util.Materialize.cut(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct())
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) pays the degree join once, not once per iteration
-    val withDeg = e.join(outdeg, "src").localCheckpoint()
+    val withDeg = graft.util.Materialize.cut(e.join(outdeg, "src"))
     val base = (1000000L * (dampDen - dampNum)) / dampDen
     // "pr", not "rank": rank is a window-function keyword inside expr()
     var ranks = nodes.withColumn("pr", lit(1000000L))
@@ -99,10 +100,12 @@ object PageRank {
           (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")).as("pr"))
       i += 1
       // lineage cut every 3rd iteration (and on the last): each
-      // localCheckpoint is an EAGER job, and a 3-iteration join/agg chain
+      // Materialize.cut is an EAGER job (reliable checkpoint when a
+      // checkpoint dir is configured — the at-scale lane must survive
+      // executor loss — else localCheckpoint), and a 3-iteration join/agg chain
       // is still a shallow plan — per-iteration cuts measured ~25% of the
       // entry's wall time in pure checkpoint jobs
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == iters) ranks = graft.util.Materialize.cut(ranks)
     }
     ranks
   }

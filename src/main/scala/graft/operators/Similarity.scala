@@ -43,9 +43,12 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     // a NULL embedding is an absent vector (same contract as the dedup
-    // operators' null text): filter before either lane sees the corpus
+    // operators' null text): filter both sides before either lane sees them —
+    // knnIvf filters probes too, and a null probe must yield zero rows, not
+    // k rows of null sim (lane parity on the exact/IVF operator pair)
     val joined = corpus.filter(col("emb").isNotNull)
-      .join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .join(broadcast(probes.filter(col("q_emb").isNotNull)),
+        col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     joined
@@ -421,8 +424,11 @@ object Similarity {
       import spark.implicits._
       val cap = math.min(effRows + 1, Int.MaxValue.toLong).toInt
       if (live.limit(cap).count() <= effRows) {
+        // keep limit(cap) on the collect too: the probe and the collect are
+        // two separate jobs over a non-checkpointed frame, so the bound must
+        // hold by construction even if the source mutates between them
         val rows = live.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
-          .as[(Long, Array[Double])].collect()
+          .limit(cap).as[(Long, Array[Double])].collect()
         return knnExhaustiveKernel(spark, rows, k)
           .select(col("src_id").cast(idDt).as("src_id"),
             col("neighbor_id").cast(idDt).as("neighbor_id"), col("sim"))
@@ -588,9 +594,11 @@ object Similarity {
       import spark.implicits._
       val cap = math.min(effRows + 1, Int.MaxValue.toLong).toInt
       if (live.limit(cap).count() <= effRows) {
+        // limit(cap) bounds the haul even if the source changes between the
+        // probe job and the collect job (two jobs, one logical snapshot)
         val rows = live.select(col("vec_id").cast("long").as("_1"),
             col("emb").as("_2"), col("label").cast("long").as("_3"))
-          .as[(Long, Array[Double], Long)].collect()
+          .limit(cap).as[(Long, Array[Double], Long)].collect()
         val bc = spark.sparkContext.broadcast(rows)
         val n = rows.length
         val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
@@ -936,8 +944,10 @@ object Similarity {
       import spark.implicits._
       val cap = math.min(effVerifyRows + 1, Int.MaxValue.toLong).toInt
       if (live.limit(cap).count() <= effVerifyRows) {
+        // limit(cap) keeps the collect bounded by construction (probe and
+        // collect are separate jobs over a non-checkpointed frame)
         val rows = live.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
-          .as[(Long, Array[Double])].collect()
+          .limit(cap).as[(Long, Array[Double])].collect()
         val bc = spark.sparkContext.broadcast(rows.toMap)
         // the collision MULTISET feeds the kernel directly — a pair
         // colliding in d tables costs d extra dot products (cheap) instead
@@ -1007,14 +1017,20 @@ object Similarity {
       s"embeddingNearDupsExact indexes vectors by primitive Long id and " +
         s"requires an integral vec_id column (got $idDt); attach a " +
         "monotonically_increasing_id or use embeddingNearDups (LSH)")
+    // a NULL embedding is an absent vector — same head filter as the LSH
+    // lane (embeddingNearDups), so both lanes see one corpus contract and
+    // the count guard counts only real vectors
+    val live = corpus.filter(col("emb").isNotNull)
     // count-only guard probe (column-pruned, limit-stopped): the refusal
     // path hauls no vector bytes to the driver
-    require(corpus.limit((maxExactRows + 1).min(Int.MaxValue.toLong).toInt)
+    require(live.limit((maxExactRows + 1).min(Int.MaxValue.toLong).toInt)
         .count() <= maxExactRows,
       s"embeddingNearDupsExact is a quadratic baseline: corpus exceeds " +
         s"$maxExactRows rows; use embeddingNearDups (LSH) at this scale, or " +
         s"pass maxExactRows explicitly if you really want the brute force")
-    val rows = corpus.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+    val rows = live
+      .select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
+      .limit((maxExactRows.min(Int.MaxValue.toLong)).toInt)
       .as[(Long, Array[Double])].collect()
     val bc = spark.sparkContext.broadcast(rows)
     val n = rows.length

@@ -90,13 +90,14 @@ object Sketches {
     * the one-pass codegen'd [[GraftFunctions.charGrams]] kernel and stay in
     * the scan stage — no pre-shuffle, no interpreted HOF lambdas. */
   def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
-    // deliberate pre-explode repartition: the corpus parquet at test SFs is
+    // partition-gated pre-explode spread: the corpus parquet at test SFs is
     // ONE split (a few MB), but the gram explode amplifies each row ~500x —
-    // without this the entire sketch+count work runs in a single task
-    // (measured 3.9s -> ~1s at local[32]). At 100 TB the scan has natural
-    // parallelism and this shuffle moves docs, never the exploded grams.
-    val grams = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // without the spread the entire sketch+count work runs in a single task
+    // (measured 3.9s -> ~1s at local[32]). Spread.ifNarrow applies it only
+    // in that regime; at 100 TB the scan already has thousands of splits
+    // and an unconditional repartition would COLLAPSE them to core count
+    // behind a pointless full shuffle of raw text.
+    val grams = graft.util.Spread.ifNarrow(Tables.documents(spark, dir))
       .select(explode(GraftFunctions.charGrams(col("text"), 3)).as("gram"))
     heavyHitters(grams, "gram", capacity = 128)
   }

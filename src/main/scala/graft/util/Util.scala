@@ -131,6 +131,24 @@ object IdTypes {
   }
 }
 
+/** Eager materialization with lineage cut, fault-tolerance-aware. The
+  * iterative operators (pointer-jumping connected components, PageRank)
+  * must cut lineage every few iterations or the plan tree grows without
+  * bound — but `localCheckpoint` stores blocks on executors with NO
+  * recovery path: on a real cluster, losing one executor fails the query
+  * instead of recomputing. `cut` therefore uses RELIABLE checkpointing
+  * (write to the configured checkpoint directory — HDFS/object store on a
+  * cluster) whenever `sparkContext.setCheckpointDir` has been called, and
+  * falls back to `localCheckpoint` only when no directory is configured —
+  * i.e. local mode, where executor loss is JVM death and block replay buys
+  * nothing. Results are identical either way; only durability changes. */
+object Materialize {
+  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+}
+
 /** Process-wide diagnostic switch that forces every size-adaptive fast
   * path (driver union-find / integer PageRank replay, fused broadcast
   * kernels, broadcast probe indexes) to report INELIGIBLE, so the
