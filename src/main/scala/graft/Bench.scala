@@ -38,7 +38,12 @@ object Bench {
     // warm the session (codegen, file listing, JIT) so the first timed query
     // isn't charged for startup
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    // warm the parquet reader against whichever table the dir carries (a
+    // ScaleData-synthesized dir holds only the data-bound tables)
+    Seq("lineitem", "documents").iterator
+      .map(t => java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+      .find(java.nio.file.Files.exists(_))
+      .foreach(p => spark.read.parquet(p.toString).limit(1).count())
     // noop-sink write materializes EVERY output column and keeps sorts:
     // count() let Catalyst prune projections, so scan-stage queries were
     // timed as bare parquet scans and orderBys were optimized away

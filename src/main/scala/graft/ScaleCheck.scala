@@ -163,19 +163,37 @@ object ScaleCheck {
     ensureMidDir(spark, big, mid)
     val step1 = check(spark, ThirdPointKeys, small, mid)
     val step2 = check(spark, ThirdPointKeys, mid, big)
+    // SECOND DECADE (optional): SPARK_GRAFT_SCALE_BIG2 names a dir one
+    // more decade up (a [[ScaleData]]-synthesized sf1) — the regime where
+    // the corpus genuinely spans many parquet splits and the small-SF
+    // job-floor excuse stops applying. Default lane here, forced lane
+    // below with the other forced runs. Only the tables ScaleData writes
+    // (documents/embeddings/events) exist there, which covers every
+    // data-bound key by construction.
+    val big2 = sys.env.get("SPARK_GRAFT_SCALE_BIG2")
+    val second = big2.map(b2 => check(spark, DataBoundEntries, big, b2))
+      .getOrElse(Seq.empty)
     // forced-distributed lane LAST: the flag is process-wide, so nothing
     // may time a default-lane entry after it flips
     sys.props("graft.force.distributed") = "1"
-    val forced = try check(spark, ForcedDistributedKeys, small, big)
-      finally sys.props.remove("graft.force.distributed")
+    val (forced, secondForced) = try {
+      (check(spark, ForcedDistributedKeys, small, big),
+        big2.map(b2 => check(spark, ForcedDistributedKeys, big, b2))
+          .getOrElse(Seq.empty))
+    } finally sys.props.remove("graft.force.distributed")
+    val secondJson = big2.map(b2 =>
+      s""","second_decade_big":"$b2",""" +
+        s""""second_decade":${entryJson(second)},""" +
+        s""""second_decade_forced":${entryJson(secondForced)}""").getOrElse("")
     val line = s"""{"metric":"scale_growth","small":"$small","big":"$big",""" +
       s""""entries":${entryJson(results)},""" +
       s""""third_point_small_mid":${entryJson(step1)},""" +
       s""""third_point_mid_big":${entryJson(step2)},""" +
-      s""""forced_distributed":${entryJson(forced)}}"""
+      s""""forced_distributed":${entryJson(forced)}$secondJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
     println(line)
-    val bad = (results ++ step1 ++ step2 ++ forced).filterNot(_.ok)
+    val bad = (results ++ step1 ++ step2 ++ forced ++ second ++ secondForced)
+      .filterNot(_.ok)
     bad.foreach(r => System.err.println(
       f"[scale] ${r.key} grew ${r.ratio}%.1fx across the data step (bound ${r.bound}%.1fx)"))
     spark.stop()

@@ -386,18 +386,21 @@ class SimilaritySpec extends SparkSpec {
       .select(col("query_id").as("src_id"), col("neighbor_id"), col("sim"))
     assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty,
       "exhaustive knnGraph differs from the brute-force graph")
-    // the distributed cell-join path (forced past the kernel ceiling) must
-    // agree with the fused-kernel default bit for bit...
-    val exactCell = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16,
+    // the distributed path (forced past the kernel ceiling) must agree
+    // with the fused-kernel default bit for bit. Since round 15 that path
+    // is the BLOCKED pair enumeration (grid-decomposed flat blocks through
+    // one narrow shuffle), not the cell join — the cell join at exhaustive
+    // nprobe materialized N² rows each dragging two dim-length arrays.
+    val exactBlocked = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16,
       exhaustiveKernelMaxRows = 0)
-    assert(exactCell.exceptAll(exact).isEmpty && exact.exceptAll(exactCell).isEmpty,
-      "cell-join exhaustive path differs from the fused kernel path")
-    // ...and its plan shape stays shuffle-hash on the cell key, no
-    // broadcast join anywhere
-    val plan = exactCell.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$plan")
+    assert(exactBlocked.exceptAll(exact).isEmpty && exact.exceptAll(exactBlocked).isEmpty,
+      "blocked exhaustive path differs from the fused kernel path")
+    // plan shape: the kernel runs as an object map over packed blocks, and
+    // nothing corpus-sized is ever broadcast
+    val plan = exactBlocked.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), s"expected blocked MapPartitions kernel:\n$plan")
     assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"corpus-sized probe side must not be broadcast:\n$plan")
+      s"corpus-sized side must not be broadcast:\n$plan")
     // pruned graph: nprobe=4 of 16 searches ~1/4 of the corpus per vector;
     // edge recall vs the exact graph on the Gaussian corpus
     val approx = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 4,

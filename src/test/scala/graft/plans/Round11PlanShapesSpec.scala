@@ -42,20 +42,24 @@ class Round11PlanShapesSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
-  test("hard_negatives joins cells shuffle-hash — the corpus-as-probe side " +
-      "is never broadcast, no nested loop anywhere") {
+  test("hard_negatives forced-distributed runs the blocked kernel — the " +
+      "corpus is never broadcast, no nested loop anywhere") {
     import org.apache.spark.sql.functions.{col, transform}
     val emb = graft.operators.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("emb"),
         col("label").cast("long").as("label"))
-    // force the distributed IVF-join path (exhaustiveKernelMaxRows = 0):
-    // below the ceiling the entry picks the fused exhaustive kernel, whose
-    // plan has no join at all — the invariant under test is the DISTRIBUTED
-    // plan's shape, the one that runs at 100 TB
+    // force the distributed path (exhaustiveKernelMaxRows = 0): below the
+    // ceiling the entry picks the fused exhaustive kernel. Since round 15
+    // the over-ceiling exhaustive plan is the BLOCKED pair enumeration
+    // (packed flat blocks, one narrow shuffle, label filter in-kernel) —
+    // the cell join at exhaustive nprobe was an N²-wide-row trap. The
+    // invariant: an object-map kernel over blocks, nothing corpus-sized
+    // broadcast, no nested loop.
     val p = plan(Similarity.hardNegatives(emb, k = 5, exhaustiveKernelMaxRows = 0))
-    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("MapPartitions"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
   test("graph_pagerank iterations never broadcast the rank table") {
