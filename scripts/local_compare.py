@@ -21,7 +21,10 @@ con = duckdb.connect()
 con.execute("SET threads TO 8")
 for p in glob.glob(f"{sf}/*.parquet"):
     t = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # driver SFs ship one file per table; ScaleData SFs ship a DIRECTORY
+    # of splits per table — glob inside in that case
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 

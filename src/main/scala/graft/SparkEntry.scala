@@ -1820,7 +1820,7 @@ object SparkEntry {
       queryCol = "query_id", nprobe = 8, k = 10),
     "knn_graph_probe" -> ivfProbeOracle(
       queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e",
-      queryCol = "src_id", nprobe = 6, k = 5),
+      queryCol = "src_id", nprobe = 6, k = 5, ctes = ivfHomeCtesAdaptive),
     // the full PQ pipeline replayed: donor slicing into per-subspace
     // codebooks, per-subspace dot x invNorm assignment (ties -> smaller
     // cid), codeword reconstruction, asymmetric cosine top-k — every
@@ -1920,7 +1920,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
     "embed_neardup" ->
-      s"""WITH RECURSIVE $lshBucketCtes,
+      s"""WITH RECURSIVE $lshBucketCtesAdaptive,
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
@@ -1936,7 +1936,7 @@ object SparkEntry {
     // + the transitive-closure reach tail — keep decisions over the
     // replicated approximate pair graph
     "semantic_dedup" ->
-      s"""WITH RECURSIVE $lshBucketCtes,
+      s"""WITH RECURSIVE $lshBucketCtesAdaptive,
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
@@ -2029,9 +2029,33 @@ object SparkEntry {
       |  FROM e, cn),
       |home AS (SELECT vec_id, cid FROM a WHERE rn = 1)""".stripMargin
 
+  /** [[ivfHomeCtes]] with the SIZE-ADAPTIVE centroid count of
+    * [[graft.operators.Similarity.adaptiveCentroids]] — K =
+    * greatest(16, ceil(N/125)) computed from the corpus itself, so ONE
+    * oracle text is exact at every SF: it resolves to the historical 16
+    * at the correctness SFs (N ≤ 2000) and tracks the Spark side on the
+    * synthesized scale decades. Only knn_graph_probe uses this — the
+    * ann_ivf* entries keep explicit K=16 on both sides. */
+  private val ivfHomeCtesAdaptive: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |ncent AS (SELECT greatest(16, CAST(ceil(count(*)::DOUBLE / 125.0) AS BIGINT)) AS k FROM e),
+      |cent AS (
+      |  SELECT cid, cemb FROM (
+      |    SELECT row_number() OVER (
+      |        ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
+      |      emb AS cemb
+      |    FROM e)
+      |  WHERE cid < (SELECT k FROM ncent)),
+      |cn AS (SELECT cid, cemb, 1.0 / sqrt(list_dot_product(cemb, cemb)) AS inv FROM cent),
+      |a AS (SELECT e.vec_id, cn.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.emb, cn.cemb) * cn.inv DESC, cn.cid) AS rn
+      |  FROM e, cn),
+      |home AS (SELECT vec_id, cid FROM a WHERE rn = 1)""".stripMargin
+
   private def ivfProbeOracle(queries: String, queryCol: String,
-      nprobe: Int, k: Int): String =
-    s"""WITH $ivfHomeCtes,
+      nprobe: Int, k: Int, ctes: String = null): String =
+    s"""WITH ${Option(ctes).getOrElse(ivfHomeCtes)},
       |q AS ($queries),
       |pa AS (SELECT q.query_id, cn.cid,
       |    row_number() OVER (PARTITION BY q.query_id
@@ -2157,6 +2181,50 @@ object SparkEntry {
       |     + ((s // 4294967296) * 6364136223846793005 % 4294967296) * 4294967296
       |     + 1442695040888963407) % 18446744073709551616::HUGEINT
       |  FROM rng WHERE n < 16 * (SELECT dim FROM d)),
+      |uni AS (
+      |  SELECT t, n - 1 AS n0,
+      |    ((s // 2048)::DOUBLE / 9007199254740992.0 - 0.5) AS v
+      |  FROM rng WHERE n >= 1),
+      |pw AS (
+      |  SELECT t,
+      |    n0 // (4 * (SELECT dim FROM d)) AS p,
+      |    (n0 % (4 * (SELECT dim FROM d))) // 4 AS i,
+      |    n0 % 4 AS j, v
+      |  FROM uni),
+      |comp AS (
+      |  SELECT t, p, i,
+      |    ((max(CASE WHEN j=0 THEN v END) + max(CASE WHEN j=1 THEN v END))
+      |      + max(CASE WHEN j=2 THEN v END)) + max(CASE WHEN j=3 THEN v END) AS w
+      |  FROM pw GROUP BY t, p, i),
+      |planes AS (
+      |  SELECT t, p, list(w ORDER BY i) AS pl FROM comp GROUP BY t, p),
+      |bk AS (
+      |  SELECT e.vec_id, pla.t,
+      |    ((SELECT dim FROM d)::BIGINT << 44)
+      |      + sum(CASE WHEN list_dot_product(e.emb, pla.pl) >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+      |  FROM e, planes pla GROUP BY e.vec_id, pla.t)""".stripMargin
+
+  /** [[lshBucketCtes]] with the SIZE-ADAPTIVE bit width of
+    * [[graft.operators.Similarity.adaptiveLshBits]] (floor 4, the
+    * embed_neardup/semantic_dedup recall regime): bits =
+    * greatest(4, floor(log2(N/128))) computed from the corpus, so one
+    * oracle text resolves to the historical 4 bits at every correctness
+    * SF (N < 4096) and tracks the Spark side on the synthesized decades.
+    * The LCG stream per table is IDENTICAL — more planes just consume
+    * more consecutive draws, exactly like the kernel. ann_lsh keeps the
+    * static 4-bit text (its entry pins bitsPerTable = 4 explicitly). */
+  private val lshBucketCtesAdaptive: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
+      |nb AS (SELECT greatest(4, CAST(floor(log2(greatest(count(*)::DOUBLE / 128.0, 1.0))) AS INT)) AS bits FROM e),
+      |rng(t, n, s) AS (
+      |  SELECT t, 0, (42 + t*1000)::HUGEINT FROM range(16) AS tt(t)
+      |  UNION ALL
+      |  SELECT t, n+1,
+      |    ((s % 4294967296) * 6364136223846793005
+      |     + ((s // 4294967296) * 6364136223846793005 % 4294967296) * 4294967296
+      |     + 1442695040888963407) % 18446744073709551616::HUGEINT
+      |  FROM rng WHERE n < 4 * (SELECT bits FROM nb) * (SELECT dim FROM d)),
       |uni AS (
       |  SELECT t, n - 1 AS n0,
       |    ((s // 2048)::DOUBLE / 9007199254740992.0 - 0.5) AS v
