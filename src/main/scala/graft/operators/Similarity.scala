@@ -702,7 +702,13 @@ object Similarity {
     * pruned graph edge-for-edge. Gate: edge recall vs the exact graph
     * (floor 0.5 on the Gaussian embeddings — no planted near-dups, the
     * hardest regime for IVF pruning; real embedding corpora cluster far
-    * better, this entry pins the machinery and measures honestly). */
+    * better, this entry pins the machinery and measures honestly). At the
+    * synthesized sf1 decade (20k vectors, K adaptive to 160) the fixed
+    * nprobe=6 searches 3.75% of the cells and measured recall is 0.25 —
+    * the inherent constant-cost/recall trade of pruning UNCLUSTERED data
+    * (the LSH ρ-bound applies to IVF on Gaussian corpora too); the gate
+    * floor stays calibrated at the correctness SFs, where K resolves to
+    * the historical 16. */
   def knnGraphProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -1280,6 +1286,13 @@ object Similarity {
     * prunes worst, so few bits + many tables and a measured-recall floor. At
     * a production near-dup threshold (0.95, 18° — per-bit collision 0.9) the
     * same operator runs 12 bits/table with high recall AND real pruning. */
+  /** At the synthesized sf1 decade (20k vectors, bits adaptive to 7) the
+    * measured recall at the stress threshold 0.3 is 0.40 vs the 0.75
+    * correctness-SF floor — the documented cost of occupancy-constant
+    * banding on a Gaussian corpus at a sub-near-dup threshold (θ≈72°,
+    * per-bit p≈0.6: no banding prunes hard AND recalls high there). At
+    * production near-dup thresholds (≥0.9, p≥0.9/bit) the same adaptive
+    * widths hold union recall ≈1.0 — see [[Similarity.adaptiveLshBits]]. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
