@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Machine-readable sf1 correctness artifact (round 16 — verdict item #2).
+
+Produces CORRECTNESS_sf1.json in the driver's CORRECTNESS_r{N}.json shape,
+plus a `lane_parity` field per key: whether the forced-distributed Verify
+dump is cell-for-cell identical to the default-lane dump (the at-scale
+plans inherit the default lane's oracle exactness through it).
+
+Each key's DuckDB oracle replay runs in a SUBPROCESS with a wall-clock
+budget and a scoped temp dir (the heavy approximate oracles can spill
+tens of GB at sf1 — round-15 notes); a key whose replay exceeds the
+budget or errors is recorded `oracle: "infeasible"` with the reason and
+still carries its lane-parity verdict. That keeps the artifact honest:
+every key is either hash-exact against DuckDB at sf1, or explicitly
+marked with WHY the replay (DuckDB-side, not engine-side) is infeasible.
+
+Regenerate with exactly:
+
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify testdata-gen/sf1 /tmp/sf1_default"
+  SPARK_GRAFT_VERIFY_FORCE_DISTRIBUTED=1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Verify testdata-gen/sf1 /tmp/sf1_forced"
+  python3 scripts/sf1_correctness.py testdata-gen/sf1 \
+    /tmp/sf1_default /tmp/sf1_forced CORRECTNESS_sf1.json [timeout_s] [key ...]
+
+Driver-side tooling only (duckdb/pandas are not Scala dependencies).
+"""
+import json, math, os, shutil, subprocess, sys
+
+# The sf1 scale-point key set: the data-bound board keys (BENCH_sf1.json)
+# plus the adaptive-parameter entries the round-16 work touched.
+DEFAULT_KEYS = [
+    "bm25_search", "corpus_assemble", "corpus_clean", "dedup_bloom",
+    "dedup_minhash", "dedup_minhash_best", "dedup_minhash_keep",
+    "dedup_simhash", "dsir_select", "duplicate_passages", "embed_neardup",
+    "gram_coverage", "graph_pagerank", "hard_negatives", "heavy_hitters",
+    "hybrid_search", "knn_graph", "knn_graph_probe", "ngram_containment",
+    "ngram_jaccard", "ngram_jaccard_inverted", "q31_reachability",
+    "segment_dedup", "semantic_dedup", "snapshot_diff", "spell_correct",
+    "text_bigram_logprob", "text_lsh_clusters", "winnow_fingerprint",
+    "ann_pq", "snapshot_diff",
+]
+
+
+def connect(sf):
+    import duckdb
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")
+    tmp = os.path.abspath(".tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='60GiB'")
+    import glob
+    for p in glob.glob(f"{sf}/*.parquet"):
+        t = os.path.basename(p).replace(".parquet", "")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def cells_equal(a, b):
+    if a is b:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def frames_equal(s, o):
+    if sorted(s.columns) != sorted(o.columns) or len(s) != len(o):
+        return False
+    s, o = norm(s), norm(o)
+    for col in s.columns:
+        for a, b in zip(s[col].tolist(), o[col].tolist()):
+            if not cells_equal(a, b):
+                return False
+    return True
+
+
+def run_one(sf, out, key):
+    """Subprocess entry: replay one oracle and compare. Exit 0 = exact."""
+    con = connect(sf)
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    spark_df = con.execute(
+        f"SELECT * FROM read_parquet('{out}/{key}/*.parquet')").df()
+    ora_df = con.execute(oracles[key]).df()
+    res = {
+        "rows_match": len(spark_df) == len(ora_df),
+        "schema_match": sorted(spark_df.columns) == sorted(ora_df.columns),
+        "spark_rows": len(spark_df),
+        "oracle_rows": len(ora_df),
+    }
+    res["hash_match"] = (res["rows_match"] and res["schema_match"]
+                         and frames_equal(spark_df, ora_df))
+    print(json.dumps(res))
+    sys.exit(0 if res["hash_match"] else 3)
+
+
+def main():
+    if sys.argv[1] == "--run-one":
+        run_one(sys.argv[2], sys.argv[3], sys.argv[4])
+        return
+    sf, default_out, forced_out, result_path = sys.argv[1:5]
+    rest = sys.argv[5:]
+    timeout = int(rest[0]) if rest and rest[0].isdigit() else 1800
+    keys = [k for k in rest if not k.isdigit()] or DEFAULT_KEYS
+    keys = list(dict.fromkeys(keys))
+    con = connect(sf)
+    results = {}
+    if os.path.exists(result_path):
+        results = json.load(open(result_path))
+    for key in keys:
+        entry = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": None, "oracle_rows": None,
+                 "lane_parity": None, "err": None}
+        d_dir, f_dir = f"{default_out}/{key}", f"{forced_out}/{key}"
+        if not os.path.isdir(d_dir):
+            entry["err"] = "missing default-lane dump"
+            results[key] = entry
+            continue
+        s_df = con.execute(f"SELECT * FROM read_parquet('{d_dir}/*.parquet')").df()
+        entry["spark_rows"] = len(s_df)
+        if os.path.isdir(f_dir):
+            f_df = con.execute(f"SELECT * FROM read_parquet('{f_dir}/*.parquet')").df()
+            entry["lane_parity"] = frames_equal(s_df, f_df)
+        # oracle replay in a subprocess with a wall budget + scoped temp
+        shutil.rmtree(".tmp", ignore_errors=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-one",
+                 sf, default_out, key],
+                capture_output=True, text=True, timeout=timeout)
+            if proc.returncode in (0, 3) and proc.stdout.strip():
+                entry.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            else:
+                tail = (proc.stderr or "").strip().splitlines()[-1:]
+                entry["err"] = f"oracle infeasible: {' '.join(tail) or 'replay failed'}"
+        except subprocess.TimeoutExpired:
+            entry["err"] = f"oracle infeasible: replay exceeded {timeout}s (DuckDB side)"
+        shutil.rmtree(".tmp", ignore_errors=True)
+        results[key] = entry
+        state = ("EXACT" if entry.get("hash_match")
+                 else entry.get("err") or "MISMATCH")
+        print(f"[sf1] {key}: {state} lane_parity={entry['lane_parity']}",
+              flush=True)
+        json.dump(results, open(result_path, "w"), indent=2, sort_keys=True)
+    json.dump(results, open(result_path, "w"), indent=2, sort_keys=True)
+    bad = [k for k, v in results.items()
+           if v.get("hash_match") is False or
+           (v.get("err") and "infeasible" not in v["err"])]
+    print(f"[sf1] done: {len(results)} keys, "
+          f"{sum(1 for v in results.values() if v.get('hash_match'))} exact, "
+          f"{sum(1 for v in results.values() if v.get('err'))} infeasible/err, "
+          f"{sum(1 for v in results.values() if v.get('lane_parity'))} lane-parity")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,11 +69,14 @@ object ScaleData {
       df.select(df.columns.map {
         case "vec_id" => remapId(col("vec_id"), factor, k).as("vec_id")
         case "embedding" if k > 0 =>
-          // circular dimension rotation by k: orthogonal, norm- and
-          // within-copy-cosine-preserving
-          concat(
-            slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
-            slice(col("embedding"), lit(1), lit(k))).as("embedding")
+          // circular dimension rotation by k MOD dim: orthogonal, norm- and
+          // within-copy-cosine-preserving. The modulo guards factor > dim —
+          // an unreduced k ≥ dim would make the first slice length negative
+          // (malformed arrays, not a rotation)
+          val sh = pmod(lit(k), size(col("embedding")))
+          when(sh === 0, col("embedding")).otherwise(concat(
+            slice(col("embedding"), sh + 1, size(col("embedding")) - sh),
+            slice(col("embedding"), lit(1), sh))).as("embedding")
         case c => col(c)
       }.toIndexedSeq: _*)
     }.reduce(_ unionByName _)
@@ -92,6 +95,30 @@ object ScaleData {
     (0 until factor).map { k =>
       df.select(df.columns.map {
         case c if offsets.contains(c) => (col(c) + lit(offsets(c) * k)).as(c)
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Dim table for the stream-static enrich entry (round 16 — closes the
+    * BENCH_sf1_streaming capture note that the data-bound sf1 dir omitted
+    * the customer dim): copy k keeps the customers the event stream
+    * actually references (c_custkey ≤ the source's max user_id) and
+    * offsets their keys by the SAME per-copy offset [[scaleEvents]]
+    * applies to user_id, attributes untouched — so each scaled event
+    * matches a customer carrying its source event's attributes and the
+    * enriched stream is `factor` relabeled copies of the source result
+    * (the isomorphism the growth harness needs). Customers no event ever
+    * references are dropped rather than replicated: the dim stays
+    * events-matched at every copy instead of diluting join selectivity
+    * differently at each scale. */
+  def scaleCustomer(cust: DataFrame, events: DataFrame, factor: Int): DataFrame = {
+    val maxUser = events.agg(max(col("user_id"))).head().getAs[Number](0).longValue
+    val off = maxUser + 1L
+    val base = cust.filter(col("c_custkey") <= maxUser)
+    (0 until factor).map { k =>
+      base.select(cust.columns.map {
+        case "c_custkey" => (col("c_custkey") + lit(off * k)).as("c_custkey")
         case c => col(c)
       }.toIndexedSeq: _*)
     }.reduce(_ unionByName _)
@@ -118,6 +145,9 @@ object ScaleData {
     write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
     write("embeddings", scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
     write("events", scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor))
+    write("customer", scaleCustomer(
+      spark.read.parquet(s"$src/customer.parquet"),
+      spark.read.parquet(s"$src/events.parquet"), factor))
     spark.stop()
   }
 }

@@ -543,13 +543,18 @@ object SparkEntry {
     // guaranteed superset, the exact re-count and threshold do the rest),
     // so the oracle is the PLAIN exact computation — the dedup_bloom
     // shared-oracle pattern
+    // capacity mirrors Sketches.adaptiveMgCapacity from the same gram
+    // census: greatest(128, ceil(total/16000)) — constant ABSOLUTE support
+    // (~16k occurrences) once the corpus outgrows the floor, the historical
+    // n*129 > total at every correctness SF (census ≤ 2.05M there)
     "heavy_hitters" ->
       """WITH g AS (
         | SELECT substring(text, i, 3) AS gram
         | FROM documents, unnest(generate_series(1, length(text) - 2)) AS u(i)),
         |n AS (SELECT count(*) AS total FROM g),
+        |cap AS (SELECT greatest(128, CAST(ceil(total::DOUBLE / 16000.0) AS BIGINT)) AS capv FROM n),
         |c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1)
-        |SELECT gram, n FROM c, n WHERE n * 129 > total
+        |SELECT gram, n FROM c, n, cap WHERE n * (capv + 1) > total
         |ORDER BY n DESC, gram""".stripMargin,
     "kmv_distinct_stream" -> kmvOracle,
     // chained stage minima (each stage >= the previous stage's timestamp),
@@ -1817,19 +1822,44 @@ object SparkEntry {
     // approximate result is still hash-exact
     "ann_ivf_probe" -> ivfProbeOracle(
       queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5",
-      queryCol = "query_id", nprobe = 8, k = 10),
+      queryCol = "query_id", nprobe = "8", k = 10),
+    // nprobe = the √-law escalation of Similarity.adaptiveNprobe, computed
+    // from count(*) like K itself: 6 at every correctness SF (K = 16),
+    // ceil(sqrt(3.6·K)) above — 36.0·k exact in IEEE doubles, /10.0
+    // correctly rounded, sqrt/ceil correctly rounded in both engines, so
+    // the oracle probes the identical cells at every SF
     "knn_graph_probe" -> ivfProbeOracle(
       queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e",
-      queryCol = "src_id", nprobe = 6, k = 5, ctes = ivfHomeCtesAdaptive),
+      queryCol = "src_id", nprobe = "(SELECT np FROM nprb)", k = 5,
+      ctes = ivfHomeCtesAdaptive),
     // the full PQ pipeline replayed: donor slicing into per-subspace
     // codebooks, per-subspace dot x invNorm assignment (ties -> smaller
     // cid), codeword reconstruction, asymmetric cosine top-k — every
-    // stage a total order, so the lossy result is still hash-exact
+    // stage a total order, so the lossy result is still hash-exact.
+    // The (m, kc) shape is SIZE-ADAPTIVE from count(*) exactly like
+    // Similarity.adaptivePqShape: 8 subspaces × 256 codewords at
+    // N ≥ 1024, the historical 4×16 below — one oracle text per SF.
     "ann_pq" ->
-      s"""WITH $ivfHomeCtes,
-        |ms AS (SELECT unnest([0,1,2,3]) AS m),
-        |sub AS (SELECT e.vec_id, ms.m, e.emb[ms.m*16+1 : ms.m*16+16] AS x FROM e, ms),
-        |cb AS (SELECT cent.cid, ms.m, cent.cemb[ms.m*16+1 : ms.m*16+16] AS c FROM cent, ms),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
+        |pq AS (SELECT CASE WHEN count(*) >= 1024 THEN 8 ELSE 4 END AS m,
+        |    CASE WHEN count(*) >= 1024 THEN 256 ELSE 16 END AS kc
+        |  FROM e WHERE emb IS NOT NULL),
+        |sd AS (SELECT (SELECT dim FROM d) // (SELECT m FROM pq) AS s),
+        |cent AS (
+        |  SELECT cid, cemb FROM (
+        |    SELECT row_number() OVER (
+        |        ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
+        |      emb AS cemb
+        |    FROM e)
+        |  WHERE cid < (SELECT kc FROM pq)),
+        |ms AS (SELECT unnest(range((SELECT m FROM pq))) AS m),
+        |sub AS (SELECT e.vec_id, ms.m,
+        |    e.emb[ms.m*(SELECT s FROM sd)+1 : ms.m*(SELECT s FROM sd)+(SELECT s FROM sd)] AS x
+        |  FROM e, ms),
+        |cb AS (SELECT cent.cid, ms.m,
+        |    cent.cemb[ms.m*(SELECT s FROM sd)+1 : ms.m*(SELECT s FROM sd)+(SELECT s FROM sd)] AS c
+        |  FROM cent, ms),
         |cbn AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb),
         |asg AS (SELECT s.vec_id, s.m, cbn.cid,
         |    row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -1922,9 +1952,10 @@ object SparkEntry {
     "embed_neardup" ->
       s"""WITH RECURSIVE $lshBucketCtesAdaptive,
         |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
-        |  WHERE a.vec_id < b.vec_id),
+        |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+        |    greatest(a.vec_id, b.vec_id) AS vec_b
+        |  FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+        |  WHERE a.vec_id <> b.vec_id),
         |s AS (
         |  SELECT vec_a, vec_b,
         |    round(list_dot_product(x.emb, y.emb)
@@ -1938,9 +1969,10 @@ object SparkEntry {
     "semantic_dedup" ->
       s"""WITH RECURSIVE $lshBucketCtesAdaptive,
         |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
-        |  WHERE a.vec_id < b.vec_id),
+        |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+        |    greatest(a.vec_id, b.vec_id) AS vec_b
+        |  FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+        |  WHERE a.vec_id <> b.vec_id),
         |p AS (
         |  SELECT vec_a, vec_b FROM (
         |    SELECT vec_a, vec_b,
@@ -2038,7 +2070,8 @@ object SparkEntry {
     * ann_ivf* entries keep explicit K=16 on both sides. */
   private val ivfHomeCtesAdaptive: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |ncent AS (SELECT greatest(16, CAST(ceil(count(*)::DOUBLE / 125.0) AS BIGINT)) AS k FROM e),
+      |ncent AS (SELECT greatest(16, CAST(ceil(count(*)::DOUBLE / 125.0) AS BIGINT)) AS k FROM e WHERE emb IS NOT NULL),
+      |nprb AS (SELECT CASE WHEN k <= 16 THEN 6 ELSE least(k, CAST(ceil(sqrt(36.0 * k / 10.0)) AS BIGINT)) END AS np FROM ncent),
       |cent AS (
       |  SELECT cid, cemb FROM (
       |    SELECT row_number() OVER (
@@ -2054,7 +2087,7 @@ object SparkEntry {
       |home AS (SELECT vec_id, cid FROM a WHERE rn = 1)""".stripMargin
 
   private def ivfProbeOracle(queries: String, queryCol: String,
-      nprobe: Int, k: Int, ctes: String = null): String =
+      nprobe: String, k: Int, ctes: String = null): String =
     s"""WITH ${Option(ctes).getOrElse(ivfHomeCtes)},
       |q AS ($queries),
       |pa AS (SELECT q.query_id, cn.cid,
@@ -2207,16 +2240,30 @@ object SparkEntry {
   /** [[lshBucketCtes]] with the SIZE-ADAPTIVE bit width of
     * [[graft.operators.Similarity.adaptiveLshBits]] (floor 4, the
     * embed_neardup/semantic_dedup recall regime): bits =
-    * greatest(4, floor(log2(N/128))) computed from the corpus, so one
-    * oracle text resolves to the historical 4 bits at every correctness
-    * SF (N < 4096) and tracks the Spark side on the synthesized decades.
+    * greatest(4, bin_length(N div 128) - 1) computed from the LIVE corpus
+    * (emb IS NOT NULL — the null-as-absent contract), the same INTEGER
+    * log2 as the Spark side (floor(log2(N/128)) == floor(log2(N div 128))
+    * since power-of-two boundaries are exact multiples of 128; the
+    * ln-ratio form could land at k−ε there). One oracle text resolves to
+    * the historical 4 bits at every correctness SF (N < 4096) and tracks
+    * the Spark side on the synthesized decades.
     * The LCG stream per table is IDENTICAL — more planes just consume
     * more consecutive draws, exactly like the kernel. ann_lsh keeps the
-    * static 4-bit text (its entry pins bitsPerTable = 4 explicitly). */
+    * static 4-bit text (its entry pins bitsPerTable = 4 explicitly).
+    *
+    * Multi-probe (round 16): `pb` adds, per (vector, table), the 1-bit
+    * flips of the `flips = least(3, bits - 4)` LOWEST-MARGIN planes
+    * (abs(dot) ASC, plane index tiebreak — the identical doubles the
+    * kernel ranks, so the selected planes agree bit-for-bit). flips
+    * resolves to 0 at every correctness SF (bits == floor 4 there), where
+    * `pb` degenerates to the home buckets and the candidate set is the
+    * historical one; at the synthesized decades the probe side recovers
+    * the Hamming-1 recall the narrower adaptive banding traded away —
+    * replaying [[graft.functions.HyperplaneProbeGenExpr]] exactly. */
   private val lshBucketCtesAdaptive: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
-      |nb AS (SELECT greatest(4, CAST(floor(log2(greatest(count(*)::DOUBLE / 128.0, 1.0))) AS INT)) AS bits FROM e),
+      |nb AS (SELECT greatest(4, length(bin(greatest(count(*) // 128, 1))) - 1) AS bits FROM e WHERE emb IS NOT NULL),
       |rng(t, n, s) AS (
       |  SELECT t, 0, (42 + t*1000)::HUGEINT FROM range(16) AS tt(t)
       |  UNION ALL
@@ -2242,11 +2289,25 @@ object SparkEntry {
       |  FROM pw GROUP BY t, p, i),
       |planes AS (
       |  SELECT t, p, list(w ORDER BY i) AS pl FROM comp GROUP BY t, p),
+      |pd AS (
+      |  SELECT e.vec_id, pla.t, pla.p, list_dot_product(e.emb, pla.pl) AS dot
+      |  FROM e, planes pla),
       |bk AS (
-      |  SELECT e.vec_id, pla.t,
+      |  SELECT vec_id, t,
       |    ((SELECT dim FROM d)::BIGINT << 44)
-      |      + sum(CASE WHEN list_dot_product(e.emb, pla.pl) >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bucket
-      |  FROM e, planes pla GROUP BY e.vec_id, pla.t)""".stripMargin
+      |      + sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+      |  FROM pd GROUP BY vec_id, t),
+      |nf AS (SELECT least(3, greatest(0, (SELECT bits FROM nb) - 4)) AS flips),
+      |fr AS (
+      |  SELECT vec_id, t, p,
+      |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot), p) AS rn
+      |  FROM pd),
+      |pb AS (
+      |  SELECT vec_id, t, bucket FROM bk
+      |  UNION ALL
+      |  SELECT f.vec_id, f.t, xor(b.bucket, 1::BIGINT << f.p) AS bucket
+      |  FROM fr f JOIN bk b ON b.vec_id = f.vec_id AND b.t = f.t
+      |  WHERE f.rn <= (SELECT flips FROM nf))""".stripMargin
 
   /** Brute-force all-pairs 5-NN graph — the knn_graph entry's exhaustive
     * IVF search (nprobe = numCentroids) must reproduce it exactly, the

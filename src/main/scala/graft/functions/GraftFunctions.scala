@@ -472,6 +472,99 @@ case class HyperplaneBucketGenExpr(child: Expression, numPlanes: Int, seed: Long
 }
 
 /**
+ * Query-directed multi-probe sibling of [[HyperplaneBucketGenExpr]] (Lv et
+ * al., VLDB 2007): emits the vector's HOME bucket plus the single-bit flips
+ * of its `flips` LOWEST-MARGIN planes (smallest |dot|, ties to the lower
+ * plane index). A near pair that lands at Hamming distance 1 almost always
+ * disagrees on a plane BOTH points sit close to — the plane their angle
+ * straddles — so probing the low-margin flips recovers most of the
+ * Hamming-1 recall at candidate-cost factor (1+flips) instead of the
+ * (1+bits) of exhaustive 1-flip probing. Planes derive from (numPlanes,
+ * dim, seed) exactly as [[HyperplaneBucketGenExpr]]; element 0 of the
+ * result IS that expression's bucket, so a probe side built from this
+ * expression equi-joins against home buckets built from either.
+ */
+case class HyperplaneProbeGenExpr(
+    child: Expression, numPlanes: Int, seed: Long, flips: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(numPlanes >= 1 && numPlanes <= 44,
+    s"numPlanes out of range [1, 44]: $numPlanes")
+  require(flips >= 0 && flips <= numPlanes,
+    s"flips out of range [0, $numPlanes]: $flips")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, d => VectorKernels.hyperplanes(numPlanes, d, seed))
+
+  override def nullSafeEval(input: Any): Any = probesOf(input)
+
+  // see HyperplaneBucketExpr.bucketOf: direct primitive call from codegen
+  def probesOf(input: Any): ArrayData = {
+    val xs = VectorKernels.toDoubles(input, child.dataType)
+    if (xs.length >= (1 << 20))
+      throw new IllegalArgumentException(
+        s"hyperplane_probe_gen supports dim < 2^20, got ${xs.length}")
+    val planes = planesFor(xs.length)
+    val dots = new Array[Double](planes.length)
+    var bucket = xs.length.toLong << 44
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < xs.length) { dot += xs(i) * plane(i); i += 1 }
+      dots(p) = dot
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    val out = new Array[Long](1 + flips)
+    out(0) = bucket
+    if (flips > 0) {
+      // partial selection of the `flips` smallest (|dot|, plane index) — the
+      // margins are the SAME left-associative dots the home bucket signed,
+      // so the oracle's abs(dot) ranking selects identical planes
+      val selM = Array.fill(flips)(Double.PositiveInfinity)
+      val selP = Array.fill(flips)(Int.MaxValue)
+      var q = 0
+      while (q < planes.length) {
+        val m = math.abs(dots(q))
+        if (m < selM(flips - 1) || (m == selM(flips - 1) && q < selP(flips - 1))) {
+          var pos = flips - 1
+          while (pos > 0 && (m < selM(pos - 1) ||
+              (m == selM(pos - 1) && q < selP(pos - 1)))) {
+            selM(pos) = selM(pos - 1); selP(pos) = selP(pos - 1)
+            pos -= 1
+          }
+          selM(pos) = m; selP(pos) = q
+        }
+        q += 1
+      }
+      var r = 0
+      while (r < flips) { out(1 + r) = bucket ^ (1L << selP(r)); r += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj(
+        "hyperplaneProbeGen", this, classOf[HyperplaneProbeGenExpr].getName)
+      s"${ev.value} = $ref.probesOf($c);"
+    })
+
+  override def prettyName: String = "graft_hyperplane_probe_gen"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbeGenExpr =
+    copy(child = newChild)
+}
+
+/**
  * IVF coarse-quantizer assignment: the `nprobe` centroid ids nearest to the
  * input vector by cosine, descending (ties broken toward the lower id). The
  * centroid matrix lives INSIDE the expression — at K centroids the plan
@@ -737,6 +830,12 @@ object GraftFunctions {
   def hyperplaneBucketGen(emb: Column, numPlanes: Int, seed: Long): Column =
     ExpressionUtils.column(
       HyperplaneBucketGenExpr(ExpressionUtils.expression(emb), numPlanes, seed))
+
+  /** Multi-probe bucket array: home bucket + `flips` lowest-margin 1-bit
+    * flips — element 0 equals [[hyperplaneBucketGen]]'s bucket. */
+  def hyperplaneProbeGen(emb: Column, numPlanes: Int, seed: Long, flips: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneProbeGenExpr(ExpressionUtils.expression(emb), numPlanes, seed, flips))
 
   /** Top-`nprobe` nearest centroid ids by cosine, descending. */
   def ivfAssign(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =

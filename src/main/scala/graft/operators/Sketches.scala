@@ -84,11 +84,30 @@ object Sketches {
     }
   }
 
-  /** Char 3-gram heavy hitters of the corpus (capacity 128 < the gram
-    * vocabulary, so the sketch genuinely decrements): the frequent-substring
-    * report over a domain one would not groupBy at 100 TB. Grams come from
-    * the one-pass codegen'd [[GraftFunctions.charGrams]] kernel and stay in
-    * the scan stage — no pre-shuffle, no interpreted HOF lambdas. */
+  /** SCALE-AWARE Misra-Gries capacity (round 16): capacity grows linearly
+    * with the stream so the guarantee threshold total/(capacity+1) pins at
+    * a CONSTANT ABSOLUTE support (~[[SupportTarget]] occurrences) instead
+    * of a constant FRACTION. The fractional threshold is a vacuity trap on
+    * corpora that grow by adding content: per-item frequencies stay flat
+    * while total/(129) grows with the corpus, so past some size NOTHING
+    * clears support and the entry agrees-on-empty with its oracle
+    * (measured: both engines emitted zero rows at the sf1 decade, where
+    * the caesar copies widen the trigram vocabulary 10×). Resolves to the
+    * historical 128 at every correctness SF (gram census ≤ 2.05M there —
+    * sf0.1 measures 1.48M → ceil(92.2) under the floor) and is mirrored
+    * from count(*) in the oracle, the adaptiveCentroids pattern. */
+  val SupportTarget: Long = 16000L
+  def adaptiveMgCapacity(totalItems: Long, floor: Int = 128): Int =
+    math.max(floor, math.ceil(totalItems.toDouble / SupportTarget).toInt)
+
+  /** Char 3-gram heavy hitters of the corpus (capacity
+    * [[adaptiveMgCapacity]] < the gram vocabulary, so the sketch genuinely
+    * decrements): the frequent-substring report over a domain one would
+    * not groupBy at 100 TB. Grams come from the one-pass codegen'd
+    * [[GraftFunctions.charGrams]] kernel and stay in the scan stage — no
+    * pre-shuffle, no interpreted HOF lambdas. The capacity census is one
+    * extra count over the same scan-stage explode (exact parity with the
+    * oracle's count(*) FROM g, whatever the text's code-unit shape). */
   def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
     // partition-gated pre-explode spread: the corpus parquet at test SFs is
     // ONE split (a few MB), but the gram explode amplifies each row ~500x —
@@ -99,7 +118,7 @@ object Sketches {
     // behind a pointless full shuffle of raw text.
     val grams = graft.util.Spread.ifNarrow(Tables.documents(spark, dir))
       .select(explode(GraftFunctions.charGrams(col("text"), 3)).as("gram"))
-    heavyHitters(grams, "gram", capacity = 128)
+    heavyHitters(grams, "gram", capacity = adaptiveMgCapacity(grams.count()))
   }
 
   /** KMV (k minimum values) distinct estimate per event type: with the k

@@ -143,10 +143,10 @@ object IdTypes {
   * i.e. local mode, where executor loss is JVM death and block replay buys
   * nothing. Results are identical either way; only durability changes. */
 object Materialize {
-  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  def cut[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      ds.checkpoint(eager = true)
+    else ds.localCheckpoint(eager = true)
 }
 
 /** Process-wide diagnostic switch that forces every size-adaptive fast

@@ -1,0 +1,92 @@
+package graft
+
+/** Diagnostic (test scope, not shipped): measured recall + wall time of
+  * the adaptive approximate entries at an arbitrary SF dir — the evidence
+  * harness behind the BASELINE.md recall-vs-SF curves.
+  * Run: `sbt "Test/runMain graft.RecallProbe [sfDir] [neardup|knn|all]"` */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators._
+    val dir = args.headOption.getOrElse("/root/repo/testdata-gen/sf1")
+    val what = if (args.length > 1) args(1) else "all"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sys.props("graft.bench") = "1" // entries' own eager gates off; we measure here
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .localCheckpoint()
+    val n = emb.filter(col("emb").isNotNull).count()
+    println(s"[probe] corpus $dir n=$n")
+
+    if (what == "all" || what == "neardup") {
+      val bits = Similarity.adaptiveLshBits(n, 4)
+      val exact = Similarity.embeddingNearDupsExact(emb, 0.3)
+        .select("vec_a", "vec_b").cache()
+      val total = exact.count()
+      println(s"[probe] exact pairs=$total bits=$bits")
+      for (flips <- Seq(0, 1, 2, 3)) {
+        val (caught, secs) = time {
+          val a = Similarity.embeddingNearDups(emb, 0.3, 16, bits, probeFlips = flips)
+            .select("vec_a", "vec_b")
+          exact.join(a, Seq("vec_a", "vec_b"), "left_semi").count()
+        }
+        println(f"[probe] embed_neardup flips=$flips recall=${caught.toDouble / total}%.3f secs=$secs%.1f")
+      }
+      exact.unpersist()
+    }
+    if (what == "sem") {
+      val approx = Similarity.semanticDedup(emb, 0.4)
+        .select(col("vec_id"), col("keep").as("keep_approx"))
+      val e = Similarity.semanticDedupExact(emb, 0.4)
+        .select(col("vec_id"), col("keep").as("keep_exact")).cache()
+      val total = e.count()
+      val agreed = e.join(approx, Seq("vec_id"), "left")
+        .filter(coalesce(col("keep_approx"), lit(true)) === col("keep_exact"))
+        .count()
+      println(f"[probe] semantic_dedup keep-agreement=${agreed.toDouble / total}%.3f ($agreed/$total)")
+    }
+    if (what == "pq") {
+      val (m, kc) = Similarity.adaptivePqShape(n)
+      val cbs = Similarity.pqCodebooks(emb, m, kc)
+      val recon = emb.select(col("vec_id"),
+        Similarity.pqReconstruct(col("emb"), cbs).as("emb"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      val approx = Similarity.bruteForceTopK(recon, probes, 10)
+        .select("query_id", "neighbor_id")
+      val exact = Similarity.bruteForceTopK(emb, probes, 10)
+        .select("query_id", "neighbor_id").cache()
+      val total = exact.count()
+      val caught = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[probe] ann_pq m=$m kc=$kc recall=${caught.toDouble / total}%.3f ($caught/$total)")
+    }
+    if (what == "all" || what == "knn") {
+      val k = Similarity.adaptiveCentroids(n)
+      val ((exactG, totalE), esecs) = time {
+        val g = Similarity.knnGraph(emb, 5, k, k, 0, Similarity.knuthCentroids _)
+          .select(col("src_id"), col("neighbor_id")).cache()
+        (g, g.count())
+      }
+      println(f"[probe] exact 5-NN edges=$totalE K=$k secs=$esecs%.1f")
+      for (np <- Seq(6, 12, Similarity.adaptiveNprobe(k), 24, 32).distinct.sorted) {
+        val (caught, secs) = time {
+          val a = Similarity.knnGraph(emb, 5, k, np, 0, Similarity.knuthCentroids _)
+            .select(col("src_id"), col("neighbor_id"))
+          exactG.join(a, Seq("src_id", "neighbor_id"), "left_semi").count()
+        }
+        println(f"[probe] knn_graph_probe nprobe=$np recall=${caught.toDouble / totalE}%.3f secs=$secs%.1f")
+      }
+      exactG.unpersist()
+    }
+    spark.stop()
+  }
+}

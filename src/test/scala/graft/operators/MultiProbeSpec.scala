@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-16 multi-probe / adaptive-escalation contracts: the LSH flip
+  * probing ([[graft.functions.HyperplaneProbeGenExpr]]), the √-law IVF
+  * nprobe, and the adaptive PQ shape — each must resolve to the HISTORICAL
+  * behavior at every correctness SF and only engage above it. */
+class MultiProbeSpec extends SparkSpec {
+
+  test("adaptiveProbeFlips: zero at the floor, capped at 3 above it") {
+    assert(Similarity.adaptiveProbeFlips(4, 4) === 0) // every correctness SF
+    assert(Similarity.adaptiveProbeFlips(5, 4) === 1)
+    assert(Similarity.adaptiveProbeFlips(7, 4) === 3) // the sf1 decade
+    assert(Similarity.adaptiveProbeFlips(12, 4) === 3) // cap holds at any width
+  }
+
+  test("adaptiveNprobe: 6 at the correctness-SF K, sqrt-law above, <= K") {
+    assert(Similarity.adaptiveNprobe(16) === 6) // every correctness SF
+    assert(Similarity.adaptiveNprobe(8) === 6) // below-floor K keeps the floor value
+    // sf1 decade: K = 160, ceil(sqrt(36*160/10)) = ceil(sqrt(576)) = 24 —
+    // the measured-recall-0.562 operating point recorded in BASELINE.md
+    assert(Similarity.adaptiveNprobe(160) === 24)
+    assert(Similarity.adaptiveNprobe(17) === math.ceil(math.sqrt(36.0 * 17 / 10.0)).toInt)
+    // never exceeds the cell count
+    assert(Similarity.adaptiveNprobe(17) <= 17)
+  }
+
+  test("adaptiveLshBits: integer log2 exact at power-of-two boundaries") {
+    // the ln-ratio form could land at k-eps exactly at N = 128 * 2^k; the
+    // integer form cannot (ADVICE round 15)
+    assert(Similarity.adaptiveLshBits(128L << 4, 4) === 4)
+    assert(Similarity.adaptiveLshBits((128L << 5) - 1, 4) === 4)
+    assert(Similarity.adaptiveLshBits(128L << 5, 4) === 5)
+    assert(Similarity.adaptiveLshBits(20000, 4) === 7) // the sf1 decade
+    assert(Similarity.adaptiveLshBits(50, 4) === 4)
+  }
+
+  test("adaptivePqShape: historical 4x16 below 1024 vectors, 8x256 above") {
+    assert(Similarity.adaptivePqShape(500) === ((4, 16)))
+    assert(Similarity.adaptivePqShape(1023) === ((4, 16)))
+    assert(Similarity.adaptivePqShape(1024) === ((8, 256)))
+    assert(Similarity.adaptivePqShape(20000) === ((8, 256)))
+  }
+
+  test("hyperplaneProbeGen: element 0 IS the home bucket; flips are 1-bit xors") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.3, -0.7, 1.1, 0.05)),
+      (2L, Array(-0.2, 0.9, -0.4, 0.6)),
+      (3L, Array(1.0, 1.0, 1.0, 1.0))
+    ).toDF("vec_id", "emb")
+    val both = emb.select(
+      graft.functions.GraftFunctions.hyperplaneBucketGen(col("emb"), 6, 42L).as("home"),
+      graft.functions.GraftFunctions.hyperplaneProbeGen(col("emb"), 6, 42L, 3).as("probes"))
+      .collect()
+    both.foreach { r =>
+      val home = r.getLong(0)
+      val probes = r.getSeq[Long](1)
+      assert(probes.length === 4)
+      assert(probes.head === home, "element 0 must be the home bucket")
+      probes.tail.foreach { p =>
+        val diff = p ^ home
+        assert(java.lang.Long.bitCount(diff) === 1, s"flip must differ in exactly 1 bit: $diff")
+        assert(java.lang.Long.numberOfTrailingZeros(diff) < 6, "flipped bit must be a plane bit")
+      }
+      assert(probes.distinct.length === probes.length, "flipped planes must be distinct")
+    }
+  }
+
+  test("multi-probe pair stage: flips=0 unchanged; flips>0 is a candidate superset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"))
+    val base = Similarity.embeddingNearDups(emb, threshold = 0.2,
+      numTables = 4, bitsPerTable = 5, probeFlips = 0)
+      .select("vec_a", "vec_b")
+    val probed = Similarity.embeddingNearDups(emb, threshold = 0.2,
+      numTables = 4, bitsPerTable = 5, probeFlips = 2)
+      .select("vec_a", "vec_b")
+    // the probe side can only ADD colliding buckets, and the verify
+    // threshold is unchanged, so the pair set grows monotonically
+    assert(base.except(probed).count() === 0,
+      "flips>0 must be a superset of the home-bucket pair set")
+    assert(probed.count() >= base.count())
+    // and both lanes of the probed plan agree (fused kernel vs join verify)
+    val forced = Similarity.embeddingNearDups(emb, threshold = 0.2,
+      numTables = 4, bitsPerTable = 5, probeFlips = 2, kernelVerifyMaxRows = 0)
+      .select("vec_a", "vec_b")
+    assert(probed.except(forced).count() === 0)
+    assert(forced.except(probed).count() === 0)
+  }
+
+  test("knnGraph pruned probe: escalated nprobe recall >= fixed-nprobe recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "emb")
+    val exact = Similarity.knnGraph(emb, k = 3, numCentroids = 8, nprobe = 8)
+      .select("src_id", "neighbor_id").cache()
+    val total = exact.count()
+    def recallAt(np: Int): Double = {
+      val a = Similarity.knnGraph(emb, k = 3, numCentroids = 8, nprobe = np,
+        quantizer = Similarity.knuthCentroids)
+      exact.join(a, Seq("src_id", "neighbor_id"), "left_semi").count().toDouble / total
+    }
+    assert(recallAt(4) >= recallAt(2))
+  }
+}
