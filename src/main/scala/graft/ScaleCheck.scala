@@ -52,6 +52,31 @@ object ScaleCheck {
     * far below the ~10× extra a quadratic stage costs on a 10× step. */
   val SlackFactor: Double = 1.5
 
+  /** Expected-work multiplier for the keys whose DOCUMENTED recall
+    * escalation steps between the two dirs (round 16): multi-probe LSH
+    * engages flips only above the bits floor, and the √-law nprobe grows
+    * with K, so crossing an engagement boundary multiplies per-row work by
+    * a KNOWN factor — (1+flips) for the probe side, nprobe ratio for IVF —
+    * that a pure data-ratio bound would misread as super-linear growth
+    * (measured 14.7× on a 10× step at sf1 for embed_neardup: 10× data ×
+    * the flips 0→3 step's 4× candidates, each linear). The bound becomes
+    * dataRatio × escalation × slack — it measures growth BEYOND the
+    * documented escalation, which is the plan-quality question; a genuine
+    * quadratic (~100× on the step) still blows far past it. Both factors
+    * come from the SAME formulas the operators (and their oracles) use. */
+  def escalationFactor(key: String, nSmall: Long, nBig: Long): Double = {
+    import graft.operators.Similarity._
+    key match {
+      case "embed_neardup" | "semantic_dedup" =>
+        def f(n: Long) = 1 + adaptiveProbeFlips(adaptiveLshBits(n, 4), 4)
+        f(nBig).toDouble / f(nSmall)
+      case "knn_graph_probe" =>
+        def np(n: Long) = adaptiveNprobe(adaptiveCentroids(n))
+        np(nBig).toDouble / np(nSmall)
+      case _ => 1.0
+    }
+  }
+
   /** The partition-gated gram-family entries (round-14: their pre-kernel
     * spread now applies only to narrow inputs — [[graft.util.Spread]]), so
     * their growth bound rests on TWO ratios, not one: a derived mid-SF
@@ -80,6 +105,29 @@ object ScaleCheck {
     "embed_neardup" -> "embeddings", "q31_reachability" -> "embeddings",
     "knn_graph_probe" -> "embeddings")
 
+  /** The dedup/LSH band-join family — the keys whose shuffle keys are LSH
+    * buckets, band signatures or near-dup components, i.e. exactly where a
+    * skewed corpus (hot boilerplate cluster, hot domain, collapsed
+    * embedding direction — [[ScaleData.skewDocuments]]/[[ScaleData.skewEmbeddings]])
+    * concentrates quadratic pair mass into a few shuffle partitions. The
+    * skew lane times these on the skewed variant AGAINST AN EQUALLY-SIZED
+    * UNIFORM variant — the "skew tax" — bounded by [[SkewTaxBound]]. A
+    * size-ratio bound would be the wrong ruler here: the lane holds data
+    * size CONSTANT and varies only the distribution, so the uniform twin
+    * is the control and the tax isolates hot-bucket behavior from growth.
+    * The planted cluster's pair mass is REAL work (every hot pair is a
+    * true near-dup an exact operator would also emit), so the bound is
+    * above 1; a band join that stalls a hot bucket into one task blows
+    * far past it (measured 7.9× pre-fix for embed_neardup, 1.0× after
+    * the pair-spread fix). */
+  val SkewTaxBound: Double = 3.0
+  val SkewKeys: Seq[(String, String)] = Seq(
+    "dedup_minhash" -> "documents", "dedup_minhash_keep" -> "documents",
+    "ngram_jaccard" -> "documents", "dedup_simhash" -> "documents",
+    "text_lsh_clusters" -> "documents", "duplicate_passages" -> "documents",
+    "embed_neardup" -> "embeddings", "semantic_dedup" -> "embeddings",
+    "heavy_hitters" -> "documents")
+
   /** Materialize the derived mid-SF dir if absent: documents sampled
     * deterministically (doc_id % 10 < 3) from `big` — row counts are
     * re-measured by [[dataRatio]], so the bounds self-calibrate to the
@@ -106,10 +154,14 @@ object ScaleCheck {
     (0 until iters).map(_ => once()).min
   }
 
+  /** Row counts of one input table at two SF dirs. */
+  def dataCounts(spark: SparkSession, table: String, small: String, big: String): (Long, Long) =
+    (spark.read.parquet(s"$small/$table.parquet").count(),
+      spark.read.parquet(s"$big/$table.parquet").count())
+
   /** Row-count ratio of one input table between two SF dirs. */
   def dataRatio(spark: SparkSession, table: String, small: String, big: String): Double = {
-    val s = spark.read.parquet(s"$small/$table.parquet").count()
-    val b = spark.read.parquet(s"$big/$table.parquet").count()
+    val (s, b) = dataCounts(spark, table, small, big)
     b.toDouble / s
   }
 
@@ -125,16 +177,17 @@ object ScaleCheck {
     * make the check vacuous, so that's a harness-usage error, not a pass. */
   def check(spark: SparkSession, keys: Seq[(String, String)], small: String, big: String,
       iters: Int = 2): Seq[Result] = {
-    val ratios = keys.map(_._2).distinct
-      .map(t => t -> dataRatio(spark, t, small, big)).toMap
+    val counts = keys.map(_._2).distinct
+      .map(t => t -> dataCounts(spark, t, small, big)).toMap
     keys.map { case (k, table) =>
-      val ratio = ratios(table)
+      val (cs, cb) = counts(table)
+      val ratio = cb.toDouble / cs
       require(ratio > 1.0,
         s"$table does not grow from $small to $big (ratio $ratio) — " +
           "pick SFs with a real data step or the growth check is vacuous")
       val ts = time(spark, k, small, iters)
       val tb = time(spark, k, big, iters)
-      Result(k, ts, tb, tb / ts, ratio * SlackFactor)
+      Result(k, ts, tb, tb / ts, ratio * escalationFactor(k, cs, cb) * SlackFactor)
     }
   }
 
@@ -173,26 +226,53 @@ object ScaleCheck {
     val big2 = sys.env.get("SPARK_GRAFT_SCALE_BIG2")
     val second = big2.map(b2 => check(spark, DataBoundEntries, big, b2))
       .getOrElse(Seq.empty)
+    // SKEW lane (optional): SPARK_GRAFT_SCALE_SKEW names a
+    // ScaleData-mode=skew dir; SPARK_GRAFT_SCALE_SKEW_BASE its
+    // equally-sized UNIFORM twin (ScaleData default mode, same factor).
+    // tSmall = uniform, tBig = skew, bound = SkewTaxBound: the lane holds
+    // size constant and measures what the hot buckets alone cost.
+    val skewDir = sys.env.get("SPARK_GRAFT_SCALE_SKEW")
+    val skewBase = sys.env.get("SPARK_GRAFT_SCALE_SKEW_BASE")
+    def checkSkew(keys: Seq[(String, String)]): Seq[Result] =
+      (skewBase, skewDir) match {
+        case (Some(u), Some(sd)) => keys.map { case (k, _) =>
+          val tu = time(spark, k, u)
+          val ts = time(spark, k, sd)
+          Result(k, tu, ts, ts / tu, SkewTaxBound)
+        }
+        case _ => Seq.empty
+      }
+    val skew = checkSkew(SkewKeys)
     // forced-distributed lane LAST: the flag is process-wide, so nothing
     // may time a default-lane entry after it flips
     sys.props("graft.force.distributed") = "1"
-    val (forced, secondForced) = try {
+    val (forced, secondForced, skewForced) = try {
       (check(spark, ForcedDistributedKeys, small, big),
         big2.map(b2 => check(spark, ForcedDistributedKeys, big, b2))
-          .getOrElse(Seq.empty))
+          .getOrElse(Seq.empty),
+        checkSkew(SkewKeys.filter(k =>
+          ForcedDistributedKeys.map(_._1).contains(k._1))))
     } finally sys.props.remove("graft.force.distributed")
     val secondJson = big2.map(b2 =>
       s""","second_decade_big":"$b2",""" +
         s""""second_decade":${entryJson(second)},""" +
         s""""second_decade_forced":${entryJson(secondForced)}""").getOrElse("")
+    val skewJson = (skewBase, skewDir) match {
+      case (Some(u), Some(sd)) =>
+        s""","skew_base":"$u","skew_big":"$sd",""" +
+          s""""skew":${entryJson(skew)},""" +
+          s""""skew_forced":${entryJson(skewForced)}"""
+      case _ => ""
+    }
     val line = s"""{"metric":"scale_growth","small":"$small","big":"$big",""" +
       s""""entries":${entryJson(results)},""" +
       s""""third_point_small_mid":${entryJson(step1)},""" +
       s""""third_point_mid_big":${entryJson(step2)},""" +
-      s""""forced_distributed":${entryJson(forced)}$secondJson}"""
+      s""""forced_distributed":${entryJson(forced)}$secondJson$skewJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
     println(line)
-    val bad = (results ++ step1 ++ step2 ++ forced ++ second ++ secondForced)
+    val bad = (results ++ step1 ++ step2 ++ forced ++ second ++ secondForced ++
+      skew ++ skewForced)
       .filterNot(_.ok)
     bad.foreach(r => System.err.println(
       f"[scale] ${r.key} grew ${r.ratio}%.1fx across the data step (bound ${r.bound}%.1fx)"))

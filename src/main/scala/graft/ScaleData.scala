@@ -124,6 +124,84 @@ object ScaleData {
     }.reduce(_ unionByName _)
   }
 
+  // ---- skewed scale variant (round 16, verdict item #7) ----
+
+  /** Fixed boilerplate paragraph for the planted near-dup cluster — long
+    * enough (40+ words) that word shingles, minhash bands, simhash grams
+    * and winnow windows all see a real document. */
+  private[graft] val Boilerplate: String =
+    "this corpus ships a standard legal disclaimer paragraph that every " +
+    "mirrored page repeats verbatim while licensing terms copyright " +
+    "notices cookie banners and navigation chrome pad the body with " +
+    "identical tokens across millions of crawled documents the quick " +
+    "brown fox jumps over the lazy dog and the disclaimer closes with a " +
+    "generated reference number unique to each mirror"
+
+  /** Hot-row predicate shared by both skew synthesizers: a deterministic
+    * `hotPct`% of SOURCE ids — the same source rows are hot in every copy,
+    * so the cluster scales with the factor. */
+  private def hotRow(idCol: org.apache.spark.sql.Column, hotPct: Int) =
+    pmod(xxhash64(idCol), lit(100)) < hotPct
+
+  /** Skewed sibling of [[scaleDocuments]]: the isomorphic copies keep
+    * near-dup density constant and LSH/minhash buckets uniform — real
+    * corpora do not. This plants the two classic hot spots the uniform
+    * decade cannot exercise:
+    *  - a duplicated BOILERPLATE cluster (`hotPct`% of each copy's docs):
+    *    text becomes one fixed paragraph plus a per-doc tail — near-dup
+    *    (~0.9 jaccard), not exact-dup, so the band joins' verify stages
+    *    run for real. Applied BEFORE the caesar shift, so each copy
+    *    carries its own shifted cluster: every band join gets buckets
+    *    holding copySize·hotPct% docs — quadratic pair mass landing in a
+    *    few shuffle partitions, the skew AQE and the band-join shapes are
+    *    trusted to absorb;
+    *  - a hot DOMAIN: the same docs collapse onto source='src0', so any
+    *    domain-grouped stage sees one group carrying the cluster's mass.
+    * `n_chars` is recomputed for the hot rows (caesar preserves length). */
+  def skewDocuments(df: DataFrame, factor: Int, hotPct: Int = 4): DataFrame = {
+    val hot = hotRow(col("doc_id"), hotPct)
+    val hotText = concat(lit(Boilerplate), lit(" mirror reference "),
+      col("doc_id").cast("string"))
+    (0 until factor).map { k =>
+      df.select(df.columns.map {
+        case "doc_id" => remapId(col("doc_id"), factor, k).as("doc_id")
+        case "text" =>
+          caesar(when(hot, hotText).otherwise(col("text")), k).as("text")
+        case "source" =>
+          when(hot, lit("src0")).otherwise(col("source")).as("source")
+        case "n_chars" =>
+          when(hot, length(hotText).cast("long"))
+            .otherwise(col("n_chars")).as("n_chars")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Skewed sibling of [[scaleEmbeddings]]: `hotPct`% of vectors collapse
+    * onto ONE shared direction (deliberately NOT rotated per copy) plus a
+    * per-id epsilon — cosine ≈ 1 near-dups that land in the same
+    * hyperplane bucket in every LSH table, the hot-bucket regime. */
+  def skewEmbeddings(df: DataFrame, factor: Int, hotPct: Int = 5): DataFrame = {
+    val hot = hotRow(col("vec_id"), hotPct)
+    // shared direction 1/(i+1) with a per-vector constant epsilon: all hot
+    // pairs sit at cosine ~1 while no two hot vectors are bit-identical
+    val eps = (pmod(xxhash64(col("vec_id")), lit(997)).cast("double") / lit(1e5))
+    val hotEmb = transform(col("embedding"),
+      (_, i) => (lit(1.0) / (i.cast("double") + lit(1.0)) + eps).cast("float"))
+    (0 until factor).map { k =>
+      df.select(df.columns.map {
+        case "vec_id" => remapId(col("vec_id"), factor, k).as("vec_id")
+        case "embedding" =>
+          val sh = pmod(lit(k), size(col("embedding")))
+          val rotated = when(sh === 0, col("embedding")).otherwise(concat(
+            slice(col("embedding"), sh + 1, size(col("embedding")) - sh),
+            slice(col("embedding"), lit(1), sh)))
+          when(hot, hotEmb).otherwise(rotated).as("embedding")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DST", "testdata-gen/sf1")
@@ -142,12 +220,21 @@ object ScaleData {
       val n = spark.read.parquet(s"$dst/$name.parquet").count()
       println(s"[scaledata] $name: ${n} rows, $splits splits -> $dst/$name.parquet")
     }
-    write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
-    write("embeddings", scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
-    write("events", scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor))
-    write("customer", scaleCustomer(
-      spark.read.parquet(s"$src/customer.parquet"),
-      spark.read.parquet(s"$src/events.parquet"), factor))
+    // SPARK_GRAFT_SCALE_MODE=skew writes the SKEWED variant (documents +
+    // embeddings only — the dedup/LSH-family stress set), e.g.:
+    //   SPARK_GRAFT_SCALE_MODE=skew SPARK_GRAFT_SCALE_FACTOR=5
+    //   SPARK_GRAFT_SCALE_DST=testdata-gen/sf05skew sbt "runMain graft.ScaleData"
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
+      write("documents", skewDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
+      write("embeddings", skewEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
+    } else {
+      write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
+      write("embeddings", scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
+      write("events", scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor))
+      write("customer", scaleCustomer(
+        spark.read.parquet(s"$src/customer.parquet"),
+        spark.read.parquet(s"$src/events.parquet"), factor))
+    }
     spark.stop()
   }
 }

@@ -705,6 +705,101 @@ object Similarity {
     }
   }
 
+  /**
+   * Blocked cosine verify for an ARBITRARY candidate-pair list — the
+   * over-ceiling sibling of the fused pair kernel, and the fix for the
+   * round-16 scale trap the second-decade forced lane exposed: the generic
+   * verify (join embeddings onto each pair) materializes every candidate
+   * row with TWO dim-length arrays and drags them through the second
+   * exchange — ~1 KB per pair, measured 79.8s at the sf1 decade's 10⁸
+   * multi-probe candidates vs 17.7s for the same cosines in the fused
+   * kernel. Here the corpus packs ONCE into G = √(4·parallelism) sorted
+   * flat-primitive blocks (one narrow shuffle of vectors), each block
+   * ships 2G copies (O(√tasks) replication, the knnBlockedDistributed
+   * movement bound), and the pairs — 16 bytes each — shuffle once to
+   * their (block(a), block(b)) grid cell, where the kernel binary-searches
+   * both blocks and runs [[cosineRaw]] (the expression's accumulation
+   * order, so results are bit-identical to every other lane). RDD cogroup
+   * rather than a join because attaching a block OBJECT per pair row would
+   * re-serialize it 10⁸ times; cogroup hands each grid cell its ≤2 blocks
+   * exactly once.
+   */
+  private def pairCosineBlocked(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      pairs: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val g = math.max(2, math.ceil(
+      math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
+    // block id = id mod G: deterministic, balanced for sequential ids, and
+    // computable on the pair side without any lookup structure
+    val packed: org.apache.spark.sql.Dataset[(Int, Array[Long], Array[Double], Int)] =
+      rows.groupByKey { case (id, _) => Math.floorMod(id, g.toLong).toInt }
+        .mapGroups { (bid, it) =>
+          val sorted = it.toArray.sortBy(_._1)
+          val ids = sorted.map(_._1)
+          val dim = if (sorted.isEmpty) 0 else sorted.head._2.length
+          val flat = new Array[Double](sorted.length * dim)
+          var i = 0
+          while (i < sorted.length) {
+            val e = sorted(i)._2
+            if (e.length != dim) throw new IllegalArgumentException(
+              s"cosine verify: dimension mismatch $dim vs ${e.length} — a " +
+                "silent min-length similarity would be plausible but wrong")
+            System.arraycopy(e, 0, flat, i * dim, dim)
+            i += 1
+          }
+          (bid, ids, flat, dim)
+        }
+    // block b serves every grid cell in row b (as the a-side, sign +) and
+    // column b (as the b-side, sign -): cell key = blockOf(a)*G + blockOf(b)
+    val blocksRep = packed.flatMap { case (b, ids, flat, dim) =>
+      Iterator.range(0, g).flatMap(j => Iterator(
+        (b * g + j, 0, ids, flat, dim),
+        (j * g + b, 1, ids, flat, dim)))
+    }
+    // Dataset (not RDD) cogroup: both shuffles stay in Tungsten encoders —
+    // an RDD cogroup java-serializes 10⁸ pair tuples and measured SLOWER
+    // than the wide join it replaces
+    val out = pairs
+      .groupByKey { case (a, b) =>
+        Math.floorMod(a, g.toLong).toInt * g + Math.floorMod(b, g.toLong).toInt }
+      .cogroup(blocksRep.groupByKey(_._1)) { (_, ps, bs) =>
+        if (ps.isEmpty) Iterator.empty
+        else {
+          var aIds: Array[Long] = null; var aFlat: Array[Double] = null; var aDim = 0
+          var bIds: Array[Long] = null; var bFlat: Array[Double] = null; var bDim = 0
+          bs.foreach {
+            case (_, 0, ids, flat, dim) => aIds = ids; aFlat = flat; aDim = dim
+            case (_, _, ids, flat, dim) => bIds = ids; bFlat = flat; bDim = dim
+          }
+          // ids in the pair list always come from the packed corpus (the
+          // candidates are derived from it), so both blocks must be present
+          require(aIds != null && bIds != null,
+            "cosine verify: grid cell received pairs but no corpus blocks")
+          require(aDim == bDim,
+            s"cosine verify: dimension mismatch $aDim vs $bDim")
+          ps.map { case (a, b) =>
+            val ai = java.util.Arrays.binarySearch(aIds, a)
+            val bi = java.util.Arrays.binarySearch(bIds, b)
+            require(ai >= 0 && bi >= 0,
+              s"cosine verify: pair ($a,$b) references a vector absent from the corpus")
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var d = 0
+            val aOff = ai * aDim; val bOff = bi * bDim
+            while (d < aDim) {
+              val x = aFlat(aOff + d); val y = bFlat(bOff + d)
+              dot += x * y; na += x * x; nb += y * y
+              d += 1
+            }
+            val denom = math.sqrt(na) * math.sqrt(nb)
+            (a, b, if (denom == 0.0) 0.0 else dot / denom)
+          }
+        }
+      }
+    out.toDF("vec_a", "vec_b", "sim")
+  }
+
   /** Exhaustive-kNN fast path of [[knnGraph]]: per source row, one fused
     * scan over the broadcast corpus keeps a raw top-k and emits only the
     * candidates within 1e-4 of the k-th best (4-dp HALF_UP moves a value
@@ -1274,7 +1369,19 @@ object Similarity {
         // slack so the authoritative 4-dp round below can never pass a
         // pair the slack filter dropped; sim is bit-deterministic per pair
         // (same kernel, same inputs), so dropDuplicates is sound.
+        // skew spread (round-16 skew lane finding): without an exchange the
+        // cosine kernel PIPELINES onto the bucket-keyed join tasks, so a hot
+        // bucket (boilerplate cluster collapsing onto one embedding
+        // direction) runs its whole quadratic pair mass in ONE task —
+        // measured 11.2s vs ~3s at the skewed sf0.5 point. The multiset rows
+        // are 16-byte id pairs (this shuffle is ~1% of the kernel's flops),
+        // and hashing by the PAIR spreads any hot bucket across every core;
+        // hash repartition, not round-robin, so no sort and deterministic
+        // placement. Unconditional by design: the uniform-case overhead is
+        // the cheap pair shuffle, the skew case is what the operator must
+        // survive at 100 TB.
         Some(collisions.select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+          .repartition(col("vec_a"), col("vec_b"))
           .as[(Long, Long)]
           .mapPartitions { it =>
             val m = bc.value
@@ -1286,13 +1393,37 @@ object Similarity {
             col("vec_b").cast(idDt).as("vec_b"), col("sim")))
       } else None
     } else None
-    // the join path KEEPS the pre-verify distinct: its pair rows carry two
-    // dim-length arrays, so verifying collision duplicates would amplify
-    // the dominant materialization cost, not the cheap part
-    fused.getOrElse(collisions.distinct()
+    // over the ceiling (or forced distributed): the verify KEEPS the
+    // pre-verify distinct (one cosine per pair), then — for integral ids —
+    // runs the BLOCKED grid kernel: the generic per-pair array-attach join
+    // was the round-16 second-decade trap (each of 10⁸ multi-probe
+    // candidate rows dragging two dim-length arrays through the second
+    // exchange — 79.8s vs 17.7s fused at sf1). Non-integral ids keep the
+    // type-agnostic join shape.
+    fused.getOrElse {
+      if (graft.util.IdTypes.integral(idDt)) {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        // the MULTISET feeds the grid directly (the fused path's contract):
+        // a duplicate collision costs one extra in-kernel dot product,
+        // where a pre-verify distinct costs a full extra 10⁸-row exchange;
+        // the dedup runs AFTER the slack cut, on the survivor set. The
+        // 1e-4 slack keeps the authoritative 4-dp round below sound.
+        pairCosineBlocked(
+          live.select(col("vec_id").cast("long"), col("emb"))
+            .as[(Long, Array[Double])],
+          collisions.select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+            .as[(Long, Long)])
+          .filter(col("sim") >= threshold - 1e-4)
+          .dropDuplicates("vec_a", "vec_b")
+          .select(col("vec_a").cast(idDt).as("vec_a"),
+            col("vec_b").cast(idDt).as("vec_b"), col("sim"))
+      } else collisions.distinct()
         .join(live.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
         .join(live.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
-        .withColumn("sim", cosine(col("emb_a"), col("emb_b"))))
+        .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+        .select("vec_a", "vec_b", "sim")
+    }
       .withColumn("sim", round(col("sim"), 4))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")

@@ -74,4 +74,79 @@ class ScaleDataSpec extends SparkSpec {
     // timestamps pass through: every copy holds the same two instants
     assert(scaled.select("ts").distinct().count() === 2)
   }
+
+  test("embeddings: rotation by k mod dim — factor > dim still yields valid rotations") {
+    val dim = 4
+    val emb = Seq((0L, Array.tabulate(dim)(_.toFloat + 1f)),
+      (1L, Array.tabulate(dim)(i => 2f * i - 3f))).toDF("vec_id", "embedding")
+    val bigFactor = dim + 3 // k ranges past the dimension
+    val scaled = ScaleData.scaleEmbeddings(emb, bigFactor)
+    val rows = scaled.select(col("vec_id"), col("embedding")).collect()
+    assert(rows.length === 2 * bigFactor)
+    rows.foreach { r =>
+      val e = r.getSeq[Float](1)
+      assert(e.length === dim, s"rotation must preserve dimension, got ${e.length}")
+    }
+    // norms preserved for every copy, including k >= dim (k mod dim applies)
+    val norms = scaled
+      .select((col("vec_id") % bigFactor).as("copy"),
+        aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x).as("n2"))
+      .groupBy("copy").agg(sum("n2").as("s")).select("s")
+      .collect().map(r => math.round(r.getDouble(0) * 1e6)).toSet
+    assert(norms.size === 1, s"per-copy norm mass must be identical, got $norms")
+  }
+
+  test("customer: scaled dim aligns with scaled events — same-attribute match per copy") {
+    val events = Seq((100L, 0L), (101L, 2L)).toDF("event_id", "user_id")
+    val cust = Seq((0L, "alice", "SEG_A"), (1L, "bob", "SEG_B"), (2L, "carol", "SEG_C"),
+      (7L, "unreferenced", "SEG_X")) // key > max user: never matched, dropped
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val sc = ScaleData.scaleCustomer(cust, events, factor)
+    // only event-referenced keys (<= max user 2) replicate; keys unique
+    assert(sc.count() === 3L * factor)
+    assert(sc.select("c_custkey").distinct().count() === 3L * factor)
+    assert(sc.filter(col("c_name") === "unreferenced").count() === 0)
+    // every scaled event user matches exactly one customer carrying the
+    // SOURCE user's attributes (the enrich result is factor relabeled copies)
+    val se = ScaleData.scaleEvents(events, factor)
+    val joined = se.join(sc, col("user_id") === col("c_custkey"))
+    assert(joined.count() === se.count())
+    assert(joined.filter(col("user_id") % lit(3L) === 0L) // copies of source user 0
+      .filter(col("c_name") =!= "alice").count() === 0)
+  }
+
+  test("skew variant: hot boilerplate cluster, hot domain, collapsed hot vectors") {
+    val docs = (0L until 50L).map(i => (i, s"unique body number $i with words", "en",
+      s"src${i % 20}", 30L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sd = ScaleData.skewDocuments(docs, factor, hotPct = 20)
+    assert(sd.count() === 50L * factor)
+    // hot docs exist, carry the hot domain, and n_chars matches the text
+    val hot = sd.filter(col("source") === "src0" and col("text").contains("mirror"))
+    assert(hot.count() > 0)
+    // hot rows get their n_chars recomputed (caesar preserves length); cold
+    // rows pass the SOURCE value through untouched (here a synthetic 30)
+    assert(hot.filter(col("n_chars") =!= length(col("text"))).count() === 0)
+    // within a copy, hot docs are near-dups of each other (shared boilerplate)
+    val pairs = graft.operators.Dedup.ngramJaccard(
+      sd.select(col("doc_id"), col("text")), threshold = 0.5)
+    assert(pairs.count() > 0, "the planted cluster must produce near-dup pairs")
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => (math.sin(i + d) * 3).toFloat))).toDF("vec_id", "embedding")
+    val se = ScaleData.skewEmbeddings(emb, factor, hotPct = 20)
+    assert(se.count() === 40L * factor)
+    // hot vectors collapse onto one direction: pairwise cosine ~ 1 even
+    // ACROSS copies (the hot direction is deliberately not rotated).
+    // Select them by replaying the synthesizer's source-id predicate.
+    val srcId = (col("vec_id") / factor).cast("long")
+    val hotVecs = se.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .filter(pmod(xxhash64(srcId), lit(100)) < 20)
+    val n = hotVecs.count()
+    assert(n > 2)
+    val sims = hotVecs.alias("a").crossJoin(hotVecs.alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(graft.operators.Similarity.cosine(col("a.emb"), col("b.emb")).as("s"))
+      .agg(min("s")).head().getDouble(0)
+    assert(sims > 0.999, s"hot vectors must be near-identical in direction, min cosine $sims")
+  }
 }
