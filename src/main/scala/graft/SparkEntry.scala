@@ -544,17 +544,22 @@ object SparkEntry {
     // so the oracle is the PLAIN exact computation — the dedup_bloom
     // shared-oracle pattern
     // capacity mirrors Sketches.adaptiveMgCapacity from the same gram
-    // census: greatest(128, ceil(total/16000)) — constant ABSOLUTE support
-    // (~16k occurrences) once the corpus outgrows the floor, the historical
-    // n*129 > total at every correctness SF (census ≤ 2.05M there)
+    // census: least(65536, greatest(128, ceil(total/16000))) — constant
+    // ABSOLUTE support (~16k occurrences) once the corpus outgrows the
+    // floor, the historical n*129 > total at every correctness SF (census
+    // ≤ 2.05M there), and the 2^16 memory ceiling past ~1.05G grams (never
+    // reached at a testable SF — the cap is the 100 TB sketch-size bound).
+    // support_floor = the smallest count that clears the threshold,
+    // total // (capv+1) + 1, same integer arithmetic both engines
     "heavy_hitters" ->
       """WITH g AS (
         | SELECT substring(text, i, 3) AS gram
         | FROM documents, unnest(generate_series(1, length(text) - 2)) AS u(i)),
         |n AS (SELECT count(*) AS total FROM g),
-        |cap AS (SELECT greatest(128, CAST(ceil(total::DOUBLE / 16000.0) AS BIGINT)) AS capv FROM n),
+        |cap AS (SELECT least(65536, greatest(128, CAST(ceil(total::DOUBLE / 16000.0) AS BIGINT))) AS capv FROM n),
         |c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1)
-        |SELECT gram, n FROM c, n, cap WHERE n * (capv + 1) > total
+        |SELECT gram, n, total // (capv + 1) + 1 AS support_floor
+        |FROM c, n, cap WHERE n * (capv + 1) > total
         |ORDER BY n DESC, gram""".stripMargin,
     "kmv_distinct_stream" -> kmvOracle,
     // chained stage minima (each stage >= the previous stage's timestamp),

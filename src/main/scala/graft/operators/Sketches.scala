@@ -65,21 +65,33 @@ object Sketches {
    * at 100 TB. Here BOTH shuffles are O(partitions × capacity): the sketch
    * pass by the merge contract, the re-count pass because the IN filter
    * drops every non-candidate at the scan.
+   *
+   * Every published row carries `support_floor` — the smallest exact count
+   * that clears the guarantee threshold, floor(total/(capacity+1)) + 1.
+   * Below [[CapacityCeiling]] the caller's requested support IS the floor;
+   * once [[adaptiveMgCapacity]] hits the ceiling the floor rises with the
+   * stream (the fractional-guarantee regime) and this column is how the
+   * degradation is SURFACED instead of silently narrowing the answer.
    */
   def heavyHitters(items: DataFrame, itemCol: String, capacity: Int): DataFrame = {
     val first = items.agg(
       GraftFunctions.misraGries(col(itemCol), capacity).as("sk"),
       count(col(itemCol)).as("total")).head()
     val total = first.getLong(1)
+    // smallest n with n*(capacity+1) > total: integer floor + 1 in BOTH
+    // engines (DuckDB mirrors with total // (capv+1) + 1)
+    val supportFloor = total / (capacity + 1L) + 1L
     val cands = first.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     if (cands.isEmpty) {
       items.sparkSession.emptyDataFrame
-        .select(lit("").as(itemCol), lit(0L).as("n")).limit(0)
+        .select(lit("").as(itemCol), lit(0L).as("n"),
+          lit(supportFloor).as("support_floor")).limit(0)
     } else {
       items.filter(col(itemCol).isin(cands: _*))
         .groupBy(col(itemCol))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") * (capacity + 1) > total)
+        .withColumn("support_floor", lit(supportFloor))
         .orderBy(col("n").desc, col(itemCol))
     }
   }
@@ -95,19 +107,44 @@ object Sketches {
     * the caesar copies widen the trigram vocabulary 10×). Resolves to the
     * historical 128 at every correctness SF (gram census ≤ 2.05M there —
     * sf0.1 measures 1.48M → ceil(92.2) under the floor) and is mirrored
-    * from count(*) in the oracle, the adaptiveCentroids pattern. */
+    * from count(*) in the oracle, the adaptiveCentroids pattern.
+    *
+    * CAPPED at [[CapacityCeiling]] (round 17): constant-absolute-support
+    * admits up to N/support distinct survivors, so an uncapped linear
+    * capacity IS the sketch size — at the 100 TB framing (~10^13 grams)
+    * that's a 10^9-entry map per partial (tens of GB per task, merged on
+    * one reducer), i.e. the sketch stops being a sketch. Past the ceiling
+    * (census > ~1.05G grams) the guarantee degrades HONESTLY to the
+    * fractional regime — threshold total/(2^16+1) grows with the stream —
+    * and [[heavyHitters]] surfaces the effective threshold in its
+    * `support_floor` column; memory stays O(2^16) entries (~a few MB per
+    * partial) at every N. The ceiling is mirrored in the oracle
+    * (least(65536, ...)); no testable SF reaches it (sf1 census 14.8M →
+    * 923), so it changes no oracle-checked answer — it changes who dies
+    * first at 100 TB: nobody, instead of the executors. */
   val SupportTarget: Long = 16000L
-  def adaptiveMgCapacity(totalItems: Long, floor: Int = 128): Int =
-    math.max(floor, math.ceil(totalItems.toDouble / SupportTarget).toInt)
+  val CapacityCeiling: Int = 1 << 16 // == MisraGriesAgg's hard require bound
+  def adaptiveMgCapacity(totalItems: Long, floor: Int = 128): Int = {
+    // Double math mirrors the oracle's ceil(total/16000.0); min against the
+    // ceiling BEFORE toInt so huge censuses can't saturate through Int
+    val need = math.ceil(totalItems.toDouble / SupportTarget)
+    math.min(CapacityCeiling.toDouble, math.max(floor.toDouble, need)).toInt
+  }
 
   /** Char 3-gram heavy hitters of the corpus (capacity
     * [[adaptiveMgCapacity]] < the gram vocabulary, so the sketch genuinely
     * decrements): the frequent-substring report over a domain one would
     * not groupBy at 100 TB. Grams come from the one-pass codegen'd
     * [[GraftFunctions.charGrams]] kernel and stay in the scan stage — no
-    * pre-shuffle, no interpreted HOF lambdas. The capacity census is one
-    * extra count over the same scan-stage explode (exact parity with the
-    * oracle's count(*) FROM g, whatever the text's code-unit shape). */
+    * pre-shuffle, no interpreted HOF lambdas. The capacity census is a
+    * CLOSED FORM over the un-exploded documents — sum(max(chars-2, 0)),
+    * exactly the gram count because [[graft.functions.TextHashes.charGrams]]
+    * emits numChars-n+1 grams (Spark's length() counts the same code
+    * points) and a null text contributes zero in both forms — so sizing
+    * the sketch costs one narrow document scan, not a second pass over
+    * the ~500× gram explode (the round-16 grams.count() did; ADVICE r16).
+    * The oracle needs no such shortcut: its count(*) FROM g is the same
+    * number by the same identity. */
   def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
     // partition-gated pre-explode spread: the corpus parquet at test SFs is
     // ONE split (a few MB), but the gram explode amplifies each row ~500x —
@@ -116,9 +153,13 @@ object Sketches {
     // in that regime; at 100 TB the scan already has thousands of splits
     // and an unconditional repartition would COLLAPSE them to core count
     // behind a pointless full shuffle of raw text.
-    val grams = graft.util.Spread.ifNarrow(Tables.documents(spark, dir))
+    val docs = Tables.documents(spark, dir)
+    val census = docs.agg(coalesce(
+      sum(greatest(length(col("text")) - 2, lit(0)).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val grams = graft.util.Spread.ifNarrow(docs)
       .select(explode(GraftFunctions.charGrams(col("text"), 3)).as("gram"))
-    heavyHitters(grams, "gram", capacity = adaptiveMgCapacity(grams.count()))
+    heavyHitters(grams, "gram", capacity = adaptiveMgCapacity(census))
   }
 
   /** KMV (k minimum values) distinct estimate per event type: with the k

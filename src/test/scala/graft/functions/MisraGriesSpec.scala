@@ -67,6 +67,66 @@ class MisraGriesSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("adaptiveMgCapacity is capped at CapacityCeiling and the cap fits " +
+      "the MisraGriesAgg require bound at any census") {
+    import Sketches.{adaptiveMgCapacity, CapacityCeiling}
+    // below the knee: floor, then linear
+    assert(adaptiveMgCapacity(0L) === 128)
+    assert(adaptiveMgCapacity(2048000L) === 128) // ceil(128.0) == floor
+    assert(adaptiveMgCapacity(14766000L) === 923) // the measured sf1 census regime
+    // the knee: ceiling * SupportTarget grams is the last constant-support N
+    val knee = CapacityCeiling.toLong * Sketches.SupportTarget
+    assert(adaptiveMgCapacity(knee) === CapacityCeiling)
+    // past the knee — including the 100 TB framing (~1e13 grams) — the
+    // capacity is FLAT; an uncapped formula would ask for 625M entries here
+    assert(adaptiveMgCapacity(10000000000000L) === CapacityCeiling)
+    assert(adaptiveMgCapacity(Long.MaxValue / 4) === CapacityCeiling)
+    // the cap is exactly the aggregate's hard bound: constructing the
+    // sketch at the cap must not throw
+    GraftFunctions.misraGries(col("x"), CapacityCeiling)
+  }
+
+  test("support_floor is the smallest count that publishes, and every " +
+      "published row clears it") {
+    val df = skewed(120).repartition(5)
+    val capacity = 8
+    val total = df.count()
+    val rows = Sketches.heavyHitters(df, "item", capacity).collect()
+    assert(rows.nonEmpty)
+    val expectedFloor = total / (capacity + 1L) + 1L
+    rows.foreach { r =>
+      assert(r.getLong(2) === expectedFloor)
+      assert(r.getLong(1) >= expectedFloor)
+    }
+    // floor is tight: expectedFloor - 1 would NOT clear the threshold
+    assert((expectedFloor - 1) * (capacity + 1) <= total)
+    assert(expectedFloor * (capacity + 1) > total)
+  }
+
+  test("closed-form census sum(max(chars-2,0)) equals the exploded gram " +
+      "count, including null and short texts") {
+    import spark.implicits._
+    val docs = (Seq((1L, "hello world"), (2L, "ab"), (3L, null),
+      (4L, ""), (5L, "xyz")) ++ (6L to 30L).map(i => (i, s"doc body $i")))
+      .toDF("doc_id", "text")
+    val census = docs.agg(org.apache.spark.sql.functions.coalesce(
+        sum(greatest(length(col("text")) - 2, lit(0)).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val exploded = docs
+      .select(explode(GraftFunctions.charGrams(col("text"), 3)).as("g"))
+      .count()
+    assert(census === exploded)
+    // and on the real corpus (the form heavyHittersQuery actually sizes by)
+    val real = graft.operators.Tables.documents(spark, sfDir)
+    val realCensus = real.agg(org.apache.spark.sql.functions.coalesce(
+        sum(greatest(length(col("text")) - 2, lit(0)).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val realExploded = real
+      .select(explode(GraftFunctions.charGrams(col("text"), 3)).as("g"))
+      .count()
+    assert(realCensus === realExploded)
+  }
+
   test("heavy_hitters entry equals the plain exact gram computation on the " +
       "real corpus") {
     val got = Sketches.heavyHittersQuery(spark, sfDir)
