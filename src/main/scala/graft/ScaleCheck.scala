@@ -64,6 +64,8 @@ object ScaleCheck {
     * documented escalation, which is the plan-quality question; a genuine
     * quadratic (~100× on the step) still blows far past it. Both factors
     * come from the SAME formulas the operators (and their oracles) use. */
+  val EscalationKeys: Set[String] =
+    Set("embed_neardup", "semantic_dedup", "knn_graph_probe")
   def escalationFactor(key: String, nSmall: Long, nBig: Long): Double = {
     import graft.operators.Similarity._
     key match {
@@ -159,6 +161,25 @@ object ScaleCheck {
     (spark.read.parquet(s"$small/$table.parquet").count(),
       spark.read.parquet(s"$big/$table.parquet").count())
 
+  /** LIVE row counts — the same liveness filter the operators apply before
+    * deriving their adaptive parameters (a NULL embedding/text is an absent
+    * row). [[escalationFactor]] must see these, not raw parquet counts: at
+    * an SF straddling an engagement boundary (a flips step, an nprobe
+    * step) a dead-row gap between the two censuses would make the bound
+    * assume a different escalation than the operator actually took
+    * (ADVICE r16). The growth bound's DATA ratio stays raw — data size is
+    * what the scan pays for. */
+  def liveDataCounts(spark: SparkSession, table: String, small: String, big: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val pred = table match {
+      case "embeddings" => col("embedding").isNotNull
+      case "documents" => col("text").isNotNull
+      case _ => org.apache.spark.sql.functions.lit(true)
+    }
+    (spark.read.parquet(s"$small/$table.parquet").filter(pred).count(),
+      spark.read.parquet(s"$big/$table.parquet").filter(pred).count())
+  }
+
   /** Row-count ratio of one input table between two SF dirs. */
   def dataRatio(spark: SparkSession, table: String, small: String, big: String): Double = {
     val (s, b) = dataCounts(spark, table, small, big)
@@ -179,6 +200,10 @@ object ScaleCheck {
       iters: Int = 2): Seq[Result] = {
     val counts = keys.map(_._2).distinct
       .map(t => t -> dataCounts(spark, t, small, big)).toMap
+    // live counts feed ONLY the escalation factor (see [[liveDataCounts]]);
+    // computed per table and only for lanes carrying an escalating key
+    val live = keys.collect { case (k, t) if EscalationKeys.contains(k) => t }
+      .distinct.map(t => t -> liveDataCounts(spark, t, small, big)).toMap
     keys.map { case (k, table) =>
       val (cs, cb) = counts(table)
       val ratio = cb.toDouble / cs
@@ -187,7 +212,8 @@ object ScaleCheck {
           "pick SFs with a real data step or the growth check is vacuous")
       val ts = time(spark, k, small, iters)
       val tb = time(spark, k, big, iters)
-      Result(k, ts, tb, tb / ts, ratio * escalationFactor(k, cs, cb) * SlackFactor)
+      val (ls, lb) = live.getOrElse(table, (cs, cb))
+      Result(k, ts, tb, tb / ts, ratio * escalationFactor(k, ls, lb) * SlackFactor)
     }
   }
 

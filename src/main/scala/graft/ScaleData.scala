@@ -179,16 +179,23 @@ object ScaleData {
 
   /** Skewed sibling of [[scaleEmbeddings]]: `hotPct`% of vectors collapse
     * onto ONE shared direction (deliberately NOT rotated per copy) plus a
-    * per-id epsilon — cosine ≈ 1 near-dups that land in the same
-    * hyperplane bucket in every LSH table, the hot-bucket regime. */
+    * per-(source id, copy, dimension) epsilon — cosine ≈ 1 near-dups that
+    * land in the same hyperplane bucket in every LSH table, the hot-bucket
+    * regime. The epsilon mixes the COPY index and the DIMENSION into the
+    * hash (ADVICE r16: a source-id-only epsilon made every copy of a hot
+    * row bit-identical — partly an exact-dup cluster, not the near-dup one
+    * documented), so no two hot vectors collide short of a full 64-bit
+    * hash collision on every dimension, while the perturbation (≤ 1e-2 per
+    * component against a direction of norm ~1.2) keeps all hot pairs at
+    * cosine ≳ 0.998 — far above the 0.95 near-dup threshold the lane
+    * stresses. */
   def skewEmbeddings(df: DataFrame, factor: Int, hotPct: Int = 5): DataFrame = {
     val hot = hotRow(col("vec_id"), hotPct)
-    // shared direction 1/(i+1) with a per-vector constant epsilon: all hot
-    // pairs sit at cosine ~1 while no two hot vectors are bit-identical
-    val eps = (pmod(xxhash64(col("vec_id")), lit(997)).cast("double") / lit(1e5))
-    val hotEmb = transform(col("embedding"),
-      (_, i) => (lit(1.0) / (i.cast("double") + lit(1.0)) + eps).cast("float"))
     (0 until factor).map { k =>
+      val hotEmb = transform(col("embedding"), (_, i) =>
+        (lit(1.0) / (i.cast("double") + lit(1.0)) +
+          pmod(xxhash64(col("vec_id"), lit(k), i), lit(997)).cast("double") / lit(1e5))
+          .cast("float"))
       df.select(df.columns.map {
         case "vec_id" => remapId(col("vec_id"), factor, k).as("vec_id")
         case "embedding" =>

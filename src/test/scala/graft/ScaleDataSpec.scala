@@ -148,5 +148,8 @@ class ScaleDataSpec extends SparkSpec {
       .select(graft.operators.Similarity.cosine(col("a.emb"), col("b.emb")).as("s"))
       .agg(min("s")).head().getDouble(0)
     assert(sims > 0.999, s"hot vectors must be near-identical in direction, min cosine $sims")
+    // near-dup, NOT exact-dup: the epsilon mixes (source id, copy, dim), so
+    // no two hot vectors — across copies included — are bit-identical
+    assert(hotVecs.select("emb").distinct().count() === n)
   }
 }
