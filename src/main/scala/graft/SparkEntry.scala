@@ -1842,12 +1842,13 @@ object SparkEntry {
     // cid), codeword reconstruction, asymmetric cosine top-k — every
     // stage a total order, so the lossy result is still hash-exact.
     // The (m, kc) shape is SIZE-ADAPTIVE from count(*) exactly like
-    // Similarity.adaptivePqShape: 8 subspaces × 256 codewords at
-    // N ≥ 1024, the historical 4×16 below — one oracle text per SF.
+    // Similarity.adaptivePqShape: 16×256 at N ≥ 16384, 8×256 at N ≥ 1024,
+    // the historical 4×16 below — one oracle text per SF.
     "ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
-        |pq AS (SELECT CASE WHEN count(*) >= 1024 THEN 8 ELSE 4 END AS m,
+        |pq AS (SELECT CASE WHEN count(*) >= 16384 THEN 16
+        |      WHEN count(*) >= 1024 THEN 8 ELSE 4 END AS m,
         |    CASE WHEN count(*) >= 1024 THEN 256 ELSE 16 END AS kc
         |  FROM e WHERE emb IS NOT NULL),
         |sd AS (SELECT (SELECT dim FROM d) // (SELECT m FROM pq) AS s),
@@ -1876,10 +1877,21 @@ object SparkEntry {
         |  FROM code JOIN cbn ON cbn.m = code.m AND cbn.cid = code.cid
         |  GROUP BY code.vec_id),
         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
-        |s AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |ln AS (SELECT greatest(20, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS l
+        |  FROM e WHERE emb IS NOT NULL),
+        |ps AS (SELECT q.query_id, r.vec_id AS neighbor_id,
         |    round(list_dot_product(r.emb, q.q_emb)
-        |      / (sqrt(list_dot_product(r.emb, r.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS sim
+        |      / (sqrt(list_dot_product(r.emb, r.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS psim
         |  FROM recon r, q WHERE r.vec_id <> q.query_id),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS rn
+        |    FROM ps) WHERE rn <= (SELECT l FROM ln)),
+        |s AS (SELECT sl.query_id, sl.neighbor_id,
+        |    round(list_dot_product(c.emb, q.q_emb)
+        |      / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS sim
+        |  FROM sl JOIN e c ON c.vec_id = sl.neighbor_id
+        |  JOIN q ON q.query_id = sl.query_id),
         |rk AS (SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 10

@@ -55,19 +55,40 @@ object RecallProbe {
       println(f"[probe] semantic_dedup keep-agreement=${agreed.toDouble / total}%.3f ($agreed/$total)")
     }
     if (what == "pq") {
-      val (m, kc) = Similarity.adaptivePqShape(n)
-      val cbs = Similarity.pqCodebooks(emb, m, kc)
-      val recon = emb.select(col("vec_id"),
-        Similarity.pqReconstruct(col("emb"), cbs).as("emb"))
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-      val approx = Similarity.bruteForceTopK(recon, probes, 10)
-        .select("query_id", "neighbor_id")
       val exact = Similarity.bruteForceTopK(emb, probes, 10)
         .select("query_id", "neighbor_id").cache()
       val total = exact.count()
-      val caught = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
-      println(f"[probe] ann_pq m=$m kc=$kc recall=${caught.toDouble / total}%.3f ($caught/$total)")
+      // the SHIPPED operating point: adaptive shape + √N exact rerank
+      locally {
+        val (m, kc) = Similarity.adaptivePqShape(n)
+        val l = Similarity.adaptivePqRerank(n)
+        val cbs = Similarity.pqCodebooks(emb, m, kc)
+        val recon = emb.select(col("vec_id"),
+          Similarity.pqReconstruct(col("emb"), cbs).as("emb"))
+        val short = Similarity.bruteForceTopK(recon, probes, l)
+          .select("query_id", "neighbor_id")
+        val c = exact.join(short, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(f"[probe] ann_pq SHIPPED m=$m kc=$kc L=$l recall=${c.toDouble / total}%.3f ($c/$total)")
+      }
+      for ((m, kc) <- Seq(Similarity.adaptivePqShape(n), (8, 256)).distinct) {
+        val cbs = Similarity.pqCodebooks(emb, m, kc)
+        val recon = emb.select(col("vec_id"),
+          Similarity.pqReconstruct(col("emb"), cbs).as("emb"))
+        val approx = Similarity.bruteForceTopK(recon, probes, 10)
+          .select("query_id", "neighbor_id")
+        val caught = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(f"[probe] ann_pq m=$m kc=$kc recall=${caught.toDouble / total}%.3f ($caught/$total)")
+        // shortlist containment + exact-rerank recall at candidate depths L:
+        // rerank recall@10 == P(true top-10 in the PQ top-L shortlist)
+        for (l <- Seq(20, 50, 100)) {
+          val short = Similarity.bruteForceTopK(recon, probes, l)
+            .select("query_id", "neighbor_id")
+          val c = exact.join(short, Seq("query_id", "neighbor_id"), "left_semi").count()
+          println(f"[probe] ann_pq m=$m kc=$kc rerankL=$l recall=${c.toDouble / total}%.3f ($c/$total)")
+        }
+      }
     }
     if (what == "all" || what == "knn") {
       val k = Similarity.adaptiveCentroids(n)

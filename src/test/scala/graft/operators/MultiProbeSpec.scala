@@ -37,11 +37,28 @@ class MultiProbeSpec extends SparkSpec {
     assert(Similarity.adaptiveLshBits(50, 4) === 4)
   }
 
-  test("adaptivePqShape: historical 4x16 below 1024 vectors, 8x256 above") {
+  test("adaptivePqShape: historical 4x16 below 1024 vectors, 8x256 above, " +
+      "16x256 at the second step") {
     assert(Similarity.adaptivePqShape(500) === ((4, 16)))
     assert(Similarity.adaptivePqShape(1023) === ((4, 16)))
     assert(Similarity.adaptivePqShape(1024) === ((8, 256)))
-    assert(Similarity.adaptivePqShape(20000) === ((8, 256)))
+    assert(Similarity.adaptivePqShape(16383) === ((8, 256)))
+    assert(Similarity.adaptivePqShape(16384) === ((16, 256)))
+    assert(Similarity.adaptivePqShape(20000) === ((16, 256))) // the sf1 decade
+  }
+
+  test("adaptivePqRerank: 2k floor at correctness SFs, sqrt-law above, " +
+      "monotone in N") {
+    // 2k floor binds up to n = 400 (sqrt = 20); √N beyond
+    assert(Similarity.adaptivePqRerank(0) === 20)
+    assert(Similarity.adaptivePqRerank(400) === 20)
+    assert(Similarity.adaptivePqRerank(500) === 23) // sf0.001/sf0.01
+    assert(Similarity.adaptivePqRerank(2000) === 45) // sf0.1
+    assert(Similarity.adaptivePqRerank(20000) === 142) // sf1
+    // perfect square: IEEE sqrt exact, ceil is the integer itself
+    assert(Similarity.adaptivePqRerank(1048576) === 1024)
+    val pts = Seq(100L, 500L, 2000L, 20000L, 200000L, 2000000L)
+    assert(pts.map(Similarity.adaptivePqRerank(_)).sliding(2).forall(s => s(0) <= s(1)))
   }
 
   test("hyperplaneProbeGen: element 0 IS the home bucket; flips are 1-bit xors") {
