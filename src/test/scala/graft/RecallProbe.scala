@@ -98,13 +98,25 @@ object RecallProbe {
         (g, g.count())
       }
       println(f"[probe] exact 5-NN edges=$totalE K=$k secs=$esecs%.1f")
-      for (np <- Seq(6, 12, Similarity.adaptiveNprobe(k), 24, 32).distinct.sorted) {
+      val shipped = Similarity.adaptiveNprobe(k)
+      for (np <- Seq(6, 12, shipped, 24, 32).distinct.sorted) {
         val (caught, secs) = time {
           val a = Similarity.knnGraph(emb, 5, k, np, 0, Similarity.knuthCentroids _)
             .select(col("src_id"), col("neighbor_id"))
           exactG.join(a, Seq("src_id", "neighbor_id"), "left_semi").count()
         }
-        println(f"[probe] knn_graph_probe nprobe=$np recall=${caught.toDouble / totalE}%.3f secs=$secs%.1f")
+        val recall = caught.toDouble / totalE
+        println(f"[probe] knn_graph_probe nprobe=$np recall=$recall%.3f secs=$secs%.1f" +
+          (if (np == shipped) " SHIPPED" else ""))
+        // the calibration assertion (round 17): at the SHIPPED escalation
+        // the measured edge recall must clear the 0.50 gate floor with
+        // >= 0.05 margin at EVERY measured scale point — the sqrt-law's
+        // divisor stays a fitted curve (measured 0.642/0.656/0.562 at
+        // K=16/48/160), not a single-decade calibration
+        if (np == shipped)
+          require(recall >= 0.55,
+            f"shipped nprobe=$np recall=$recall%.3f < 0.55 at K=$k — " +
+              "the sqrt-law divisor needs recalibration at this decade")
       }
       exactG.unpersist()
     }
