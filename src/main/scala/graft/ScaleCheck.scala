@@ -130,6 +130,22 @@ object ScaleCheck {
     "embed_neardup" -> "embeddings", "semantic_dedup" -> "embeddings",
     "heavy_hitters" -> "documents")
 
+  /** The join/streaming families whose reason to exist IS skew (round 17,
+    * verdict item #3): a hot customer key holding ~20% of the fact side
+    * ([[ScaleData.scaleOrders]] hotPct=20 — equi-join output is linear in
+    * the hot mass, so the share can be realistic-large) and a hot user
+    * holding 10‰ of the event stream ([[ScaleData.skewEvents]] — the
+    * share is pair-mass-budgeted: the range/attribution operators emit
+    * QUADRATICALLY many hot pairs, and at 10‰ the planted mass stays
+    * inside [[SkewTaxBound]] for a plan that spreads it while a plan that
+    * funnels the hot key onto one task still blows the bound). Streaming
+    * keys time micro-batch admission over the same admitted data on both
+    * dirs, so the uniform twin remains the control. */
+  val SkewJoinStreamKeys: Seq[(String, String)] = Seq(
+    "skew_join_salted" -> "orders", "asof_join_events" -> "events",
+    "range_join_events" -> "events", "sessionize_stream" -> "events",
+    "purchase_attribution_stream" -> "events")
+
   /** Materialize the derived mid-SF dir if absent: documents sampled
     * deterministically (doc_id % 10 < 3) from `big` — row counts are
     * re-measured by [[dataRatio]], so the bounds self-calibrate to the
@@ -220,6 +236,14 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.01")
     val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_BIG", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_SCALE_KEYS=a,b,c restricts every lane to the named keys
+    // (fast local iteration on one family); unset = all. The committed
+    // SCALING.json is always a FULL run — a filtered run writes the same
+    // file, so regenerate unfiltered before committing it.
+    val onlyKeys = sys.env.get("SPARK_GRAFT_SCALE_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def lane(keys: Seq[(String, String)]): Seq[(String, String)] =
+      onlyKeys.map(o => keys.filter(k => o(k._1))).getOrElse(keys)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     sys.props("graft.bench") = "1" // measure operators, not the eager gates
     val spark = SparkSession.builder()
@@ -230,7 +254,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val results = check(spark, DataBoundEntries, small, big)
+    val results = check(spark, lane(DataBoundEntries), small, big)
     def entryJson(rs: Seq[Result]): String = rs.map(r =>
       f""""${r.key}":{"small":${r.tSmall}%.3f,"big":${r.tBig}%.3f,""" +
         f""""ratio":${r.ratio}%.2f,"bound":${r.bound}%.2f,"ok":${r.ok}}""")
@@ -240,8 +264,8 @@ object ScaleCheck {
     val mid = sys.env.getOrElse("SPARK_GRAFT_SCALE_MID",
       graft.util.Fs.processScopedTmpDir("graft-sf-mid").toString)
     ensureMidDir(spark, big, mid)
-    val step1 = check(spark, ThirdPointKeys, small, mid)
-    val step2 = check(spark, ThirdPointKeys, mid, big)
+    val step1 = check(spark, lane(ThirdPointKeys), small, mid)
+    val step2 = check(spark, lane(ThirdPointKeys), mid, big)
     // SECOND DECADE (optional): SPARK_GRAFT_SCALE_BIG2 names a dir one
     // more decade up (a [[ScaleData]]-synthesized sf1) — the regime where
     // the corpus genuinely spans many parquet splits and the small-SF
@@ -250,7 +274,7 @@ object ScaleCheck {
     // (documents/embeddings/events) exist there, which covers every
     // data-bound key by construction.
     val big2 = sys.env.get("SPARK_GRAFT_SCALE_BIG2")
-    val second = big2.map(b2 => check(spark, DataBoundEntries, big, b2))
+    val second = big2.map(b2 => check(spark, lane(DataBoundEntries), big, b2))
       .getOrElse(Seq.empty)
     // SKEW lane (optional): SPARK_GRAFT_SCALE_SKEW names a
     // ScaleData-mode=skew dir; SPARK_GRAFT_SCALE_SKEW_BASE its
@@ -268,15 +292,15 @@ object ScaleCheck {
         }
         case _ => Seq.empty
       }
-    val skew = checkSkew(SkewKeys)
+    val skew = checkSkew(lane(SkewKeys ++ SkewJoinStreamKeys))
     // forced-distributed lane LAST: the flag is process-wide, so nothing
     // may time a default-lane entry after it flips
     sys.props("graft.force.distributed") = "1"
     val (forced, secondForced, skewForced) = try {
-      (check(spark, ForcedDistributedKeys, small, big),
-        big2.map(b2 => check(spark, ForcedDistributedKeys, big, b2))
+      (check(spark, lane(ForcedDistributedKeys), small, big),
+        big2.map(b2 => check(spark, lane(ForcedDistributedKeys), big, b2))
           .getOrElse(Seq.empty),
-        checkSkew(SkewKeys.filter(k =>
+        checkSkew(lane(SkewKeys).filter(k =>
           ForcedDistributedKeys.map(_._1).contains(k._1))))
     } finally sys.props.remove("graft.force.distributed")
     val secondJson = big2.map(b2 =>

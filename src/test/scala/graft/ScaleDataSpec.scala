@@ -152,4 +152,50 @@ class ScaleDataSpec extends SparkSpec {
     // no two hot vectors — across copies included — are bit-identical
     assert(hotVecs.select("emb").distinct().count() === n)
   }
+
+  test("skewEvents: one global hot user at the budgeted share; cold rows " +
+      "scale exactly like scaleEvents") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (0L until 400L).map(i =>
+      (i, i % 40L, new java.sql.Timestamp(ts0.getTime + i * 60000L), "view", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val se = ScaleData.skewEvents(events, factor, hotPml = 100) // 10% for the pin
+    assert(se.count() === 400L * factor)
+    assert(se.select("event_id").distinct().count() === 400L * factor)
+    // the hot user exists and holds roughly the planted share (hash noise
+    // bounded: 10% +- 5 points on 1200 rows)
+    val hotN = se.filter(col("user_id") === 0L).count().toDouble
+    assert(hotN / (400 * factor) > 0.05 && hotN / (400 * factor) < 0.15,
+      s"hot share ${hotN / (400 * factor)} out of band")
+    // cold rows carry the same per-copy offsets as scaleEvents — compare
+    // against the uniform twin on the non-hot event ids
+    val uni = ScaleData.scaleEvents(events, factor)
+      .select(col("event_id"), col("user_id").as("u_uni"))
+    val joined = se.filter(col("user_id") =!= 0L)
+      .select(col("event_id"), col("user_id")).join(uni, "event_id")
+    assert(joined.filter(col("user_id") =!= col("u_uni")).count() === 0)
+  }
+
+  test("scaleOrders: every scaled order matches exactly one scaled " +
+      "customer; the hot key holds the planted share") {
+    val orders = (0L until 300L).map(i => (i, i % 90L, i * 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val events = Seq((100L, 0L), (101L, 29L)).toDF("event_id", "user_id") // maxUser 29
+    val cust = (0L until 90L).map(i => (i, s"c$i", "SEG")).toDF("c_custkey", "c_name", "c_mktsegment")
+    val sc = ScaleData.scaleCustomer(cust, events, factor) // keys 0..29 per copy
+    val uniform = ScaleData.scaleOrders(orders, events, factor)
+    assert(uniform.count() === 300L * factor)
+    assert(uniform.select("o_orderkey").distinct().count() === 300L * factor)
+    // exact-one-match: the equi-join neither drops nor fans out
+    assert(uniform.join(sc, col("o_custkey") === col("c_custkey")).count()
+      === 300L * factor)
+    assert(uniform.filter(col("o_custkey") === 0L).count() < 300L * factor / 10)
+    // the skewed twin: same size, hot custkey 0 holds ~20%
+    val skewed = ScaleData.scaleOrders(orders, events, factor, hotPct = 20)
+    assert(skewed.count() === 300L * factor)
+    assert(skewed.join(sc, col("o_custkey") === col("c_custkey")).count()
+      === 300L * factor)
+    val hotShare = skewed.filter(col("o_custkey") === 0L).count().toDouble / (300 * factor)
+    assert(hotShare > 0.12 && hotShare < 0.30, s"hot share $hotShare out of band")
+  }
 }
