@@ -22,6 +22,23 @@ Regenerate with exactly:
   python3 scripts/sf1_correctness.py testdata-gen/sf1 \
     /tmp/sf1_default /tmp/sf1_forced CORRECTNESS_sf1.json [timeout_s] [key ...]
 
+SAMPLED sub-corpus mode (round 17 — verdict item #2): the keys whose
+full-sf1 replay is DuckDB-infeasible get a DIRECT check on sf1 DATA via
+a deterministic source-id band of the sf1 corpus — (id // factor) %% 10
+== 3, i.e. 10%% of SOURCE ids with ALL their caesar/rotation copies, so
+the band preserves the per-copy isomorphism (within-copy near-dup
+density, cross-copy disjointness) at a size the replay afford. Band
+rows merge into the existing entries as `sampled` sub-objects:
+
+  python3 scripts/sf1_correctness.py --make-band testdata-gen/sf1 \
+    testdata-gen/sf1band 10
+  SPARK_GRAFT_VERIFY_ONLY=<keys> SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Verify testdata-gen/sf1band /tmp/sf1b_default"
+  SPARK_GRAFT_VERIFY_ONLY=<keys> SPARK_GRAFT_VERIFY_FORCE_DISTRIBUTED=1 ... \
+    sbt -batch "runMain graft.Verify testdata-gen/sf1band /tmp/sf1b_forced"
+  python3 scripts/sf1_correctness.py --sampled testdata-gen/sf1band \
+    /tmp/sf1b_default /tmp/sf1b_forced CORRECTNESS_sf1.json [timeout_s] [key ...]
+
 Driver-side tooling only (duckdb/pandas are not Scala dependencies).
 """
 import json, math, os, shutil, subprocess, sys
@@ -106,10 +123,35 @@ def run_one(sf, out, key):
     sys.exit(0 if res["hash_match"] else 3)
 
 
+def make_band(src, dst, factor):
+    """Materialize the deterministic source-id band of an sf1-style dir:
+    10% of SOURCE ids with all their per-copy replicas (id // factor
+    keeps copy k of source id s iff s % 10 == 3)."""
+    import duckdb, glob
+    con = duckdb.connect()
+    os.makedirs(dst, exist_ok=True)
+    for table, idc in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        p = f"{src}/{table}.parquet"
+        r = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{r}') "
+            f"WHERE ({idc} // {factor}) % 10 = 3) "
+            f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
+        print(f"[band] {table}: {n} rows -> {dst}/{table}.parquet")
+
+
 def main():
     if sys.argv[1] == "--run-one":
         run_one(sys.argv[2], sys.argv[3], sys.argv[4])
         return
+    if sys.argv[1] == "--make-band":
+        make_band(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        return
+    sampled = sys.argv[1] == "--sampled"
+    if sampled:
+        del sys.argv[1]
     sf, default_out, forced_out, result_path = sys.argv[1:5]
     rest = sys.argv[5:]
     timeout = int(rest[0]) if rest and rest[0].isdigit() else 1800
@@ -148,20 +190,31 @@ def main():
         except subprocess.TimeoutExpired:
             entry["err"] = f"oracle infeasible: replay exceeded {timeout}s (DuckDB side)"
         shutil.rmtree(".tmp", ignore_errors=True)
-        results[key] = entry
+        if sampled:
+            # merge as a sub-object of the FULL-sf1 entry: the full row keeps
+            # its honest infeasibility reason, the band row adds the direct
+            # sf1-DATA check the reason was missing
+            full = results.setdefault(key, {})
+            full["sampled"] = dict(entry, band=f"source-id band 10% of {sf}")
+        else:
+            results[key] = entry
         state = ("EXACT" if entry.get("hash_match")
                  else entry.get("err") or "MISMATCH")
-        print(f"[sf1] {key}: {state} lane_parity={entry['lane_parity']}",
+        tag = "sf1 sampled" if sampled else "sf1"
+        print(f"[{tag}] {key}: {state} lane_parity={entry['lane_parity']}",
               flush=True)
         json.dump(results, open(result_path, "w"), indent=2, sort_keys=True)
     json.dump(results, open(result_path, "w"), indent=2, sort_keys=True)
-    bad = [k for k, v in results.items()
+    scope = ({k: v.get("sampled", {}) for k, v in results.items() if k in keys}
+             if sampled else results)
+    bad = [k for k, v in scope.items()
            if v.get("hash_match") is False or
            (v.get("err") and "infeasible" not in v["err"])]
     print(f"[sf1] done: {len(results)} keys, "
           f"{sum(1 for v in results.values() if v.get('hash_match'))} exact, "
           f"{sum(1 for v in results.values() if v.get('err'))} infeasible/err, "
-          f"{sum(1 for v in results.values() if v.get('lane_parity'))} lane-parity")
+          f"{sum(1 for v in results.values() if v.get('lane_parity'))} lane-parity, "
+          f"{sum(1 for v in results.values() if v.get('sampled', {}).get('hash_match'))} sampled-exact")
     sys.exit(1 if bad else 0)
 
 

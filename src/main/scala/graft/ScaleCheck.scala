@@ -314,11 +314,20 @@ object ScaleCheck {
           s""""skew_forced":${entryJson(skewForced)}"""
       case _ => ""
     }
+    // memory-pressure lane ([[MemLane]] — a SEPARATE JVM because its point
+    // is the -Xmx): embed its last artifact verbatim when present, so
+    // SCALING.json stays the one scale-evidence file
+    val memJson = {
+      val p = java.nio.file.Paths.get("SCALING_memory.json")
+      if (java.nio.file.Files.exists(p))
+        s""","memory_pressure":${java.nio.file.Files.readString(p).trim}"""
+      else ""
+    }
     val line = s"""{"metric":"scale_growth","small":"$small","big":"$big",""" +
       s""""entries":${entryJson(results)},""" +
       s""""third_point_small_mid":${entryJson(step1)},""" +
       s""""third_point_mid_big":${entryJson(step2)},""" +
-      s""""forced_distributed":${entryJson(forced)}$secondJson$skewJson}"""
+      s""""forced_distributed":${entryJson(forced)}$secondJson$skewJson$memJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
     println(line)
     val bad = (results ++ step1 ++ step2 ++ forced ++ second ++ secondForced ++
