@@ -286,6 +286,15 @@ object ScaleCheck {
     def checkSkew(keys: Seq[(String, String)]): Seq[Result] =
       (skewBase, skewDir) match {
         case (Some(u), Some(sd)) => keys.map { case (k, _) =>
+          // UNTIMED warmup on the control dir first: the key's plan shape
+          // codegen/JIT compiles here, so neither timed run pays it. The
+          // growth lanes' warmup bias direction (inflate the small side →
+          // stricter) does NOT transfer to this lane: uniform-first timing
+          // left the skew run warm and the control cold, DEFLATING the tax
+          // (sub-1.0 ratios in the round-17 first capture) — the one
+          // direction that could hide a mild funneling trap under the
+          // bound. One extra pass per key is the price of a fair control.
+          time(spark, k, u, iters = 1)
           val tu = time(spark, k, u)
           val ts = time(spark, k, sd)
           Result(k, tu, ts, ts / tu, SkewTaxBound)

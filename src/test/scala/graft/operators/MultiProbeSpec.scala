@@ -61,6 +61,50 @@ class MultiProbeSpec extends SparkSpec {
     assert(pts.map(Similarity.adaptivePqRerank(_)).sliding(2).forall(s => s(0) <= s(1)))
   }
 
+  test("annPq rerank: published sims are EXACT cosines, rows come from the " +
+      "PQ shortlist, and rerank can only improve on reconstruction ranking") {
+    val dir = sfDir
+    val got = graft.operators.Similarity.annPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("sim")).collect()
+    assert(got.length === 50) // 5 probes x top-10
+    // the published sim must equal the EXACT rounded cosine of the true
+    // vectors — the rerank stage's defining property (a reconstruction sim
+    // would be lossy and systematically lower)
+    val emb = graft.operators.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    got.foreach { r =>
+      val expect = cos(byId(r.getLong(0)), byId(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+        s"sim for ${r.getLong(0)}->${r.getLong(1)} is not the exact cosine")
+    }
+    // rerank recall >= plain reconstruction-ranked recall on the same data
+    // (the shortlist contains the recon top-10 by construction, and exact
+    // reranking within it can only surface better neighbors)
+    import graft.operators.Similarity._
+    val n = emb.filter(col("emb").isNotNull).count()
+    val (m, kc) = adaptivePqShape(n)
+    val cbs = pqCodebooks(emb, m, kc)
+    val recon = emb.select(col("vec_id"), pqReconstruct(col("emb"), cbs).as("emb"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val exact = bruteForceTopK(emb, probes, 10).select("query_id", "neighbor_id")
+    val plain = bruteForceTopK(recon, probes, 10).select("query_id", "neighbor_id")
+    import spark.implicits._
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("query_id", "neighbor_id")
+    val total = exact.count()
+    val rerankHits = exact.join(gotPairs, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val plainHits = exact.join(plain, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(rerankHits >= plainHits,
+      s"rerank recall $rerankHits/$total below plain PQ ranking $plainHits/$total")
+  }
+
   test("hyperplaneProbeGen: element 0 IS the home bucket; flips are 1-bit xors") {
     import spark.implicits._
     val emb = Seq(
