@@ -1259,10 +1259,21 @@ object Similarity {
     * The DuckDB oracle replays the whole lossy pipeline (same
     * count(*)-derived shape and depth), and THAT replay (hash-exact) is
     * the correctness proof. */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
+
+  /** Frame-level body of [[annPq]] — (vec_id, emb double[]) in. */
+  def annPqOn(emb: DataFrame): DataFrame = {
     val nLive = emb.filter(col("emb").isNotNull).count()
+    // an EMPTY/all-null corpus has no donors to slice into codebooks (the
+    // empty-input contract of the IVF family, round 14): zero rows out,
+    // same schema — not a head-of-empty crash in pqCodebooks
+    if (nLive == 0L) {
+      return emb.sparkSession.emptyDataFrame.select(
+        lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("sim")).limit(0)
+    }
     val (m, kc) = adaptivePqShape(nLive)
     val rerankL = adaptivePqRerank(nLive)
     val cbs = pqCodebooks(emb, m = m, k = kc)

@@ -81,4 +81,14 @@ class EmptyInputSpec extends SparkSpec {
       assert(out.count() === 0, s"ceiling=$ceiling")
     }
   }
+
+  test("annPq: empty and all-null corpora yield zero rows with the entry " +
+      "schema, not a head-of-empty codebook crash") {
+    val out = Similarity.annPqOn(emptyEmb)
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "sim"))
+    assert(out.count() === 0)
+    val allNull = Seq((1L, null.asInstanceOf[Array[Double]]), (2L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "emb")
+    assert(Similarity.annPqOn(allNull).count() === 0)
+  }
 }
