@@ -307,20 +307,27 @@ object ScaleData {
     //   SPARK_GRAFT_SCALE_MODE=skew SPARK_GRAFT_SCALE_FACTOR=5
     //   SPARK_GRAFT_SCALE_DST=testdata-gen/sf05skew sbt "runMain graft.ScaleData"
     val events = spark.read.parquet(s"$src/events.parquet")
+    // the join-lane tables exist only in driver SFs (orders) / some scale
+    // dirs (customer) — a source without them (e.g. a previously
+    // synthesized decade being re-scaled) skips them instead of failing
+    // after the data-bound tables already wrote
+    def ifPresent(name: String)(f: DataFrame => Unit): Unit = {
+      val p = java.nio.file.Paths.get(src, s"$name.parquet")
+      if (java.nio.file.Files.exists(p)) f(spark.read.parquet(p.toString))
+      else println(s"[scaledata] $name: absent in $src, skipped")
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
       write("documents", skewDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
       write("embeddings", skewEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
       write("events", skewEvents(events, factor))
-      write("orders", scaleOrders(spark.read.parquet(s"$src/orders.parquet"), events, factor, hotPct = 20))
-      write("customer", scaleCustomer(
-        spark.read.parquet(s"$src/customer.parquet"), events, factor))
+      ifPresent("orders")(o => write("orders", scaleOrders(o, events, factor, hotPct = 20)))
+      ifPresent("customer")(c => write("customer", scaleCustomer(c, events, factor)))
     } else {
       write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
       write("embeddings", scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
       write("events", scaleEvents(events, factor))
-      write("orders", scaleOrders(spark.read.parquet(s"$src/orders.parquet"), events, factor))
-      write("customer", scaleCustomer(
-        spark.read.parquet(s"$src/customer.parquet"), events, factor))
+      ifPresent("orders")(o => write("orders", scaleOrders(o, events, factor)))
+      ifPresent("customer")(c => write("customer", scaleCustomer(c, events, factor)))
     }
     spark.stop()
   }
