@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.util.Materialize.MaterializeOps
 import org.apache.spark.sql.functions._
 
 /**
@@ -443,7 +444,7 @@ object CorpusPipeline {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint()
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c")).cutLineage()
     // corpus-total normalizer: one map-side-combined scalar aggregate off
     // the checkpointed vocabulary — a single Long to the driver (same
     // driver-sized-census contract as the IVF centroids), NOT a global
@@ -490,7 +491,7 @@ object CorpusPipeline {
           element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val freq = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .cutLineage()
     val ctx = freq.groupBy("w1").agg(sum("c12").as("c1"))
     // both sides derive from aggregates whose size Catalyst can't estimate,
     // and the bigram vocabulary is unbounded at corpus scale — pin
@@ -540,7 +541,7 @@ object CorpusPipeline {
       .filter(col("tok") =!= "")
     val feat = toks
       .select(col("doc_id"), substring(md5(col("tok")), 1, hexChars).as("b"))
-      .localCheckpoint()
+      .cutLineage()
     val raw = feat.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgt = feat
       .join(docs.filter(targetFilter).select("doc_id"), Seq("doc_id"), "left_semi")
@@ -550,7 +551,7 @@ object CorpusPipeline {
     // through the +1
     val counts = raw.join(tgt, Seq("b"), "left")
       .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-      .localCheckpoint()
+      .cutLineage()
     val tot = counts.agg(coalesce(sum("cr"), lit(0L)), coalesce(sum("ct"), lit(0L))).head()
     val (tr, tt) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
     val ratio = counts.select(col("b"),
@@ -560,7 +561,7 @@ object CorpusPipeline {
       .join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(round(sum(col("c") * col("lr")), 4).as("logweight"))
-      .localCheckpoint()
+      .cutLineage()
     val k = math.floor(weights.count() * selectFraction).toLong
     val byW = org.apache.spark.sql.expressions.Window
       .orderBy(col("logweight").desc, col("doc_id"))
@@ -601,7 +602,7 @@ object CorpusPipeline {
           element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val freq = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .cutLineage()
     val left = freq.groupBy("w1").agg(sum("c12").as("c1"))
     val right = freq.groupBy("w2").agg(sum("c12").as("c2"))
     val t = freq.agg(coalesce(sum("c12"), lit(0L))).head.getLong(0).toDouble
@@ -664,7 +665,7 @@ object CorpusPipeline {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       // the loop re-reads this table every iteration; checkpoint so the
       // corpus explode+aggregate runs once, not nMerges times
-      .localCheckpoint()
+      .cutLineage()
     val S = "\u0001"; val E = "\u0002"
     var seg = words.select(
       regexp_replace(col("w"), "(.)", s"$S$$1$E").as("seg"), col("cnt"))
@@ -831,7 +832,7 @@ object CorpusPipeline {
    * Scale shape: three scan-stage kernel passes over the corpus (quality
    * histogram, contamination screen, token counts), one broadcast semi-join
    * per verdict; the narrow (doc_id, source, n_tokens) survivor table is
-   * localCheckpoint'ed once so the mix-rate aggregate and the packing pass
+   * cut-materialized once so the mix-rate aggregate and the packing pass
    * don't re-execute the three-stage upstream.
    */
   def assembleCorpus(docs: DataFrame, benchmark: DataFrame,
@@ -843,7 +844,7 @@ object CorpusPipeline {
     // verdict, not `kept` itself (one id column vs re-materializing the
     // full corpus text), so the kernel+histogram pass runs once and each
     // consumer pays only a scan + broadcast semi-join
-    val qualityIds = qualityFilter(docs).select("doc_id").localCheckpoint()
+    val qualityIds = qualityFilter(docs).select("doc_id").cutLineage()
     val kept = docs.join(qualityIds, Seq("doc_id"), "left_semi")
     // contamination fraction per doc: shared grams over the doc's own
     // distinct gram count, 4-dp rounded (the cross-engine contract scale);
@@ -861,7 +862,7 @@ object CorpusPipeline {
       // semi-join by doc_id) — without a checkpoint each re-executes the
       // qualityFilter + decontaminate gram-explode upstream; the frame is
       // two narrow columns, one row per kept doc
-      .localCheckpoint()
+      .cutLineage()
     val hist = cfrac.groupBy("cfrac").agg(count(lit(1)).as("c"))
     // unpartitioned windows over the HISTOGRAM (≤ 10001 rows at any corpus
     // size) — the one-partition WindowExec is driver-trivial by design,
@@ -885,7 +886,7 @@ object CorpusPipeline {
     val clean = kept.join(
       cfrac.join(broadcast(keepValues), Seq("cfrac"), "left_semi").select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val d = withTokenCounts(clean).localCheckpoint()
+    val d = withTokenCounts(clean).cutLineage()
     val mixed = d.join(
       domainMixFromTokens(d, weights, defaultWeight).select("doc_id"),
       Seq("doc_id"), "left_semi")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.util.Materialize.MaterializeOps
 import org.apache.spark.sql.functions._
 
 /**
@@ -100,12 +101,12 @@ object Dedup {
       numHashes: Int = 64, numBands: Int = -1, shingleN: Int = 4,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val b = if (numBands > 0) numBands else bandsForThreshold(threshold)
-    // localCheckpoint, not cache(): each call would otherwise pin a plan in
+    // Materialize.cut, not cache(): each call would otherwise pin a plan in
     // the session CacheManager forever (never unpersisted — a lazy
     // DataFrame-returning operator has no afterwards to unpersist in);
     // checkpoint blocks are context-cleaned once the frame is unreferenced
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN, seed)
-      .localCheckpoint()
+      .cutLineage()
     val bands = lshBands(sigs, idCol, b, numHashes)
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
@@ -186,11 +187,11 @@ object Dedup {
     require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val numBands = maxHamming + 1
     val width = 64 / numBands // last band absorbs the leftover high bits
-    // localCheckpoint, not cache(): both self-join sides re-derive the
+    // Materialize.cut, not cache(): both self-join sides re-derive the
     // simhash kernel without a cut, and a cache() in a lazy builder pins
     // the plan in the session CacheManager forever (no afterwards to
     // unpersist in — same reasoning as [[ngramJaccard]]). Eager.
-    val hashes = simHashes(docs, textCol, idCol).localCheckpoint()
+    val hashes = simHashes(docs, textCol, idCol).cutLineage()
     val bands = (0 until numBands).map { b =>
       val bits =
         if (b == numBands - 1) shiftrightunsigned(col("simhash"), b * width)
@@ -242,11 +243,11 @@ object Dedup {
       // call them near-dups either) and, left in, they band-collide on
       // every key — an n² clique of false hamming-0 "duplicates"
       .filter(col("sh0") =!= 0 || col("sh1") =!= 0)
-      // localCheckpoint: the kernel is the dominant per-row scan cost and
+      // Materialize.cut: the kernel is the dominant per-row scan cost and
       // this frame feeds BOTH sides of the band self-join — without it the
       // corpus is scanned and hashed twice. (checkpoint, not cache: blocks
       // are context-cleaned when the frame is collected, no session leak)
-      .localCheckpoint()
+      .cutLineage()
     hashes.select(col(idCol), col("sh0"), col("sh1"),
       explode(graft.functions.GraftFunctions.simHashBandKeys128(
         col("sh0"), col("sh1"), rotations)).as("band_key"))
@@ -348,9 +349,9 @@ object Dedup {
         cnIds == cnDocs) {
       val sc = docs.sparkSession.sparkContext
       val spread = graft.util.Spread.ifNarrow(livedocs.select(col(idCol), col(textCol)))
-        .localCheckpoint()
+        .cutLineage()
       val spreadSigs = minHashSignatures(spread, textCol, idCol, numHashes, shingleN, seed)
-        .localCheckpoint()
+        .cutLineage()
       val idx = collectProbeIndex(
         spread, spreadSigs, historyLshBands(spreadSigs, idCol, b, numHashes),
         textCol, shingleN)
@@ -360,12 +361,12 @@ object Dedup {
         .select(col("doc_a").cast(idDt).as("doc_a"),
           col("doc_b").cast(idDt).as("doc_b"), col("jaccard"))
     }
-    // localCheckpoint, not cache(): each call would otherwise pin a plan in
+    // Materialize.cut, not cache(): each call would otherwise pin a plan in
     // the session CacheManager forever (never unpersisted — a lazy
     // DataFrame-returning operator has no afterwards to unpersist in);
     // checkpoint blocks are context-cleaned once the frame is unreferenced
     val sigs = minHashSignatures(livedocs, textCol, idCol, numHashes, shingleN, seed)
-      .localCheckpoint()
+      .cutLineage()
     // size-based side selection for the two attach joins below: the pair
     // set is collision-density-sized (it can exceed the corpus by orders of
     // magnitude on a high-background corpus — 1.75M pairs from 5k docs on
@@ -390,7 +391,7 @@ object Dedup {
       .join(attach(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))), "doc_a")
       .join(attach(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       .filter(est >= math.max(0.0, threshold - 0.15))
-      .select("doc_a", "doc_b").localCheckpoint()
+      .select("doc_a", "doc_b").cutLineage()
     // shingle sets materialize ONLY for docs that survived est-prefilter:
     // at production scale candidates cover a small fraction of the corpus,
     // so the semi-join saves two full-corpus shingle+sort kernel passes
@@ -404,7 +405,7 @@ object Dedup {
     val sh = livedocs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
-      .localCheckpoint()
+      .cutLineage()
     candidates
       .join(attach(sh.select(col(idCol).as("doc_a"), col("shs").as("shs_a"))), "doc_a")
       .join(attach(sh.select(col(idCol).as("doc_b"), col("shs").as("shs_b"))), "doc_b")
@@ -462,9 +463,9 @@ object Dedup {
         cnIds == cnDocs) {
       val sc = oldDocs.sparkSession.sparkContext
       val spreadOld = graft.util.Spread.ifNarrow(liveOld.select(col(idCol), col(textCol)))
-        .localCheckpoint()
+        .cutLineage()
       val spreadSigs = minHashSignatures(spreadOld, textCol, idCol, numHashes, shingleN, seed)
-        .localCheckpoint()
+        .cutLineage()
       val idx = collectProbeIndex(
         spreadOld, spreadSigs, historyLshBands(spreadSigs, idCol, numBands, numHashes),
         textCol, shingleN)
@@ -475,7 +476,7 @@ object Dedup {
           col("old_id").cast(oldDt).as("old_id"), col("jaccard"))
     }
     val oldSigs = minHashSignatures(liveOld, textCol, idCol, numHashes, shingleN, seed)
-      .localCheckpoint()
+      .cutLineage()
     crossNearDupsWithHistorySigs(liveNew, liveOld, oldSigs,
       textCol, idCol, shingleN, threshold, numHashes, numBands, seed)
   }
@@ -519,7 +520,7 @@ object Dedup {
   final case class HistoryBands(df: DataFrame, idCol: String, numBands: Int, numHashes: Int) {
     /** Checkpoint the frame, keeping the param tags (the ingestion-loop shape:
       * band once, reuse across micro-batches). */
-    def localCheckpoint(): HistoryBands = copy(df = df.localCheckpoint())
+    def localCheckpoint(): HistoryBands = copy(df = df.cutLineage())
   }
 
   /** The history side of [[crossNearDupsWithHistorySigs]]'s band join in its
@@ -867,7 +868,7 @@ object Dedup {
           .as("sig"),
         shingleHashes(col(textCol), shingleN).as("shs_a"))
       .filter(col("sig").isNotNull && size(col("shs_a")) > 0)
-      .localCheckpoint()
+      .cutLineage()
     // in broadcastBatch mode every batch-side frame broadcasts so history
     // streams map-side; otherwise the (checkpointed, so accurately sized)
     // frame is left to the planner
@@ -919,7 +920,7 @@ object Dedup {
       // corpus-sized new side: candidates checkpoint once (they feed the
       // history semi-join AND the verify join), history shingles compute
       // behind a semi-join so text never rides an exchange
-      val cand = candidates.localCheckpoint()
+      val cand = candidates.cutLineage()
       val oldSh = oldDocs
         .join(cand.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
         .select(col(idCol).as("old_id"), shingleHashes(col(textCol), shingleN).as("shs_b"))
@@ -1055,13 +1056,13 @@ object Dedup {
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("shs"))
       .withColumn("n_sh", size(col("shs")))
     val inv = sh.select(col(idCol), col("n_sh"), explode(col("shs")).as("s"))
-      .localCheckpoint()
+      .cutLineage()
     val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     // postings are explode-amplified too — same shuffle-hash pin as the
     // band joins; df-capped `rare` is the smaller (build) side
     val pruned = inv.join(rare.select("s").hint("shuffle_hash"), "s")
-      .localCheckpoint()
+      .cutLineage()
     val a = pruned.select(col("s"), col(idCol).as("doc_a"), col("n_sh").as("n_a"))
     val b = pruned.select(col("s"), col(idCol).as("doc_b"), col("n_sh").as("n_b"))
     a.join(b.hint("shuffle_hash"), "s").filter(col("doc_a") < col("doc_b"))
@@ -1112,7 +1113,7 @@ object Dedup {
     val g = graft.util.Spread.ifNarrow(docs)
       .select(col(idCol),
         explode(shingleHashes(col(textCol), gramN)).as("g"))
-      .localCheckpoint()
+      .cutLineage()
     val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
     // shuffle-hash hint: Catalyst's size estimate for the exploded side is
     // the parquet FILE size, so at small SF it happily BROADCASTS the
@@ -1141,7 +1142,7 @@ object Dedup {
    * convergence is O(log diameter) iterations instead of O(diameter) —
    * text near-dup clusters are shallow, but semantic-similarity graphs
    * ([[Similarity.semanticDedup]]) form long chains that plain propagation
-   * would walk hop by hop. Join-per-iteration with localCheckpoint to cut
+   * would walk hop by hop. Join-per-iteration with Materialize.cut to sever
    * lineage. Returns (doc_id, cluster_id = smallest reachable id) for
    * every doc that appears in a pair.
    *
@@ -1448,7 +1449,7 @@ object Dedup {
         array_join(slice(col("w"), col("seg_idx") * segWords + 1, lit(segWords)), " ")
           .as("seg"))
       .withColumn("k", md5(col("seg")))
-      .localCheckpoint()
+      .cutLineage()
     val repeated = segs.groupBy("k").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
     segs.join(repeated.hint("shuffle_hash"), Seq("k"), "left")
@@ -1504,7 +1505,7 @@ object Dedup {
         graft.functions.GraftFunctions.wordGramMd5s(col(textCol), n).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col(idCol), explode(col("gs")).as("g"))
-      .localCheckpoint()
+      .cutLineage()
     val gc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val dfq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -1512,7 +1513,7 @@ object Dedup {
     // band/inverted join in this file; checkpointed because the pair
     // self-join consumes it twice and the df cap bounds it
     val pr = grams.join(dfq.select("g").hint("shuffle_hash"), "g")
-      .localCheckpoint()
+      .cutLineage()
     pr.select(col("g"), col(idCol).as("contained_id"))
       .join(pr.select(col("g"), col(idCol).as("container_id")).hint("shuffle_hash"), "g")
       .filter(col("contained_id") =!= col("container_id"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
+import graft.util.Materialize.MaterializeOps
 import graft.sink.{DefaultTopicSelector, MessageQueueSink, RowMessageConverter}
 import graft.source.TopicLog
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -474,7 +475,7 @@ object MqRoundtrip {
 
     val benchDistinct = all.filter(col("doc_id") % 97 === 0)
       .select(explode(Dedup.shingleHashes(col("text"), 8)).as("sh"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     // the driver-sized contract, ENFORCED BEFORE the collect (a require
     // after it would fire only if the driver survived materializing the
     // oversized array): the literal rides into every task's plan, so an
@@ -634,8 +635,8 @@ object MqRoundtrip {
       val effMaxBytes = graft.util.FastPaths.ceiling(Dedup.DefaultProbeIndexMaxBytes)
       if (effMaxBytes > 0 && Dedup.probeIndexEstBytes(history) <= effMaxBytes) {
         val spread = graft.util.Spread.ifNarrow(
-          history.select(col("doc_id"), col("text"))).localCheckpoint()
-        val sigs = Dedup.minHashSignatures(spread).localCheckpoint()
+          history.select(col("doc_id"), col("text"))).cutLineage()
+        val sigs = Dedup.minHashSignatures(spread).cutLineage()
         Dedup.buildHistoryProbeIndex(spread, sigs, Dedup.historyLshBands(sigs))
           .map(spark.sparkContext.broadcast(_))
       } else None
@@ -644,7 +645,7 @@ object MqRoundtrip {
     // micro-batch (re-banding re-explodes the full history signature set
     // 16-wide; paying that per arriving batch is pure per-batch waste).
     // Lazy — only the above-ceiling join plan materializes these
-    lazy val oldSigs = Dedup.minHashSignatures(history).localCheckpoint()
+    lazy val oldSigs = Dedup.minHashSignatures(history).cutLineage()
     lazy val oldBands = Some(Dedup.historyLshBands(oldSigs).localCheckpoint())
 
     // ~4 micro-batches at ANY corpus size: enough to prove the multi-batch

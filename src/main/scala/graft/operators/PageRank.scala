@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.util.Materialize.MaterializeOps
 import org.apache.spark.sql.functions._
 
 /**
@@ -21,7 +22,7 @@ import org.apache.spark.sql.functions._
  * Scale shape: one outdeg aggregate (edge-bounded), then per iteration a
  * contributions join pinned shuffle-hash on the rank table (rank
  * cardinality derives from the graph — broadcast is not gambled) + one
- * dst-keyed sum, both bounded by |edges|; localCheckpoint cuts the
+ * dst-keyed sum, both bounded by |edges|; Materialize.cut severs the
  * iteration lineage exactly as [[Dedup.nearDupClusters]] does. Iteration
  * count is fixed (power iteration, not convergence-polled), so the plan
  * depth is static.
@@ -160,7 +161,7 @@ object PageRank {
     val view = s"graft_knn_edges_${math.abs(dir.hashCode)}"
     Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 16)
       .select(col("src_id").as("src"), col("neighbor_id").as("dst"))
-      .localCheckpoint()
+      .cutLineage()
       .createOrReplaceTempView(view)
     spark.sql(
       s"""WITH RECURSIVE walk(id, hop) AS (

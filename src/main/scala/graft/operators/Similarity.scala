@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.util.Materialize.MaterializeOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -457,7 +458,7 @@ object Similarity {
    * quantize_embeddings per-dim-stats shape) — at 100 TB swap the exact
    * percentile for approx_percentile and keep everything else; centers
    * and cutoffs are labels-bounded and explicitly broadcast; scoring is
-   * one scan-stage cosine kernel pass, localCheckpoint'ed so the cutoff
+   * one scan-stage cosine kernel pass, cut-materialized so the cutoff
    * aggregate and the final join don't recompute the median pipeline.
    */
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
@@ -472,7 +473,7 @@ object Similarity {
     val scored = emb.join(broadcast(centers), "label")
       .select(col("vec_id"), col("label"),
         round(cosine(col("emb"), col("center")), 4).as("sim"))
-      .localCheckpoint()
+      .cutLineage()
     val cut = scored.groupBy(col("label"))
       .agg(expr("percentile(sim, 0.1)").as("cutoff"))
     scored.join(broadcast(cut), "label")
@@ -1134,7 +1135,7 @@ object Similarity {
       .withColumn("cell", explode(
         graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
       .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
-      .localCheckpoint()
+      .cutLineage()
     val cells = probeCells.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))

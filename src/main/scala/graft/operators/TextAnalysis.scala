@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.util.Materialize.MaterializeOps
 import org.apache.spark.sql.functions._
 
 /**
@@ -480,7 +481,7 @@ object TextAnalysis {
     // checkpointed: both the df aggregation and the scoring join consume tf
     // — without the barrier the corpus tokenize + token shuffle runs twice
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cutLineage()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.count().toDouble
     val scored = tf.join(dfreq.hint("shuffle_hash"), "term")
@@ -535,7 +536,7 @@ object TextAnalysis {
     // scoring join) would otherwise each re-run the corpus tokenize +
     // token shuffle — the dominant scan cost of the whole operator
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cutLineage()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // numTerms-row driver census defines the query set; df rides along so
     // scoring needs no second join against the vocabulary table
@@ -610,10 +611,10 @@ object TextAnalysis {
     val fps = winnowFingerprints(spread, "text", k, w)
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)
-      .localCheckpoint()
+      .cutLineage()
     val shared = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2 && col("n_docs") <= maxDocs)
-      .localCheckpoint()
+      .cutLineage()
     fps.join(shared.hint("shuffle_hash"), "fp")
       .groupBy("fp", "n_docs")
       .agg(
@@ -744,7 +745,7 @@ object TextAnalysis {
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0)))
         .as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .cutLineage()
     // corpus-relative rare/frequent threshold: the 1-row total re-enters as
     // a broadcast (a global window would single-partition the vocab table);
     // floor division keeps it integer-exact in both engines (Spark's `/` on

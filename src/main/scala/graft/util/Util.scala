@@ -141,12 +141,29 @@ object IdTypes {
   * cluster) whenever `sparkContext.setCheckpointDir` has been called, and
   * falls back to `localCheckpoint` only when no directory is configured —
   * i.e. local mode, where executor loss is JVM death and block replay buys
-  * nothing. Results are identical either way; only durability changes. */
+  * nothing. Results are identical either way; only durability changes.
+  *
+  * Every one-shot materialization in the operator pack routes through the
+  * [[Materialize.MaterializeOps.cutLineage]] postfix (round 17): the same
+  * "`cache()` would pin a plan in the session CacheManager forever" reason
+  * that picked `localCheckpoint` over `cache()` in the lazy builders holds
+  * for the reliable variant, and a cluster that sets a checkpoint
+  * directory gets executor-loss survival at every cut site, not only the
+  * iterative ones. Reliable checkpoint files are reclaimed by the context
+  * cleaner when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (set it on long-running clusters; local runs use localCheckpoint whose
+  * blocks die with the frame). */
 object Materialize {
   def cut[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
     if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
       ds.checkpoint(eager = true)
     else ds.localCheckpoint(eager = true)
+
+  /** [[cut]] as a postfix, so operator code reads like the
+    * `.localCheckpoint()` it replaces. */
+  implicit final class MaterializeOps[T](private val ds: org.apache.spark.sql.Dataset[T]) extends AnyVal {
+    def cutLineage(): org.apache.spark.sql.Dataset[T] = cut(ds)
+  }
 }
 
 /** Process-wide diagnostic switch that forces every size-adaptive fast
