@@ -18,6 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Run: `SPARK_GRAFT_SCALE_SMALL=/root/testdata/sf0.01
  *       SPARK_GRAFT_SCALE_BIG=/root/testdata/sf0.1 sbt "runMain graft.ScaleCheck"`
+ * Optional lanes: SPARK_GRAFT_SCALE_BIG2 (second decade, a ScaleData sf1),
+ * SPARK_GRAFT_SCALE_BIG3 (third decade, sf10 — requires BIG2),
+ * SPARK_GRAFT_SCALE_SKEW/_SKEW_BASE (hot-bucket tax vs a uniform twin).
  * Writes `SCALING.json` (per-key small/big/ratio/bound) and exits non-zero
  * on any violation.
  */
@@ -70,8 +73,20 @@ object ScaleCheck {
     import graft.operators.Similarity._
     key match {
       case "embed_neardup" | "semantic_dedup" =>
-        def f(n: Long) = 1 + adaptiveProbeFlips(adaptiveLshBits(n, 4), 4)
-        f(nBig).toDouble / f(nSmall)
+        // expected candidate work per vector: tables × probes × the
+        // ABOVE-TARGET part of the realized bucket occupancy (N/2^bits
+        // sawtooths up to ~1.5× the 128 target between width steps — at
+        // sf10 it sits at 195, real extra kernel work the probe factor
+        // alone understates; below the target the floor-regime occupancy
+        // is already priced into the data ratio, so it clamps to 1 and
+        // the historical small-SF bounds are unchanged)
+        def f(n: Long) = {
+          val bits = adaptiveLshBits(n, 4)
+          adaptiveLshTables(bits, 4).toDouble *
+            (1 + adaptiveProbeFlips(bits, 4)) *
+            math.max(1.0, n.toDouble / (1L << bits) / TargetBucketOccupancy)
+        }
+        f(nBig) / f(nSmall)
       case "knn_graph_probe" =>
         def np(n: Long) = adaptiveNprobe(adaptiveCentroids(n))
         np(nBig).toDouble / np(nSmall)
@@ -276,6 +291,19 @@ object ScaleCheck {
     val big2 = sys.env.get("SPARK_GRAFT_SCALE_BIG2")
     val second = big2.map(b2 => check(spark, lane(DataBoundEntries), big, b2))
       .getOrElse(Seq.empty)
+    // THIRD DECADE (optional, round 17): SPARK_GRAFT_SCALE_BIG3 names a
+    // dir one more decade above big2 (a ScaleData-synthesized sf10 — 2M
+    // docs / 200k vectors / 10M events). Three measured decades catch
+    // what two can't: a growth term that is super-linear but mild (N^1.2
+    // passes one 10× step inside the slack; it compounds across two) and
+    // escalation-boundary effects that happen to sit between sf1 and sf10
+    // (the 16×256 PQ step, the √-law nprobe at K≈500). Requires big2 —
+    // the lane's small side is the second decade's big side.
+    val big3 = sys.env.get("SPARK_GRAFT_SCALE_BIG3")
+    val third = (big2, big3) match {
+      case (Some(b2), Some(b3)) => check(spark, lane(DataBoundEntries), b2, b3)
+      case _ => Seq.empty
+    }
     // SKEW lane (optional): SPARK_GRAFT_SCALE_SKEW names a
     // ScaleData-mode=skew dir; SPARK_GRAFT_SCALE_SKEW_BASE its
     // equally-sized UNIFORM twin (ScaleData default mode, same factor).
@@ -305,10 +333,15 @@ object ScaleCheck {
     // forced-distributed lane LAST: the flag is process-wide, so nothing
     // may time a default-lane entry after it flips
     sys.props("graft.force.distributed") = "1"
-    val (forced, secondForced, skewForced) = try {
+    val (forced, secondForced, thirdForced, skewForced) = try {
       (check(spark, lane(ForcedDistributedKeys), small, big),
         big2.map(b2 => check(spark, lane(ForcedDistributedKeys), big, b2))
           .getOrElse(Seq.empty),
+        (big2, big3) match {
+          case (Some(b2), Some(b3)) =>
+            check(spark, lane(ForcedDistributedKeys), b2, b3)
+          case _ => Seq.empty
+        },
         checkSkew(lane(SkewKeys).filter(k =>
           ForcedDistributedKeys.map(_._1).contains(k._1))))
     } finally sys.props.remove("graft.force.distributed")
@@ -316,6 +349,13 @@ object ScaleCheck {
       s""","second_decade_big":"$b2",""" +
         s""""second_decade":${entryJson(second)},""" +
         s""""second_decade_forced":${entryJson(secondForced)}""").getOrElse("")
+    val thirdJson = (big2, big3) match {
+      case (Some(_), Some(b3)) =>
+        s""","third_decade_big":"$b3",""" +
+          s""""third_decade":${entryJson(third)},""" +
+          s""""third_decade_forced":${entryJson(thirdForced)}"""
+      case _ => ""
+    }
     val skewJson = (skewBase, skewDir) match {
       case (Some(u), Some(sd)) =>
         s""","skew_base":"$u","skew_big":"$sd",""" +
@@ -336,11 +376,11 @@ object ScaleCheck {
       s""""entries":${entryJson(results)},""" +
       s""""third_point_small_mid":${entryJson(step1)},""" +
       s""""third_point_mid_big":${entryJson(step2)},""" +
-      s""""forced_distributed":${entryJson(forced)}$secondJson$skewJson$memJson}"""
+      s""""forced_distributed":${entryJson(forced)}$secondJson$thirdJson$skewJson$memJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
     println(line)
     val bad = (results ++ step1 ++ step2 ++ forced ++ second ++ secondForced ++
-      skew ++ skewForced)
+      third ++ thirdForced ++ skew ++ skewForced)
       .filterNot(_.ok)
     bad.foreach(r => System.err.println(
       f"[scale] ${r.key} grew ${r.ratio}%.1fx across the data step (bound ${r.bound}%.1fx)"))

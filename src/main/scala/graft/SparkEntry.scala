@@ -1830,9 +1830,12 @@ object SparkEntry {
       queryCol = "query_id", nprobe = "8", k = 10),
     // nprobe = the √-law escalation of Similarity.adaptiveNprobe, computed
     // from count(*) like K itself: 6 at every correctness SF (K = 16),
-    // ceil(sqrt(3.6·K)) above — 36.0·k exact in IEEE doubles, /10.0
-    // correctly rounded, sqrt/ceil correctly rounded in both engines, so
-    // the oracle probes the identical cells at every SF
+    // ceil(sqrt(3.6·K)) above, × (K/160)^(1/4) past the last validated
+    // decade (round 17: K=1600 probes 135 cells) — 36.0·k exact in IEEE
+    // doubles, /10.0 correctly rounded, sqrt/ceil correctly rounded, the
+    // boost two more correctly-rounded sqrts and one multiply, identical
+    // op order in both engines, so the oracle probes the identical cells
+    // at every SF
     "knn_graph_probe" -> ivfProbeOracle(
       queries = "SELECT vec_id AS query_id, emb AS q_emb FROM e",
       queryCol = "src_id", nprobe = "(SELECT np FROM nprb)", k = 5,
@@ -2088,7 +2091,9 @@ object SparkEntry {
   private val ivfHomeCtesAdaptive: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |ncent AS (SELECT greatest(16, CAST(ceil(count(*)::DOUBLE / 125.0) AS BIGINT)) AS k FROM e WHERE emb IS NOT NULL),
-      |nprb AS (SELECT CASE WHEN k <= 16 THEN 6 ELSE least(k, CAST(ceil(sqrt(36.0 * k / 10.0)) AS BIGINT)) END AS np FROM ncent),
+      |nprb AS (SELECT CASE WHEN k <= 16 THEN 6
+      |  WHEN k <= 160 THEN least(k, CAST(ceil(sqrt(36.0 * k / 10.0)) AS BIGINT))
+      |  ELSE least(k, CAST(ceil(sqrt(36.0 * k / 10.0) * sqrt(sqrt(k / 160.0))) AS BIGINT)) END AS np FROM ncent),
       |cent AS (
       |  SELECT cid, cemb FROM (
       |    SELECT row_number() OVER (
@@ -2276,13 +2281,22 @@ object SparkEntry {
     * `pb` degenerates to the home buckets and the candidate set is the
     * historical one; at the synthesized decades the probe side recovers
     * the Hamming-1 recall the narrower adaptive banding traded away —
-    * replaying [[graft.functions.HyperplaneProbeGenExpr]] exactly. */
+    * replaying [[graft.functions.HyperplaneProbeGenExpr]] exactly.
+    *
+    * Table growth (round 17): `nt` computes the n^ρ table count of
+    * [[graft.operators.Similarity.adaptiveLshTables]] — L = least(256,
+    * 16 << ceil(13·Δ/20)) for Δ = bits past the flips knee (7) — with the
+    * same integer arithmetic ((13Δ+19)//20). L resolves to the historical
+    * 16 at every correctness SF and at sf1 (bits ≤ 7); the rng CTE's LCG
+    * stream per table is unchanged (seed 42 + t·1000), more tables just
+    * instantiate more independent streams, exactly like the kernel. */
   private val lshBucketCtesAdaptive: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
       |nb AS (SELECT greatest(4, length(bin(greatest(count(*) // 128, 1))) - 1) AS bits FROM e WHERE emb IS NOT NULL),
+      |nt AS (SELECT least(256, 16 * (1 << ((13 * greatest(0, (SELECT bits FROM nb) - 7) + 19) // 20))) AS L),
       |rng(t, n, s) AS (
-      |  SELECT t, 0, (42 + t*1000)::HUGEINT FROM range(16) AS tt(t)
+      |  SELECT t, 0, (42 + t*1000)::HUGEINT FROM range(256) AS tt(t) WHERE t < (SELECT L FROM nt)
       |  UNION ALL
       |  SELECT t, n+1,
       |    ((s % 4294967296) * 6364136223846793005

@@ -142,6 +142,34 @@ object Similarity {
   def adaptiveProbeFlips(bits: Int, floorBits: Int, maxFlips: Int = 3): Int =
     math.max(0, math.min(maxFlips, bits - floorBits))
 
+  /** Table-growth escalation for the LSH pair operators — the third lever
+    * after width ([[adaptiveLshBits]]) and probes ([[adaptiveProbeFlips]]),
+    * and the one that holds RECALL constant as the corpus grows (the
+    * classic L = n^ρ LSH bound: more independent tables, each a fresh
+    * chance to co-bucket a pair the others split). Why it's needed: the
+    * occupancy-constant width keeps COST linear but narrows every bucket,
+    * and the measured per-table pair-collision rate at the stress
+    * threshold decays ×0.637 per added bit (sf10 sweep, three widths, the
+    * ratio is bit-stable) — with tables fixed at 16 the union recall fell
+    * off a cliff one decade past the flips cap (0.915 at sf1 → 0.45 at
+    * sf10). Growing tables by the inverse factor (×1.57/bit ≈ ×2 per 20/13
+    * bits) holds the union where the flips cap left it: measured sf10
+    * recall at the shipped (bits 10, flips 3, L 64) point is back at ~0.9
+    * for ~4× the sf1 candidate factor — N^1.6 total, the n^ρ cost the
+    * theory says constant recall must price. Engagement: Δbits past the
+    * flips knee (floor + maxFlips), so L == baseTables at EVERY
+    * correctness SF and at sf1 (bits ≤ 7) — no oracle-checked answer
+    * moves. The 256 cap (≈ sf1000 at floor 4) bounds per-vector probe
+    * fan-out like [[graft.functions.MisraGriesAgg]]'s capacity cap bounds
+    * sketch memory: past it recall degrades gradually again rather than
+    * cost growing without bound — the documented honest-degradation
+    * pattern. DuckDB oracles compute the identical integer formula. */
+  val MaxLshTables: Int = 256
+  def adaptiveLshTables(bits: Int, floorBits: Int = 4, baseTables: Int = 16): Int = {
+    val delta = math.max(0, bits - (floorBits + 3))
+    math.min(MaxLshTables, baseTables << ((13 * delta + 19) / 20))
+  }
+
   /** IVF sibling of [[adaptiveProbeFlips]] — nprobe escalation under the
     * √-law: nprobe = ceil(√(floorNprobe²·K/10)), i.e. the probed CELL
     * COUNT grows as √K while the probed FRACTION shrinks as 1/√K. The two
@@ -162,8 +190,26 @@ object Similarity {
   def adaptiveNprobe(numCentroids: Int, floorNprobe: Int = 6,
       floorCentroids: Int = 16): Int =
     if (numCentroids <= floorCentroids) floorNprobe
-    else math.min(numCentroids, math.ceil(math.sqrt(
-      floorNprobe.toDouble * floorNprobe * numCentroids / 10.0)).toInt)
+    else {
+      val base = math.sqrt(
+        floorNprobe.toDouble * floorNprobe * numCentroids / 10.0)
+      // third-decade boost (round 17): the pure √-law held recall roughly
+      // flat through K=160 (0.642/0.656/0.562 at K=16/48/160) but decayed
+      // to 0.480 at K=1600 — the probed FRACTION shrinks as 1/√K and one
+      // more decade outruns it. Above the last √-law-validated decade the
+      // probe depth gains a (K/160)^(1/4) factor (two IEEE sqrts — the
+      // same cross-engine-exact arithmetic contract as the base): at
+      // K=1600 that is nprobe 135, measured edge recall 0.607 vs 0.541 at
+      // the 1/8-power alternative's 102 (below the 0.55 probe assertion).
+      // Cost: probed cells ∝ K^(3/4) per vector — N^1.75 total, the
+      // measured price of holding the 0.50 floor with margin at the
+      // third decade; the min(K, ·) cap still degrades to the exhaustive
+      // (exact) search rather than past it.
+      val boosted =
+        if (numCentroids <= 160) base
+        else base * math.sqrt(math.sqrt(numCentroids / 160.0))
+      math.min(numCentroids, math.ceil(boosted).toInt)
+    }
 
   /** (srcCols*, table, bucket) — one row per vector per table. */
   def lshBuckets(
@@ -1607,8 +1653,12 @@ object Similarity {
     // multi-probe engages exactly where the width exceeds the floor (zero
     // flips at every correctness SF): measured sf1 recall at the stress
     // threshold recovers above the 0.75 correctness-SF floor — see
-    // [[Similarity.adaptiveProbeFlips]] and BASELINE.md's recall-vs-SF curve
-    val approx = embeddingNearDups(emb, threshold = 0.3, numTables = 16,
+    // [[Similarity.adaptiveProbeFlips]] and BASELINE.md's recall-vs-SF curve.
+    // Tables grow under the n^ρ law one decade further out (L = 16 through
+    // sf1, 64 at sf10 — [[adaptiveLshTables]]), holding the union recall
+    // where the flips cap alone let it fall to 0.45
+    val approx = embeddingNearDups(emb, threshold = 0.3,
+      numTables = adaptiveLshTables(bits, 4),
       bitsPerTable = bits, probeFlips = adaptiveProbeFlips(bits, 4))
     // measured 0.93 (sf0.01) / 0.91 (sf0.1); the exact baseline's eager
     // census/collect must not run at all under bench — it is gate-only
@@ -1634,7 +1684,7 @@ object Similarity {
    * propagation would need O(diameter) iterations.
    */
   def semanticDedup(corpus: DataFrame, threshold: Double,
-      numTables: Int = 16, bitsPerTable: Int = -1, seed: Long = 42L,
+      numTables: Int = -1, bitsPerTable: Int = -1, seed: Long = 42L,
       maxIter: Int = 20, probeFlips: Int = -1): DataFrame = {
     // bitsPerTable < 0 = size-adaptive with floor 4 (this operator's
     // documented low-threshold recall regime; identical to the old fixed
@@ -1651,8 +1701,14 @@ object Similarity {
     val flips = if (probeFlips >= 0) probeFlips
       else if (bitsPerTable > 0) 0
       else adaptiveProbeFlips(bits, 4)
+    // numTables < 0 = adaptive under the n^ρ table-growth law (resolves to
+    // the historical 16 through sf1 — [[adaptiveLshTables]]); explicit
+    // values are honored for the parity suites
+    val tables = if (numTables > 0) numTables
+      else if (bitsPerTable > 0) 16
+      else adaptiveLshTables(bits, 4)
     Dedup.nearDupKeepDecisions(
-      embeddingNearDups(corpus, threshold, numTables, bits, seed,
+      embeddingNearDups(corpus, threshold, tables, bits, seed,
         probeFlips = flips)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       maxIter)

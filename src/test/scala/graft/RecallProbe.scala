@@ -27,10 +27,120 @@ object RecallProbe {
     val n = emb.filter(col("emb").isNotNull).count()
     println(s"[probe] corpus $dir n=$n")
 
+    // the exact all-pairs ground truth is ~25 min at 200k vectors — persist
+    // it beside the SF dir so bit-width sweeps don't recompute it
+    def exactPairs(): org.apache.spark.sql.DataFrame = {
+      // the driver SF dirs are read-only; only the synthesized decades cache
+      if (dir.startsWith("/root/testdata/"))
+        return Similarity.embeddingNearDupsExact(emb, 0.3).select("vec_a", "vec_b")
+      val cachePath = s"$dir/_exact_neardup_pairs.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cachePath))) {
+        Similarity.embeddingNearDupsExact(emb, 0.3)
+          .select("vec_a", "vec_b")
+          .write.mode("overwrite").parquet(cachePath)
+      }
+      spark.read.parquet(cachePath)
+    }
+
+    // bit-width sweep at fixed flips: the evidence behind the √-law bits
+    // cap — BITS=8,9,10 FLIPS=3 env lists, recall per (bits, flips) combo
+    if (what == "neardup-bits") {
+      val exact = exactPairs().cache()
+      val total = exact.count()
+      println(s"[probe] exact pairs=$total (adaptive bits=${Similarity.adaptiveLshBits(n, 4)})")
+      val bitsList = sys.env.getOrElse("BITS", "8,9,10").split(",").map(_.trim.toInt)
+      val flipsList = sys.env.getOrElse("FLIPS", "3").split(",").map(_.trim.toInt)
+      for (b <- bitsList; f <- flipsList) {
+        val (caught, secs) = time {
+          val a = Similarity.embeddingNearDups(emb, 0.3, 16, b, probeFlips = f)
+            .select("vec_a", "vec_b")
+          exact.join(a, Seq("vec_a", "vec_b"), "left_semi").count()
+        }
+        println(f"[probe] embed_neardup bits=$b flips=$f recall=${caught.toDouble / total}%.3f secs=$secs%.1f")
+      }
+      exact.unpersist()
+    }
+
+    // cheap pair-recall ESTIMATOR over sampled exact pairs: a pair is
+    // caught iff some table has probe(a)∩home(b) or probe(b)∩home(a) —
+    // evaluable directly on the pair sample via bucket joins, without
+    // paying the operator's candidate-verify stage. Sweeps many
+    // (bits, flips) combos in minutes; the chosen operating point is then
+    // confirmed with one full operator run (neardup-bits mode).
+    if (what == "neardup-est") {
+      val pct = sys.env.getOrElse("PAIR_PCT", "1").toInt
+      val exact = exactPairs()
+        .filter(pmod(xxhash64(col("vec_a"), col("vec_b")), lit(100)) < pct)
+        .cache()
+      val total = exact.count()
+      println(s"[probe] sampled exact pairs=$total (${pct}%)")
+      val bitsList = sys.env.getOrElse("BITS", "8,9,10").split(",").map(_.trim.toInt)
+      val flipsList = sys.env.getOrElse("FLIPS", "3").split(",").map(_.trim.toInt)
+      val tablesList = sys.env.getOrElse("TABLES", "16").split(",").map(_.trim.toInt)
+      for (b <- bitsList; f <- flipsList; nt <- tablesList) {
+        val (caught, secs) = time {
+          val home = Similarity.lshBuckets(emb.filter(col("emb").isNotNull), "emb", nt, b, 42L)
+            .select(col("vec_id"), col("table"), col("bucket"))
+          val probe = Similarity.lshProbeBuckets(
+              emb.filter(col("emb").isNotNull).select("vec_id", "emb"), "emb", nt, b, 42L, f)
+            .select(col("vec_id"), col("table"), col("bucket"))
+          val ab = exact
+            .join(probe.select(col("vec_id").as("vec_a"), col("table"), col("bucket")), Seq("vec_a"))
+            .join(home.select(col("vec_id").as("vec_b"), col("table"), col("bucket")),
+              Seq("vec_b", "table", "bucket"), "left_semi")
+            .select("vec_a", "vec_b")
+          val ba = exact
+            .join(probe.select(col("vec_id").as("vec_b"), col("table"), col("bucket")), Seq("vec_b"))
+            .join(home.select(col("vec_id").as("vec_a"), col("table"), col("bucket")),
+              Seq("vec_a", "table", "bucket"), "left_semi")
+            .select("vec_a", "vec_b")
+          exact.join(ab.union(ba).distinct(), Seq("vec_a", "vec_b"), "left_semi").count()
+        }
+        println(f"[probe] embed_neardup(est) bits=$b flips=$f tables=$nt recall=${caught.toDouble / total}%.3f secs=$secs%.1f")
+      }
+      exact.unpersist()
+    }
+
+    // sampled-source edge recall for the kNN graph: exact top-5 via brute
+    // force over ~SAMPLE sources (default 2000) — the full exhaustive graph
+    // is N² and infeasible at the third decade, but per-source edge recall
+    // over a deterministic sample estimates the same quantity with
+    // ±~0.01 stderr at 10k edges
+    if (what == "knn-sample") {
+      val k = Similarity.adaptiveCentroids(n)
+      val sample = sys.env.getOrElse("SAMPLE", "2000").toLong
+      val mod = math.max(1L, n / sample)
+      val probes = emb.filter(col("emb").isNotNull && pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      // brute-force top-5 EXCLUDING self, the knnGraph contract
+      val exact = Similarity.bruteForceTopK(emb, probes, 6)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id").as("src_id"), col("neighbor_id")).cache()
+      val totalE = exact.count()
+      val shipped = Similarity.adaptiveNprobe(k)
+      val npList = sys.env.get("NPROBES")
+        .map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(shipped))
+      println(s"[probe] sampled exact edges=$totalE K=$k shipped_nprobe=$shipped")
+      for (np <- npList) {
+        val (caught, secs) = time {
+          val a = Similarity.knnGraph(emb, 5, k, np, 0, Similarity.knuthCentroids _)
+            .select(col("src_id"), col("neighbor_id"))
+          exact.join(a, Seq("src_id", "neighbor_id"), "left_semi").count()
+        }
+        println(f"[probe] knn_graph_probe(sampled) nprobe=$np recall=${caught.toDouble / totalE}%.3f secs=$secs%.1f" +
+          (if (np == shipped) " SHIPPED" else ""))
+      }
+      exact.unpersist()
+    }
+
     if (what == "all" || what == "neardup") {
       val bits = Similarity.adaptiveLshBits(n, 4)
-      val exact = Similarity.embeddingNearDupsExact(emb, 0.3)
-        .select("vec_a", "vec_b").cache()
+      val exact = exactPairs().cache()
       val total = exact.count()
       println(s"[probe] exact pairs=$total bits=$bits")
       for (flips <- Seq(0, 1, 2, 3)) {
@@ -110,9 +220,11 @@ object RecallProbe {
           (if (np == shipped) " SHIPPED" else ""))
         // the calibration assertion (round 17): at the SHIPPED escalation
         // the measured edge recall must clear the 0.50 gate floor with
-        // >= 0.05 margin at EVERY measured scale point — the sqrt-law's
-        // divisor stays a fitted curve (measured 0.642/0.656/0.562 at
-        // K=16/48/160), not a single-decade calibration
+        // >= 0.05 margin at EVERY measured scale point — the law stays a
+        // fitted curve (measured 0.642/0.656/0.562 at K=16/48/160 under
+        // the pure sqrt-law; 0.607 at K=1600 under the (K/160)^(1/4)
+        // third-decade boost, vs 0.480 unboosted), not a single-decade
+        // calibration
         if (np == shipped)
           require(recall >= 0.55,
             f"shipped nprobe=$np recall=$recall%.3f < 0.55 at K=$k — " +

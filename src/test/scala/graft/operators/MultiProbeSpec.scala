@@ -25,6 +25,28 @@ class MultiProbeSpec extends SparkSpec {
     assert(Similarity.adaptiveNprobe(17) === math.ceil(math.sqrt(36.0 * 17 / 10.0)).toInt)
     // never exceeds the cell count
     assert(Similarity.adaptiveNprobe(17) <= 17)
+    // third-decade boost (round 17): above the last √-law-validated decade
+    // (K=160) the depth gains (K/160)^(1/4) — sf10's K=1600 probes 135
+    // cells (measured edge recall 0.607 vs 0.480 at the unboosted 76)
+    assert(Similarity.adaptiveNprobe(1600) === 135)
+    // continuity at the boundary: the boost factor is ~1 just above 160
+    assert(Similarity.adaptiveNprobe(161) === 25)
+  }
+
+  test("adaptiveLshTables: 16 through sf1, n^rho growth above, capped at 256") {
+    // the flips cap binds at bits 7; tables take over one decade further
+    // out — L = 16 << ceil(13*delta/20) for delta bits past the knee,
+    // holding the measured union recall (~0.9) where 16 tables fell to
+    // 0.45 at sf10. Historical 16 at EVERY oracle-checked width.
+    assert(Similarity.adaptiveLshTables(4) === 16) // every correctness SF
+    assert(Similarity.adaptiveLshTables(7) === 16) // the sf1 decade
+    assert(Similarity.adaptiveLshTables(8) === 32)
+    assert(Similarity.adaptiveLshTables(9) === 64)
+    assert(Similarity.adaptiveLshTables(10) === 64) // the sf10 decade: measured 0.905
+    assert(Similarity.adaptiveLshTables(11) === 128)
+    assert(Similarity.adaptiveLshTables(12) === 256)
+    assert(Similarity.adaptiveLshTables(13) === 256)
+    assert(Similarity.adaptiveLshTables(20) === 256) // cap holds at any width
   }
 
   test("adaptiveLshBits: integer log2 exact at power-of-two boundaries") {
