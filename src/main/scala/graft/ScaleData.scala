@@ -51,15 +51,40 @@ object ScaleData {
       Lower.drop(shift) + Lower.take(shift) + Upper.drop(shift) + Upper.take(shift))
   }
 
+  /** Copy-unique SUBSTITUTION alphabet (identity at k=0) — the pigeonhole
+    * fix for COMPOSED decades (round 17): caesar has only 26 distinct
+    * shifts, so once scale stages compose past alphabet size (sf1's
+    * factor 10 × a factor-5 third step = 50 copy paths) distinct paths
+    * land on the same total shift and the "copies are never near-dups"
+    * design breaks — identical-text cliques whose pair mass grows
+    * QUADRATICALLY with the copy count (measured: dedup_minhash sf1→sf5
+    * wall ratio 33× on a 5× step, all of it planted duplicate cliques,
+    * none of it plan). A seeded random permutation per (stage, k) makes
+    * composed mappings distinct products in S₂₆ — no two copy paths
+    * collide — while staying letter-frequency-preserving like caesar
+    * (shingle statistics shift, text length and tokenization don't).
+    * Stage-1 (sf0.1 → sf1) keeps caesar so every committed sf1 artifact
+    * stays byte-stable; enable with SPARK_GRAFT_SCALE_CIPHER=perm for
+    * the decades above. */
+  private def permuted(text: org.apache.spark.sql.Column, k: Int) = {
+    if (k == 0) text
+    else {
+      val r = new scala.util.Random(0x5ca1eda7aL + k)
+      val lower = r.shuffle(('a' to 'z').toList).mkString
+      translate(text, Lower + Upper, lower + lower.toUpperCase)
+    }
+  }
+
   /** id*factor + k: unique iff source ids are unique, stays integral. */
   private def remapId(c: org.apache.spark.sql.Column, factor: Int, k: Int) =
     c * factor + k
 
-  def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
+  def scaleDocuments(df: DataFrame, factor: Int, permCipher: Boolean = false): DataFrame =
     (0 until factor).map { k =>
       df.select(df.columns.map {
         case "doc_id" => remapId(col("doc_id"), factor, k).as("doc_id")
-        case "text" => caesar(col("text"), k).as("text")
+        case "text" =>
+          (if (permCipher) permuted(col("text"), k) else caesar(col("text"), k)).as("text")
         case c => col(c)
       }.toIndexedSeq: _*)
     }.reduce(_ unionByName _)
@@ -323,7 +348,8 @@ object ScaleData {
       ifPresent("orders")(o => write("orders", scaleOrders(o, events, factor, hotPct = 20)))
       ifPresent("customer")(c => write("customer", scaleCustomer(c, events, factor)))
     } else {
-      write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
+      val permCipher = sys.env.get("SPARK_GRAFT_SCALE_CIPHER").contains("perm")
+      write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor, permCipher))
       write("embeddings", scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
       write("events", scaleEvents(events, factor))
       ifPresent("orders")(o => write("orders", scaleOrders(o, events, factor)))

@@ -198,4 +198,30 @@ class ScaleDataSpec extends SparkSpec {
     val hotShare = skewed.filter(col("o_custkey") === 0L).count().toDouble / (300 * factor)
     assert(hotShare > 0.12 && hotShare < 0.30, s"hot share $hotShare out of band")
   }
+
+  test("documents: perm cipher keeps composed copy paths distinct where " +
+      "composed caesar collides by pigeonhole") {
+    // one source doc scaled 10x (caesar, the sf1 stage) then 5x: composed
+    // caesar shifts k1+k2 repeat (alphabet 26 but only 14 distinct totals
+    // from 50 paths) -> identical-text cliques with quadratic pair mass;
+    // the perm cipher (round 17, SPARK_GRAFT_SCALE_CIPHER=perm) keeps all
+    // 50 copy-path texts distinct while preserving length and tokenization
+    val src = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val stage1 = ScaleData.scaleDocuments(src, 10) // caesar, the committed sf1 mapping
+    val caesarComposed = ScaleData.scaleDocuments(stage1, 5)
+    val permComposed = ScaleData.scaleDocuments(stage1, 5, permCipher = true)
+    assert(caesarComposed.count() === 50L)
+    assert(permComposed.count() === 50L)
+    // the pigeonhole: composed caesar produces only 14 distinct texts of 50
+    assert(caesarComposed.select("text").distinct().count() < 50L)
+    // the fix: every perm copy path is textually distinct
+    assert(permComposed.select("text").distinct().count() === 50L)
+    // same length and whitespace structure (letter-substitution only)
+    val lens = permComposed.select(length(col("text"))).distinct().collect()
+    assert(lens.length === 1 && lens(0).getInt(0) === 43)
+    // k = 0 keeps the stage-1 rows verbatim (source rows survive rescaling)
+    val kept = permComposed.join(stage1.select(col("text").as("t1")),
+      col("text") === col("t1"), "left_semi").count()
+    assert(kept === 10L)
+  }
 }
