@@ -43,7 +43,7 @@ object ScaleCheck {
     "winnow_fingerprint" -> "documents", "embed_neardup" -> "embeddings",
     "hybrid_search" -> "documents", "ngram_containment" -> "documents",
     "dedup_minhash_best" -> "documents", "heavy_hitters" -> "documents",
-    "graph_pagerank" -> "embeddings", "hard_negatives" -> "embeddings",
+    "graph_pagerank" -> "embeddings", "hard_negatives_probe" -> "embeddings",
     "q31_reachability" -> "embeddings",
     "bm25_search" -> "documents", "spell_correct" -> "documents",
     "segment_dedup" -> "documents", "text_bigram_logprob" -> "documents",
@@ -69,7 +69,7 @@ object ScaleCheck {
     * quadratic (~100× on the step) still blows far past it. Both factors
     * come from the SAME formulas the operators (and their oracles) use. */
   val EscalationKeys: Set[String] =
-    Set("embed_neardup", "semantic_dedup", "knn_graph_probe", "hard_negatives")
+    Set("embed_neardup", "semantic_dedup", "knn_graph_probe", "hard_negatives_probe")
   def escalationFactor(key: String, nSmall: Long, nBig: Long): Double = {
     import graft.operators.Similarity._
     key match {
@@ -88,11 +88,16 @@ object ScaleCheck {
             math.max(1.0, n.toDouble / (1L << bits) / TargetBucketOccupancy)
         }
         f(nBig) / f(nSmall)
-      case "knn_graph_probe" | "hard_negatives" =>
-        // hard_negatives prunes through the identical nprobe escalation
-        // (the knnGraph cell machinery with a label filter) — round 17:
-        // its third-step row failed at 8.96× vs a bound that omitted the
-        // deliberate 3.4× nprobe ratio, a pure modeling gap in this lane
+      case "knn_graph_probe" | "hard_negatives_probe" =>
+        // both prune through the identical nprobe escalation (the knnGraph
+        // cell machinery; hard_negatives_probe adds a label filter).
+        // EscalationKeys' contract — factors come from the SAME formulas
+        // the operators use — is why the EXHAUSTIVE hard_negatives entry
+        // is NOT here (ADVICE r17): it hardcodes nprobe = numCentroids
+        // = 16 and never calls these formulas, so it sits out the growth
+        // lanes entirely with the same exhaustive-by-oracle-contract
+        // reason as graph_pagerank's third-decade exclusion, and THIS
+        // probe sibling carries the lane coverage instead
         def np(n: Long) = adaptiveNprobe(adaptiveCentroids(n))
         np(nBig).toDouble / np(nSmall)
       case _ => 1.0
@@ -123,7 +128,7 @@ object ScaleCheck {
   val ForcedDistributedKeys: Seq[(String, String)] = Seq(
     "dedup_minhash_keep" -> "documents", "ngram_jaccard" -> "documents",
     "semantic_dedup" -> "embeddings", "text_lsh_clusters" -> "documents",
-    "graph_pagerank" -> "embeddings", "hard_negatives" -> "embeddings",
+    "graph_pagerank" -> "embeddings", "hard_negatives_probe" -> "embeddings",
     "embed_neardup" -> "embeddings", "q31_reachability" -> "embeddings",
     "knn_graph_probe" -> "embeddings")
 
@@ -223,8 +228,36 @@ object ScaleCheck {
   }
 
   final case class Result(key: String, tSmall: Double, tBig: Double,
-      ratio: Double, bound: Double) {
+      ratio: Double, bound: Double, diagnosis: Option[String] = None) {
     def ok: Boolean = ratio <= bound
+  }
+
+  /** The growth-lane keys whose DEFAULT plan flips at the broadcast
+    * probe-index byte ceiling ([[graft.operators.Dedup.probeIndexEstBytes]]
+    * vs the 256 MB [[graft.operators.Dedup.DefaultProbeIndexMaxBytes]]):
+    * under it the corpus dedups through one fused broadcast-index stage,
+    * above it through the banded equi-join. Both plans are linear, but a
+    * growth step whose SMALL side is under the ceiling and BIG side above
+    * it measures the PLAN CHANGE, not growth (round 17: the sf1→sf5 step
+    * straddled the flip — census 159 MB vs 796 MB — and the default lane
+    * read 8.5×/11.2× "growth" whose like-plan truth was 1.55×/4.95×). For
+    * these keys [[check]] probes the census on both dirs; when the step
+    * straddles the ceiling it times BOTH sides on the distributed plan
+    * (the one the 100 TB story rests on — the forced lane already covers
+    * it at every decade) and stamps the row with a machine-readable
+    * `diagnosis`, so the committed artifact explains itself instead of
+    * shipping a red row with a prose footnote. */
+  val ProbeIndexFlipKeys: Set[String] =
+    Set("dedup_minhash", "dedup_minhash_keep", "dedup_minhash_best", "ngram_jaccard")
+
+  /** Whether the probe-index fast path is eligible (census under the byte
+    * ceiling) for the documents corpus at `dir` — the same census the
+    * operators run (bands 16 × hashes 64, live rows only). */
+  def probeIndexEligible(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Dedup.probeIndexEstBytes(
+      spark.read.parquet(s"$dir/documents.parquet").filter(col("text").isNotNull)
+    ) <= graft.operators.Dedup.DefaultProbeIndexMaxBytes
   }
 
   /** Run `keys` at both SFs and report growth. Small SF runs first and also
@@ -240,20 +273,65 @@ object ScaleCheck {
     // computed per table and only for lanes carrying an escalating key
     val live = keys.collect { case (k, t) if EscalationKeys.contains(k) => t }
       .distinct.map(t => t -> liveDataCounts(spark, t, small, big)).toMap
+    // probe-index ceiling-flip probe ([[ProbeIndexFlipKeys]]): one census
+    // per dir, shared by every flip key in the lane. Skipped when the
+    // forced-distributed flag is already up — that lane never flips.
+    val stepFlips = keys.exists(k => ProbeIndexFlipKeys(k._1)) &&
+      !graft.util.FastPaths.forceDistributed &&
+      (probeIndexEligible(spark, small) != probeIndexEligible(spark, big))
     keys.map { case (k, table) =>
       val (cs, cb) = counts(table)
       val ratio = cb.toDouble / cs
       require(ratio > 1.0,
         s"$table does not grow from $small to $big (ratio $ratio) — " +
           "pick SFs with a real data step or the growth check is vacuous")
-      val ts = time(spark, k, small, iters)
-      println(f"[scale] $k $small ${ts}%.1fs; running $big ...")
-      val tb = time(spark, k, big, iters)
+      val flip = stepFlips && ProbeIndexFlipKeys(k)
+      if (flip) sys.props("graft.force.distributed") = "1"
+      val (ts, tb) = try {
+        val ts = time(spark, k, small, iters)
+        println(f"[scale] $k $small ${ts}%.1fs; running $big ...")
+        (ts, time(spark, k, big, iters))
+      } finally if (flip) sys.props.remove("graft.force.distributed")
       val (ls, lb) = live.getOrElse(table, (cs, cb))
-      val r = Result(k, ts, tb, tb / ts, ratio * escalationFactor(k, ls, lb) * SlackFactor)
+      val r = Result(k, ts, tb, tb / ts, ratio * escalationFactor(k, ls, lb) * SlackFactor,
+        diagnosis = if (flip) Some("plan_flip: probe-index census crosses the 256MB " +
+          "broadcast ceiling between dirs; both sides timed on the distributed plan " +
+          "(like-plan growth; the default small-dir plan is the broadcast index)") else None)
       println(f"[scale] $k $small->$big ${r.tSmall}%.1f -> ${r.tBig}%.1f " +
-        f"ratio ${r.ratio}%.2f bound ${r.bound}%.2f ok=${r.ok}")
+        f"ratio ${r.ratio}%.2f bound ${r.bound}%.2f ok=${r.ok}" +
+        (if (flip) " (like-plan: distributed both sides)" else ""))
       r
+    }
+  }
+
+  /** SKEW lane (optional): SPARK_GRAFT_SCALE_SKEW names a
+    * ScaleData-mode=skew dir; SPARK_GRAFT_SCALE_SKEW_BASE its equally-sized
+    * UNIFORM twin (ScaleData default mode, same factor). tSmall = uniform,
+    * tBig = skew, bound = [[SkewTaxBound]]: the lane holds size constant
+    * and measures what the hot buckets alone cost. No-op (empty) when the
+    * two env vars are unset. */
+  def checkSkew(spark: SparkSession, keys: Seq[(String, String)]): Seq[Result] = {
+    val skewDir = sys.env.get("SPARK_GRAFT_SCALE_SKEW")
+    val skewBase = sys.env.get("SPARK_GRAFT_SCALE_SKEW_BASE")
+    (skewBase, skewDir) match {
+      case (Some(u), Some(sd)) => keys.map { case (k, _) =>
+        // UNTIMED warmup on the control dir first: the key's plan shape
+        // codegen/JIT compiles here, so neither timed run pays it. The
+        // growth lanes' warmup bias direction (inflate the small side →
+        // stricter) does NOT transfer to this lane: uniform-first timing
+        // left the skew run warm and the control cold, DEFLATING the tax
+        // (sub-1.0 ratios in the round-17 first capture) — the one
+        // direction that could hide a mild funneling trap under the
+        // bound. One extra pass per key is the price of a fair control.
+        time(spark, k, u, iters = 1)
+        val tu = time(spark, k, u)
+        val ts = time(spark, k, sd)
+        val r = Result(k, tu, ts, ts / tu, SkewTaxBound)
+        println(f"[scale] skew $k uniform ${r.tSmall}%.1f -> skew ${r.tBig}%.1f " +
+          f"tax ${r.ratio}%.2f bound ${r.bound}%.2f ok=${r.ok}")
+        r
+      }
+      case _ => Seq.empty
     }
   }
 
@@ -278,10 +356,20 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // SKEW lane first (round 18): the lane compares two equally-sized dirs,
+    // so unlike the growth lanes it has no warmup-direction safety margin —
+    // round 17's two unreproducible skew rows (5.66×/4.84×, isolated
+    // re-measure 1.22×/0.97×) were END-OF-RUN JVM inflation after ~40
+    // minutes of accumulated heap/codegen state. Timing it before the
+    // growth lanes gives it the freshest JVM this process can offer; the
+    // growth lanes are direction-safe by construction and keep their slot.
+    val skew = checkSkew(spark, lane(SkewKeys ++ SkewJoinStreamKeys))
+
     val results = check(spark, lane(DataBoundEntries), small, big)
     def entryJson(rs: Seq[Result]): String = rs.map(r =>
       f""""${r.key}":{"small":${r.tSmall}%.3f,"big":${r.tBig}%.3f,""" +
-        f""""ratio":${r.ratio}%.2f,"bound":${r.bound}%.2f,"ok":${r.ok}}""")
+        f""""ratio":${r.ratio}%.2f,"bound":${r.bound}%.2f,"ok":${r.ok}""" +
+        r.diagnosis.map(d => s""","diagnosis":"$d"""").getOrElse("") + "}")
       .mkString("{", ",", "}")
     // third point: split the 10× step into two sub-steps for the
     // partition-gated gram-family keys (see [[ThirdPointKeys]])
@@ -308,12 +396,12 @@ object ScaleCheck {
     // escalation-boundary effects that happen to sit between sf1 and sf10
     // (the 16×256 PQ step, the √-law nprobe at K≈500). Requires big2 —
     // the lane's small side is the second decade's big side.
-    // iters = 1 at the third decade: the escalated keys run minutes per
-    // pass there, where single-run noise is a rounding error against the
-    // 1.5× bound slack — a second pass would double a multi-hour lane to
-    // suppress noise the slack already absorbs. The small side (sf1) still
-    // warms the plan shape for the big side, preserving the lane's
-    // warmup-inflates-the-small-side strictness direction.
+    // iters = 2 at the third decade (round 18, standing protocol): round
+    // 17 ran it at iters = 1 to halve a multi-hour lane, and the single
+    // 324 s knn_graph_probe forced pass produced the round's only numeric
+    // near-miss (27.36 vs bound 25.31) — at minutes per pass, single-run
+    // noise is NOT a rounding error against the 1.5× slack. Min-of-2 is
+    // the cheapest capture that suppresses it.
     //
     // Four keys sit out the third decade, each for a REASON the artifact
     // should carry rather than a silent drop:
@@ -331,6 +419,12 @@ object ScaleCheck {
     //   the *_exact baselines). That build is inherently quadratic and
     //   the lane would correctly flag it; the scalable escalating sibling
     //   (knn_graph_probe) stays in the lane.
+    // hard_negatives left the growth lanes ENTIRELY for the same
+    // exhaustive-by-oracle-contract reason (ADVICE r17: it hardcodes
+    // nprobe = numCentroids = 16, so the nprobe escalation its round-17
+    // bound borrowed never runs — a quadratic measured against a vacuous
+    // bound); its adaptive sibling hard_negatives_probe carries the lane
+    // coverage at every decade.
     val ThirdDecadeExcluded: Set[String] = Set(
       "embed_neardup", "semantic_dedup", "graph_pagerank", "q31_reachability")
     def thirdLane(keys: Seq[(String, String)]): Seq[(String, String)] =
@@ -338,50 +432,30 @@ object ScaleCheck {
     val big3 = sys.env.get("SPARK_GRAFT_SCALE_BIG3")
     val third = (big2, big3) match {
       case (Some(b2), Some(b3)) =>
-        check(spark, thirdLane(DataBoundEntries), b2, b3, iters = 1)
+        check(spark, thirdLane(DataBoundEntries), b2, b3, iters = 2)
       case _ => Seq.empty
     }
-    // SKEW lane (optional): SPARK_GRAFT_SCALE_SKEW names a
-    // ScaleData-mode=skew dir; SPARK_GRAFT_SCALE_SKEW_BASE its
-    // equally-sized UNIFORM twin (ScaleData default mode, same factor).
-    // tSmall = uniform, tBig = skew, bound = SkewTaxBound: the lane holds
-    // size constant and measures what the hot buckets alone cost.
-    val skewDir = sys.env.get("SPARK_GRAFT_SCALE_SKEW")
-    val skewBase = sys.env.get("SPARK_GRAFT_SCALE_SKEW_BASE")
-    def checkSkew(keys: Seq[(String, String)]): Seq[Result] =
-      (skewBase, skewDir) match {
-        case (Some(u), Some(sd)) => keys.map { case (k, _) =>
-          // UNTIMED warmup on the control dir first: the key's plan shape
-          // codegen/JIT compiles here, so neither timed run pays it. The
-          // growth lanes' warmup bias direction (inflate the small side →
-          // stricter) does NOT transfer to this lane: uniform-first timing
-          // left the skew run warm and the control cold, DEFLATING the tax
-          // (sub-1.0 ratios in the round-17 first capture) — the one
-          // direction that could hide a mild funneling trap under the
-          // bound. One extra pass per key is the price of a fair control.
-          time(spark, k, u, iters = 1)
-          val tu = time(spark, k, u)
-          val ts = time(spark, k, sd)
-          Result(k, tu, ts, ts / tu, SkewTaxBound)
-        }
-        case _ => Seq.empty
-      }
-    val skew = checkSkew(lane(SkewKeys ++ SkewJoinStreamKeys))
     // forced-distributed lane LAST: the flag is process-wide, so nothing
-    // may time a default-lane entry after it flips
+    // may time a default-lane entry after it flips. Within the forced
+    // group the SKEW lane runs FIRST — same end-of-run-inflation reason
+    // that hoisted the default skew lane to the top of main (round 17's
+    // skew_forced/ngram_jaccard 4.84× did not reproduce isolated: 0.97×).
     sys.props("graft.force.distributed") = "1"
     val (forced, secondForced, thirdForced, skewForced) = try {
+      val sf = checkSkew(spark, lane(SkewKeys).filter(k =>
+        ForcedDistributedKeys.map(_._1).contains(k._1)))
       (check(spark, lane(ForcedDistributedKeys), small, big),
         big2.map(b2 => check(spark, lane(ForcedDistributedKeys), big, b2))
           .getOrElse(Seq.empty),
         (big2, big3) match {
           case (Some(b2), Some(b3)) =>
-            check(spark, thirdLane(ForcedDistributedKeys), b2, b3, iters = 1)
+            check(spark, thirdLane(ForcedDistributedKeys), b2, b3, iters = 2)
           case _ => Seq.empty
         },
-        checkSkew(lane(SkewKeys).filter(k =>
-          ForcedDistributedKeys.map(_._1).contains(k._1))))
+        sf)
     } finally sys.props.remove("graft.force.distributed")
+    val skewDir = sys.env.get("SPARK_GRAFT_SCALE_SKEW")
+    val skewBase = sys.env.get("SPARK_GRAFT_SCALE_SKEW_BASE")
     val secondJson = big2.map(b2 =>
       s""","second_decade_big":"$b2",""" +
         s""""second_decade":${entryJson(second)},""" +

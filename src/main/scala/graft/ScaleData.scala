@@ -65,11 +65,20 @@ object ScaleData {
     * (shingle statistics shift, text length and tokenization don't).
     * Stage-1 (sf0.1 → sf1) keeps caesar so every committed sf1 artifact
     * stays byte-stable; enable with SPARK_GRAFT_SCALE_CIPHER=perm for
-    * the decades above. */
-  private def permuted(text: org.apache.spark.sql.Column, k: Int) = {
+    * the decades above.
+    *
+    * The seed mixes the STAGE, not only k (ADVICE r17): with a k-only
+    * seed, two composed perm stages draw the SAME permutation family, so
+    * copy paths (j, 0) and (0, j) compose to the identical total mapping —
+    * re-planting the identical-text duplicate pairs the cipher exists to
+    * prevent. `stage` defaults to the cumulative copy count of the SOURCE
+    * dir (1 for a driver SF, `factor` after one stage, …) — automatically
+    * distinct at every composed level, no operator input needed. k = 0
+    * stays the identity by design: copy 0 IS the source corpus. */
+  private def permuted(text: org.apache.spark.sql.Column, k: Int, stage: Long = 1L) = {
     if (k == 0) text
     else {
-      val r = new scala.util.Random(0x5ca1eda7aL + k)
+      val r = new scala.util.Random(0x5ca1eda7aL + stage * 0x9E3779B97F4A7C15L + k)
       val lower = r.shuffle(('a' to 'z').toList).mkString
       translate(text, Lower + Upper, lower + lower.toUpperCase)
     }
@@ -79,12 +88,13 @@ object ScaleData {
   private def remapId(c: org.apache.spark.sql.Column, factor: Int, k: Int) =
     c * factor + k
 
-  def scaleDocuments(df: DataFrame, factor: Int, permCipher: Boolean = false): DataFrame =
+  def scaleDocuments(df: DataFrame, factor: Int, permCipher: Boolean = false,
+      stage: Long = 1L): DataFrame =
     (0 until factor).map { k =>
       df.select(df.columns.map {
         case "doc_id" => remapId(col("doc_id"), factor, k).as("doc_id")
         case "text" =>
-          (if (permCipher) permuted(col("text"), k) else caesar(col("text"), k)).as("text")
+          (if (permCipher) permuted(col("text"), k, stage) else caesar(col("text"), k)).as("text")
         case c => col(c)
       }.toIndexedSeq: _*)
     }.reduce(_ unionByName _)
@@ -307,6 +317,19 @@ object ScaleData {
     }.reduce(_ unionByName _)
   }
 
+  /** Cumulative copy count of a dir: 1 for a driver-provided SF, read from
+    * the `_scale_meta.json` marker this synthesizer writes alongside its
+    * own output. The marker is what makes composed stages SELF-AWARE — the
+    * pigeonhole guard and the perm-seed stage tag both key off it. */
+  def cumulativeCopies(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir, "_scale_meta.json")
+    if (!java.nio.file.Files.exists(p)) 1L
+    else {
+      val s = java.nio.file.Files.readString(p)
+      """"copies"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(1L)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DST", "testdata-gen/sf1")
@@ -341,20 +364,47 @@ object ScaleData {
       if (java.nio.file.Files.exists(p)) f(spark.read.parquet(p.toString))
       else println(s"[scaledata] $name: absent in $src, skipped")
     }
+    // stage accounting for composed decades: the source's cumulative copy
+    // count seeds the perm family (distinct per stage — see [[permuted]])
+    // and drives the PIGEONHOLE GUARD (round-17 verdict #6): caesar has 26
+    // distinct shifts, so once srcCopies × factor exceeds 26 distinct copy
+    // paths collide onto the same total shift — identical-text cliques
+    // with quadratic pair mass, silently. Past that point a caesar request
+    // AUTO-SWITCHES to perm (loudly): every decade stays near-dup-free
+    // instead of failing late inside a 45-minute scale lane. sf1 from a
+    // driver SF (1 × 10 = 10 ≤ 26) keeps caesar — committed sf1 artifacts
+    // stay byte-stable.
+    val srcCopies = cumulativeCopies(src)
+    val totalCopies = srcCopies * factor
+    val permRequested = sys.env.get("SPARK_GRAFT_SCALE_CIPHER").contains("perm")
+    val permCipher = permRequested || totalCopies > 26
+    if (permCipher && !permRequested)
+      println(s"[scaledata] $totalCopies total copy paths ($srcCopies source x $factor) " +
+        "exceed the 26 distinct caesar shifts - auto-switching to the perm cipher " +
+        "(set SPARK_GRAFT_SCALE_CIPHER=perm to silence)")
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
+      // the skew synthesizer is caesar-only (its planted cluster must stay
+      // letter-aligned per copy), so past the pigeonhole it REFUSES rather
+      // than silently planting the quadratic cliques on top of the
+      // deliberate hot cluster
+      require(totalCopies <= 26,
+        s"skew mode composes caesar only: $totalCopies copy paths ($srcCopies x $factor) " +
+          "exceed the 26 distinct shifts - synthesize the skew dir from a driver SF instead")
       write("documents", skewDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
       write("embeddings", skewEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
       write("events", skewEvents(events, factor))
       ifPresent("orders")(o => write("orders", scaleOrders(o, events, factor, hotPct = 20)))
       ifPresent("customer")(c => write("customer", scaleCustomer(c, events, factor)))
     } else {
-      val permCipher = sys.env.get("SPARK_GRAFT_SCALE_CIPHER").contains("perm")
-      write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor, permCipher))
+      write("documents", scaleDocuments(spark.read.parquet(s"$src/documents.parquet"),
+        factor, permCipher, stage = srcCopies))
       write("embeddings", scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
       write("events", scaleEvents(events, factor))
       ifPresent("orders")(o => write("orders", scaleOrders(o, events, factor)))
       ifPresent("customer")(c => write("customer", scaleCustomer(c, events, factor)))
     }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dst, "_scale_meta.json"),
+      s"""{"copies":$totalCopies,"cipher":"${if (permCipher) "perm" else "caesar"}","factor":$factor,"src":"$src"}""")
     spark.stop()
   }
 }

@@ -161,6 +161,10 @@ object SparkEntry {
     "hard_negatives" -> (Similarity.hardNegativesQuery _),
     // pruned-nprobe graph, eager edge-recall gate vs the exact graph
     "knn_graph_probe" -> (Similarity.knnGraphProbe _),
+    // pruned hard-negative miner — the scalable sibling of hard_negatives
+    // (adaptive K, √-law nprobe, recall-gated), same relationship as
+    // knn_graph_probe to knn_graph
+    "hard_negatives_probe" -> (Similarity.hardNegativesProbe _),
     // oracle-checked near-dup family: LSH proposes, exact math decides, so
     // DuckDB reproduces the full answer (banding recall at the planted
     // near-dup range ≥ 1 - 2e-10 per pair; see Dedup.minHashNearDupsVerified)
@@ -1748,6 +1752,49 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS rn FROM s)
         |SELECT anchor_id, negative_id, negative_label, sim FROM r WHERE rn <= 5
         |ORDER BY anchor_id, sim DESC, negative_id""".stripMargin,
+    // the PRUNED hard-negative miner replayed end-to-end: the adaptive-K /
+    // √-law-nprobe cell machinery of knn_graph_probe's oracle (same CTEs,
+    // label column added) with the label inequality applied inside the
+    // probed-cell scan — every stage a total order, so the approximate,
+    // label-filtered result is still hash-exact in both engines
+    "hard_negatives_probe" ->
+      """WITH e AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ncent AS (SELECT greatest(16, CAST(ceil(count(*)::DOUBLE / 125.0) AS BIGINT)) AS k FROM e WHERE emb IS NOT NULL),
+        |nprb AS (SELECT CASE WHEN k <= 16 THEN 6
+        |  WHEN k <= 160 THEN least(k, CAST(ceil(sqrt(36.0 * k / 10.0)) AS BIGINT))
+        |  ELSE least(k, CAST(ceil(sqrt(36.0 * k / 10.0) * sqrt(sqrt(k / 160.0))) AS BIGINT)) END AS np FROM ncent),
+        |cent AS (
+        |  SELECT cid, cemb FROM (
+        |    SELECT row_number() OVER (
+        |        ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
+        |      emb AS cemb
+        |    FROM e)
+        |  WHERE cid < (SELECT k FROM ncent)),
+        |cn AS (SELECT cid, cemb, 1.0 / sqrt(list_dot_product(cemb, cemb)) AS inv FROM cent),
+        |a AS (SELECT e.vec_id, cn.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.emb, cn.cemb) * cn.inv DESC, cn.cid) AS rn
+        |  FROM e, cn),
+        |home AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label FROM e),
+        |pa AS (SELECT q.query_id, cn.cid,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_dot_product(q.q_emb, cn.cemb) * cn.inv DESC, cn.cid) AS rn
+        |  FROM q, cn),
+        |probe AS (SELECT query_id, cid FROM pa WHERE rn <= (SELECT np FROM nprb)),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+        |    round(list_dot_product(e.emb, q.q_emb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS sim
+        |  FROM probe p
+        |  JOIN home h ON h.cid = p.cid
+        |  JOIN e ON e.vec_id = h.vec_id
+        |  JOIN q ON q.query_id = p.query_id
+        |  WHERE e.label <> q.q_label),
+        |r AS (SELECT query_id, neighbor_id, neighbor_label, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id AS anchor_id, neighbor_id AS negative_id,
+        |  neighbor_label AS negative_label, sim FROM r WHERE rn <= 5
+        |ORDER BY anchor_id, sim DESC, negative_id""".stripMargin,
     // marginal-median centers: a median is a selection (bit-reproducible),
     // a mean is an order-dependent float sum — that choice is what lets
     // this oracle compare sims exactly at 4 dp. Spark's posexplode pos is
@@ -1841,18 +1888,22 @@ object SparkEntry {
       queryCol = "src_id", nprobe = "(SELECT np FROM nprb)", k = 5,
       ctes = ivfHomeCtesAdaptive),
     // the full PQ pipeline replayed: donor slicing into per-subspace
-    // codebooks, per-subspace dot x invNorm assignment (ties -> smaller
-    // cid), codeword reconstruction, asymmetric cosine top-k — every
-    // stage a total order, so the lossy result is still hash-exact.
-    // The (m, kc) shape is SIZE-ADAPTIVE from count(*) exactly like
-    // Similarity.adaptivePqShape: 16×256 at N ≥ 16384, 8×256 at N ≥ 1024,
-    // the historical 4×16 below — one oracle text per SF.
+    // codebooks, ONE fixed-point Lloyd training pass (assign to donors,
+    // re-center every codeword on the exact integer-sum mean of its
+    // members — floor(x·2^20 + 0.5) per component, so the mean is an
+    // order-independent integer sum both engines compute identically,
+    // then floor(Σ/n + 0.5)/2^20 back to a double — the integer-ppm
+    // PageRank trick applied to k-means), per-subspace dot x invNorm
+    // assignment (ties -> smaller cid), codeword reconstruction,
+    // asymmetric cosine top-k — every stage a total order, so the lossy
+    // TRAINED result is still hash-exact. The (m, kc) shape is
+    // SIZE-ADAPTIVE from count(*) exactly like Similarity.adaptivePqShape:
+    // 16×256 at N ≥ 256, the historical 4×16 below — one oracle text per SF.
     "ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
-        |pq AS (SELECT CASE WHEN count(*) >= 16384 THEN 16
-        |      WHEN count(*) >= 1024 THEN 8 ELSE 4 END AS m,
-        |    CASE WHEN count(*) >= 1024 THEN 256 ELSE 16 END AS kc
+        |pq AS (SELECT CASE WHEN count(*) >= 256 THEN 16 ELSE 4 END AS m,
+        |    CASE WHEN count(*) >= 256 THEN 256 ELSE 16 END AS kc
         |  FROM e WHERE emb IS NOT NULL),
         |sd AS (SELECT (SELECT dim FROM d) // (SELECT m FROM pq) AS s),
         |cent AS (
@@ -1869,7 +1920,26 @@ object SparkEntry {
         |cb AS (SELECT cent.cid, ms.m,
         |    cent.cemb[ms.m*(SELECT s FROM sd)+1 : ms.m*(SELECT s FROM sd)+(SELECT s FROM sd)] AS c
         |  FROM cent, ms),
-        |cbn AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb),
+        |cb0n AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb),
+        |asg0 AS (SELECT s.vec_id, s.m, cb0n.cid,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.x, cb0n.c) * cb0n.inv DESC, cb0n.cid) AS rn
+        |  FROM sub s JOIN cb0n ON s.m = cb0n.m),
+        |code0 AS (SELECT vec_id, m, cid FROM asg0 WHERE rn = 1),
+        |dims AS (SELECT unnest(range(1, (SELECT s FROM sd) + 1)) AS j),
+        |upd AS (SELECT c0.m, c0.cid, u.j, count(*) AS n,
+        |    sum(CAST(floor(s.x[u.j] * 1048576.0 + 0.5) AS BIGINT)) AS fx
+        |  FROM code0 c0, sub s, dims u
+        |  WHERE s.vec_id = c0.vec_id AND s.m = c0.m
+        |  GROUP BY c0.m, c0.cid, u.j),
+        |cb1 AS (SELECT cb.m, cb.cid,
+        |    list(CASE WHEN upd.n IS NULL THEN cb.c[u.j]
+        |      ELSE floor(CAST(upd.fx AS DOUBLE) / upd.n + 0.5) / 1048576.0 END
+        |      ORDER BY u.j) AS c
+        |  FROM cb CROSS JOIN dims u
+        |  LEFT JOIN upd ON upd.m = cb.m AND upd.cid = cb.cid AND upd.j = u.j
+        |  GROUP BY cb.m, cb.cid),
+        |cbn AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb1),
         |asg AS (SELECT s.vec_id, s.m, cbn.cid,
         |    row_number() OVER (PARTITION BY s.vec_id, s.m
         |      ORDER BY list_dot_product(s.x, cbn.c) * cbn.inv DESC, cbn.cid) AS rn

@@ -152,12 +152,25 @@ object IdTypes {
   * iterative ones. Reliable checkpoint files are reclaimed by the context
   * cleaner when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
   * (set it on long-running clusters; local runs use localCheckpoint whose
-  * blocks die with the frame). */
+  * blocks die with the frame).
+  *
+  * The reliable path PERSISTS around the checkpoint (round 18): RDD
+  * checkpointing runs as a separate job AFTER the eager count, and without
+  * a persist that job recomputes the whole plan to write the checkpoint
+  * files — every "kernel runs once" cut site would pay its dominant pass
+  * twice exactly on the clusters the reliable variant targets. With the
+  * persist, the count job populates the cache and the checkpoint job reads
+  * blocks instead of recomputing; the cache entry is dropped immediately
+  * after (blocking=false — reclamation races nothing, the checkpoint files
+  * are already durable). `localCheckpoint` needs none of this: it IS the
+  * persisted blocks. */
 object Materialize {
   def cut[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      ds.checkpoint(eager = true)
-    else ds.localCheckpoint(eager = true)
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val persisted = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try persisted.checkpoint(eager = true)
+      finally persisted.unpersist(blocking = false)
+    } else ds.localCheckpoint(eager = true)
 
   /** [[cut]] as a postfix, so operator code reads like the
     * `.localCheckpoint()` it replaces. */

@@ -170,17 +170,24 @@ object RecallProbe {
       val exact = Similarity.bruteForceTopK(emb, probes, 10)
         .select("query_id", "neighbor_id").cache()
       val total = exact.count()
-      // the SHIPPED operating point: adaptive shape + √N exact rerank
-      locally {
-        val (m, kc) = Similarity.adaptivePqShape(n)
+      // the SHIPPED operating point: adaptive shape + trained codebooks +
+      // √N exact rerank; donor-codebook and extra-iteration rows alongside
+      // so the training gain (and its saturation) stays measured. A shape
+      // sweep rides along (kc capped at n — can't have more donors than
+      // vectors) so threshold choices stay measured, not guessed.
+      val shapes = (Seq(Similarity.adaptivePqShape(n)) ++
+        Seq((4, 16), (8, 64), (8, 256), (16, 256)).filter(_._2 <= n)).distinct
+      for ((m, kc) <- shapes; it <- Seq(0, 1, 2)) {
         val l = Similarity.adaptivePqRerank(n)
-        val cbs = Similarity.pqCodebooks(emb, m, kc)
+        val cbs = Similarity.pqCodebooksTrained(emb, m, kc, iters = it)
         val recon = emb.select(col("vec_id"),
           Similarity.pqReconstruct(col("emb"), cbs).as("emb"))
         val short = Similarity.bruteForceTopK(recon, probes, l)
           .select("query_id", "neighbor_id")
         val c = exact.join(short, Seq("query_id", "neighbor_id"), "left_semi").count()
-        println(f"[probe] ann_pq SHIPPED m=$m kc=$kc L=$l recall=${c.toDouble / total}%.3f ($c/$total)")
+        val tag = if ((m, kc) == Similarity.adaptivePqShape(n) && it == 1) "SHIPPED"
+          else s"iters=$it"
+        println(f"[probe] ann_pq $tag m=$m kc=$kc L=$l recall=${c.toDouble / total}%.3f ($c/$total)")
       }
       for ((m, kc) <- Seq(Similarity.adaptivePqShape(n), (8, 256)).distinct) {
         val cbs = Similarity.pqCodebooks(emb, m, kc)

@@ -224,4 +224,34 @@ class ScaleDataSpec extends SparkSpec {
       col("text") === col("t1"), "left_semi").count()
     assert(kept === 10L)
   }
+
+  test("documents: composed PERM stages draw stage-distinct permutation " +
+      "families, so cross-stage copy paths never collide") {
+    // ADVICE r17: with a k-only perm seed, stages share one permutation
+    // family and paths (j, 0) / (0, j) compose to the SAME total mapping —
+    // identical texts, the duplicate cliques the cipher exists to prevent.
+    // The seed now mixes the stage tag (ScaleData.main passes the source
+    // dir's cumulative copy count), so two perm stages at different tags
+    // keep ALL factor² copy paths textually distinct.
+    val src = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val s1 = ScaleData.scaleDocuments(src, 5, permCipher = true, stage = 1L)
+    val composed = ScaleData.scaleDocuments(s1, 5, permCipher = true, stage = 5L)
+    assert(composed.count() === 25L)
+    assert(composed.select("text").distinct().count() === 25L)
+    // counter-pin: the SAME stage tag twice re-plants the collision (paths
+    // (j,0) and (0,j) compose to the identical mapping) — this is the
+    // failure mode the stage seed removes, kept here as the detector
+    val collided = ScaleData.scaleDocuments(s1, 5, permCipher = true, stage = 1L)
+    assert(collided.select("text").distinct().count() < 25L)
+  }
+
+  test("_scale_meta.json marker: cumulativeCopies reads the synthesizer's " +
+      "own output and defaults to 1 for driver-provided dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-meta").toString
+    assert(ScaleData.cumulativeCopies(dir) === 1L) // no marker = driver SF
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_scale_meta.json"),
+      """{"copies":10,"cipher":"caesar","factor":10,"src":"/root/testdata/sf0.1"}""")
+    assert(ScaleData.cumulativeCopies(dir) === 10L)
+  }
 }

@@ -59,13 +59,12 @@ class MultiProbeSpec extends SparkSpec {
     assert(Similarity.adaptiveLshBits(50, 4) === 4)
   }
 
-  test("adaptivePqShape: historical 4x16 below 1024 vectors, 8x256 above, " +
-      "16x256 at the second step") {
-    assert(Similarity.adaptivePqShape(500) === ((4, 16)))
-    assert(Similarity.adaptivePqShape(1023) === ((4, 16)))
-    assert(Similarity.adaptivePqShape(1024) === ((8, 256)))
-    assert(Similarity.adaptivePqShape(16383) === ((8, 256)))
-    assert(Similarity.adaptivePqShape(16384) === ((16, 256)))
+  test("adaptivePqShape: 16x256 wherever the corpus can donate 256 " +
+      "codewords, historical 4x16 below (round-18 sweep)") {
+    assert(Similarity.adaptivePqShape(255) === ((4, 16)))
+    assert(Similarity.adaptivePqShape(256) === ((16, 256)))
+    assert(Similarity.adaptivePqShape(500) === ((16, 256))) // sf0.001/sf0.01
+    assert(Similarity.adaptivePqShape(2000) === ((16, 256))) // sf0.1
     assert(Similarity.adaptivePqShape(20000) === ((16, 256))) // the sf1 decade
   }
 
@@ -111,7 +110,7 @@ class MultiProbeSpec extends SparkSpec {
     import graft.operators.Similarity._
     val n = emb.filter(col("emb").isNotNull).count()
     val (m, kc) = adaptivePqShape(n)
-    val cbs = pqCodebooks(emb, m, kc)
+    val cbs = pqCodebooksTrained(emb, m, kc, iters = 1) // the shipped codebooks
     val recon = emb.select(col("vec_id"), pqReconstruct(col("emb"), cbs).as("emb"))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
@@ -125,6 +124,29 @@ class MultiProbeSpec extends SparkSpec {
     val plainHits = exact.join(plain, Seq("query_id", "neighbor_id"), "left_semi").count()
     assert(rerankHits >= plainHits,
       s"rerank recall $rerankHits/$total below plain PQ ranking $plainHits/$total")
+  }
+
+  test("pqCodebooksTrained: fixed-point means land on the 2^-20 grid, " +
+      "empty cells keep their donor codeword, iters=0 is the donors") {
+    import graft.operators.Similarity._
+    val emb = graft.operators.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val donors = pqCodebooks(emb, m = 4, k = 16)
+    val t0 = pqCodebooksTrained(emb, m = 4, k = 16, iters = 0)
+    assert(donors.flatMap(_.flatMap(_.toSeq)).toSeq === t0.flatMap(_.flatMap(_.toSeq)).toSeq)
+    val t1 = pqCodebooksTrained(emb, m = 4, k = 16, iters = 1)
+    assert(t1.length === 4 && t1.forall(_.length === 16))
+    // every trained component is floor(Σ/n + 0.5)/2^20 — an exact integer
+    // multiple of 2^-20 (the cross-engine determinism contract) OR the
+    // donor value verbatim (an empty cell)
+    for (i <- t1.indices; c <- t1(i).indices; j <- t1(i)(c).indices) {
+      val v = t1(i)(c)(j)
+      val onGrid = v * 1048576.0 == math.rint(v * 1048576.0)
+      assert(onGrid || v == donors(i)(c)(j),
+        s"component ($i,$c,$j)=$v neither on the 2^-20 grid nor a kept donor")
+    }
+    // training moved at least one codeword (the corpus is not centroidal)
+    assert(t1.flatMap(_.flatMap(_.toSeq)).toSeq != donors.flatMap(_.flatMap(_.toSeq)).toSeq)
   }
 
   test("hyperplaneProbeGen: element 0 IS the home bucket; flips are 1-bit xors") {
