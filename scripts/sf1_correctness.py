@@ -123,10 +123,15 @@ def run_one(sf, out, key):
     sys.exit(0 if res["hash_match"] else 3)
 
 
-def make_band(src, dst, factor):
-    """Materialize the deterministic source-id band of an sf1-style dir:
-    10% of SOURCE ids with all their per-copy replicas (id // factor
-    keeps copy k of source id s iff s % 10 == 3)."""
+def make_band(src, dst, factor, mod=10, keep=1):
+    """Materialize the deterministic source-id band of a scaled dir:
+    keep/mod of SOURCE ids with all their per-copy replicas. The kept
+    residues start at 3 (((s % mod) - 3 + mod) % mod < keep), so the
+    historical sf1 call (mod=10, keep=1) keeps exactly s % 10 == 3 and
+    stays byte-compatible. sf10 bands (round 18): factor=100 (two
+    composed stages), mod=100 keep=1 -> 1% (DuckDB-replayable
+    correctness band); mod=10 keep=4 -> 40% (the largest slice whose
+    engaged-escalation candidate mass fits this host's disk)."""
     import duckdb, glob
     con = duckdb.connect()
     os.makedirs(dst, exist_ok=True)
@@ -135,7 +140,7 @@ def make_band(src, dst, factor):
         r = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{r}') "
-            f"WHERE ({idc} // {factor}) % 10 = 3) "
+            f"WHERE ((({idc} // {factor}) % {mod}) - 3 + {mod}) % {mod} < {keep}) "
             f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
@@ -147,7 +152,8 @@ def main():
         run_one(sys.argv[2], sys.argv[3], sys.argv[4])
         return
     if sys.argv[1] == "--make-band":
-        make_band(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        extra = [int(a) for a in sys.argv[5:7]]
+        make_band(sys.argv[2], sys.argv[3], int(sys.argv[4]), *extra)
         return
     sampled = sys.argv[1] == "--sampled"
     if sampled:

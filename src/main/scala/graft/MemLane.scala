@@ -35,6 +35,15 @@ object MemLane {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_MEM_DIR", "testdata-gen/sf1")
+    // SPARK_GRAFT_MEM_KEYS=a,b,c runs a subset (the engaged-escalation
+    // point lane — round 18: the sf1 full lane runs where the table law is
+    // inert, so the LSH/knn subset re-runs at a dir where L and nprobe are
+    // escalated, under the same 4 GiB heap); SPARK_GRAFT_MEM_APPEND=1
+    // merges this run into SCALING_memory.json as a lane ARRAY instead of
+    // overwriting, so one artifact carries both points.
+    val onlyKeys = sys.env.get("SPARK_GRAFT_MEM_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val keys = onlyKeys.map(o => Keys.filter(o)).getOrElse(Keys)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     sys.props("graft.bench") = "1" // measure the operators, not the eager gates
     sys.props("graft.force.distributed") = "1" // the 100 TB plans, no fast paths
@@ -45,8 +54,8 @@ object MemLane {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
-    println(s"[memlane] dir=$dir heapMb=$heapMb cpus=$cpus keys=${Keys.size}")
-    val entries = Keys.map { key =>
+    println(s"[memlane] dir=$dir heapMb=$heapMb cpus=$cpus keys=${keys.size}")
+    val entries = keys.map { key =>
       val t0 = System.nanoTime()
       val err: Option[String] =
         try {
@@ -64,9 +73,16 @@ object MemLane {
       f"""${q(k)}:{"secs":$s%.3f,"ok":${e.isEmpty}${e.map(m => s""","err":${q(m)}""").getOrElse("")}}"""
     }.mkString(
       s"""{"dir":${q(dir)},"heap_mb":$heapMb,"cpus":$cpus,"entries":{""", ",", "}}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALING_memory.json"), json)
-    println(json)
+    val path = java.nio.file.Paths.get("SCALING_memory.json")
+    val out =
+      if (sys.env.get("SPARK_GRAFT_MEM_APPEND").contains("1") &&
+          java.nio.file.Files.exists(path)) {
+        val old = java.nio.file.Files.readString(path).trim
+        val oldLanes = if (old.startsWith("[")) old.stripPrefix("[").stripSuffix("]") else old
+        s"[$oldLanes,$json]"
+      } else json
+    java.nio.file.Files.writeString(path, out)
+    println(out)
     spark.stop()
     if (entries.exists(_._3.nonEmpty)) sys.exit(1)
   }

@@ -411,8 +411,13 @@ object ScaleCheck {
     //   host's ~78 GB free disk (measured: the sf10 run fills the disk;
     //   a 1000-executor cluster holds ~0.1 GB of it per node). Their
     //   third-decade recall AND candidate cost are evidenced by
-    //   the pair-sampled estimator instead (RecallProbe neardup-est,
-    //   validated 0.452 est vs 0.453 full-operator at the 16-table point).
+    //   the pair-sampled estimator (RecallProbe neardup-est, validated
+    //   0.452 est vs 0.453 full-operator at the 16-table point) AND,
+    //   since round 18, by the MEASURED banded lane below
+    //   (SPARK_GRAFT_SCALE_BAND3): a 40% source-id band of the sf10 dir
+    //   (n = 80k) sits at the SAME engaged escalation (bits 9, flips 3,
+    //   L = 64 — the n^ρ table law's operating point) with ~1/3 of the
+    //   candidate mass (~50 GB spill), the largest slice this disk holds.
     // - graph_pagerank / q31_reachability: their 5-NN edge build is
     //   EXHAUSTIVE by oracle contract (the DuckDB replay brute-forces the
     //   graph, so the operator probes every cell — exact by design, like
@@ -441,9 +446,28 @@ object ScaleCheck {
     // that hoisted the default skew lane to the top of main (round 17's
     // skew_forced/ngram_jaccard 4.84× did not reproduce isolated: 0.97×).
     sys.props("graft.force.distributed") = "1"
-    val (forced, secondForced, thirdForced, skewForced) = try {
+    val (forced, secondForced, thirdForced, skewForced, thirdBanded) = try {
       val sf = checkSkew(spark, lane(SkewKeys).filter(k =>
         ForcedDistributedKeys.map(_._1).contains(k._1)))
+      // BANDED third decade (round 18): the two disk-excluded LSH pair
+      // keys measured at their ENGAGED escalation point on the 40%
+      // source-id band of the sf10 dir (see the exclusion comment above).
+      // Runs in the forced group deliberately: the sf1 small side is
+      // under the fused-kernel row ceiling and the 80k big side above
+      // it, so like-plan growth requires the distributed plan — the one
+      // the 100 TB story rests on — on BOTH sides. iters = 1: a second
+      // pass doubles a ~50 GB spill against this host's disk budget.
+      val banded = (big2, sys.env.get("SPARK_GRAFT_SCALE_BAND3")) match {
+        case (Some(b2), Some(band)) =>
+          check(spark, lane(Seq("embed_neardup" -> "embeddings",
+            "semantic_dedup" -> "embeddings")), b2, band, iters = 1)
+            .map(_.copy(diagnosis = Some("banded_third_decade: 40% source-id " +
+              "band of the sf10 dir (largest disk-feasible slice, same " +
+              "engaged escalation bits=9/flips=3/L=64); distributed plan " +
+              "both sides (the sf1 side's fused kernel sits below its row " +
+              "ceiling, the band above it)")))
+        case _ => Seq.empty
+      }
       (check(spark, lane(ForcedDistributedKeys), small, big),
         big2.map(b2 => check(spark, lane(ForcedDistributedKeys), big, b2))
           .getOrElse(Seq.empty),
@@ -452,7 +476,7 @@ object ScaleCheck {
             check(spark, thirdLane(ForcedDistributedKeys), b2, b3, iters = 2)
           case _ => Seq.empty
         },
-        sf)
+        sf, banded)
     } finally sys.props.remove("graft.force.distributed")
     val skewDir = sys.env.get("SPARK_GRAFT_SCALE_SKEW")
     val skewBase = sys.env.get("SPARK_GRAFT_SCALE_SKEW_BASE")
@@ -467,6 +491,10 @@ object ScaleCheck {
           s""""third_decade_forced":${entryJson(thirdForced)}"""
       case _ => ""
     }
+    val bandedJson = sys.env.get("SPARK_GRAFT_SCALE_BAND3")
+      .filter(_ => thirdBanded.nonEmpty)
+      .map(b => s""","third_decade_banded_big":"$b",""" +
+        s""""third_decade_banded":${entryJson(thirdBanded)}""").getOrElse("")
     val skewJson = (skewBase, skewDir) match {
       case (Some(u), Some(sd)) =>
         s""","skew_base":"$u","skew_big":"$sd",""" +
@@ -487,11 +515,11 @@ object ScaleCheck {
       s""""entries":${entryJson(results)},""" +
       s""""third_point_small_mid":${entryJson(step1)},""" +
       s""""third_point_mid_big":${entryJson(step2)},""" +
-      s""""forced_distributed":${entryJson(forced)}$secondJson$thirdJson$skewJson$memJson}"""
+      s""""forced_distributed":${entryJson(forced)}$secondJson$thirdJson$bandedJson$skewJson$memJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), line)
     println(line)
     val bad = (results ++ step1 ++ step2 ++ forced ++ second ++ secondForced ++
-      third ++ thirdForced ++ skew ++ skewForced)
+      third ++ thirdForced ++ skew ++ skewForced ++ thirdBanded)
       .filterNot(_.ok)
     bad.foreach(r => System.err.println(
       f"[scale] ${r.key} grew ${r.ratio}%.1fx across the data step (bound ${r.bound}%.1fx)"))

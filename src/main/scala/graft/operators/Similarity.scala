@@ -1607,15 +1607,27 @@ object Similarity {
       if (graft.util.IdTypes.integral(idDt)) {
         val spark = corpus.sparkSession
         import spark.implicits._
-        // the MULTISET feeds the grid directly (the fused path's contract):
-        // a duplicate collision costs one extra in-kernel dot product,
-        // where a pre-verify distinct costs a full extra 10⁸-row exchange;
-        // the dedup runs AFTER the slack cut, on the survivor set. The
-        // 1e-4 slack keeps the authoritative 4-dp round below sound.
+        // the blocked path DISTINCTs the multiset before the grid (round 18
+        // — the 4 GiB memory lane at the engaged-table-law point found the
+        // opposite choice OOMs): unlike the fused path (where the multiset
+        // streams through a broadcast kernel and a pre-verify distinct
+        // would be the ONLY exchange), the grid cogroup already exchanges
+        // AND SORTS every pair row — and at (bits 9, flips 3, L = 64) a
+        // true near-dup pair co-buckets in up to 256 table×probe slots, so
+        // the multiset is ~10-100× its distinct size and the cogroup's
+        // pairs-side external sort became tens of GB per few-partition
+        // task: the spill-merge's read-ahead buffers (one pair per spill
+        // file, ~1 MB each, all open at once) blew a 4 GiB heap where the
+        // sort itself would have spilled fine. distinct() is a HASH
+        // aggregate — no sort, spillable, map-side partials — that shrinks
+        // the sorted exchange by the duplication factor. Results are
+        // unchanged by construction (one cosine per pair either way; the
+        // post-cut dropDuplicates stays as the fused path's shared shape).
         pairCosineBlocked(
           live.select(col("vec_id").cast("long"), col("emb"))
             .as[(Long, Array[Double])],
           collisions.select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+            .distinct()
             .as[(Long, Long)])
           .filter(col("sim") >= threshold - 1e-4)
           .dropDuplicates("vec_a", "vec_b")

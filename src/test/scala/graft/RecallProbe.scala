@@ -101,6 +101,29 @@ object RecallProbe {
       exact.unpersist()
     }
 
+    // full SHIPPED operating point vs exact pairs, one run — the
+    // banded-third-decade evidence mode (round 18): on the 40% source-id
+    // band of sf10 the shipped adaptive point is bits 9 / flips 3 / L 64 —
+    // the SAME engaged n^ρ escalation as full sf10 at ~1/3 the candidate
+    // mass, so the recall the estimator predicted is MEASURED through the
+    // whole operator (bucket join + verify kernel), not inferred
+    if (what == "neardup-band") {
+      val bits = Similarity.adaptiveLshBits(n, 4)
+      val flips = Similarity.adaptiveProbeFlips(bits, 4)
+      val tables = Similarity.adaptiveLshTables(bits, 4)
+      val exact = exactPairs().cache()
+      val total = exact.count()
+      println(s"[probe] exact pairs=$total bits=$bits flips=$flips tables=$tables")
+      val (caught, secs) = time {
+        val a = Similarity.embeddingNearDups(emb, 0.3, tables, bits, probeFlips = flips)
+          .select("vec_a", "vec_b")
+        exact.join(a, Seq("vec_a", "vec_b"), "left_semi").count()
+      }
+      println(f"[probe] embed_neardup(SHIPPED full operator) bits=$bits flips=$flips " +
+        f"tables=$tables recall=${caught.toDouble / total}%.3f ($caught/$total) secs=$secs%.1f")
+      exact.unpersist()
+    }
+
     // sampled-source edge recall for the kNN graph: exact top-5 via brute
     // force over ~SAMPLE sources (default 2000) — the full exhaustive graph
     // is N² and infeasible at the third decade, but per-source edge recall

@@ -50,4 +50,35 @@ class ScaleCheckSpec extends SparkSpec {
       assert(SparkEntry.queries.contains(key), s"$key has no queries entry")
     }
   }
+
+  test("escalation factors come from the operators' own formulas — keys " +
+      "that never call them are excluded (ADVICE r17)") {
+    import graft.operators.Similarity._
+    // hard_negatives hardcodes nprobe = numCentroids = 16 (exhaustive by
+    // oracle contract) — it must not sit in any growth lane under an
+    // escalation bound it never engages; its adaptive sibling carries the
+    // lane coverage instead
+    assert(!ScaleCheck.EscalationKeys.contains("hard_negatives"))
+    assert(!ScaleCheck.DataBoundEntries.map(_._1).contains("hard_negatives"))
+    assert(!ScaleCheck.ForcedDistributedKeys.map(_._1).contains("hard_negatives"))
+    assert(ScaleCheck.DataBoundEntries.map(_._1).contains("hard_negatives_probe"))
+    // and the probe sibling's factor IS the operator's own nprobe ratio
+    val f = ScaleCheck.escalationFactor("hard_negatives_probe", 20000L, 100000L)
+    val expect = adaptiveNprobe(adaptiveCentroids(100000L)).toDouble /
+      adaptiveNprobe(adaptiveCentroids(20000L))
+    assert(math.abs(f - expect) < 1e-12)
+  }
+
+  test("probe-index ceiling-flip keys are all registered growth-lane keys " +
+      "with a documents input") {
+    val base = ScaleCheck.DataBoundEntries.toMap
+    ScaleCheck.ProbeIndexFlipKeys.foreach { k =>
+      assert(base.get(k).contains("documents"),
+        s"$k is a flip key but not a documents-input growth-lane entry")
+    }
+    // both correctness SFs sit far under the 256 MB ceiling: no flip, so
+    // the default lanes keep timing the default plans there
+    assert(ScaleCheck.probeIndexEligible(spark, "/root/testdata/sf0.01"))
+    assert(ScaleCheck.probeIndexEligible(spark, "/root/testdata/sf0.1"))
+  }
 }
