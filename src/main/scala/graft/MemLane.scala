@@ -45,11 +45,22 @@ object MemLane {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val keys = onlyKeys.map(o => Keys.filter(o)).getOrElse(Keys)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // SPARK_GRAFT_MEM_PARTITIONS decouples shuffle partitions from task
+    // slots (round 18): the pinned shuffle-hash joins build per-partition
+    // hash relations that CANNOT spill (Spark's SHJ build is in-memory by
+    // design), so their memory floor is corpusBytes/partitions per task —
+    // a PARTITION-SIZING rule, not a heap rule. At the engaged band point
+    // (80k vectors) 8 partitions asked 512 MB per build against a 6 GiB
+    // heap's per-task share and failed loudly; 32 partitions is the same
+    // corpus at ~11 MB per build. A real cluster applies exactly this rule
+    // (spark.sql.shuffle.partitions scales with data, not with one
+    // executor's cores); the lane records the partitions it ran with.
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_MEM_PARTITIONS", cpus)
     sys.props("graft.bench") = "1" // measure the operators, not the eager gates
     sys.props("graft.force.distributed") = "1" // the 100 TB plans, no fast paths
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,7 +83,7 @@ object MemLane {
     val json = entries.map { case (k, s, e) =>
       f"""${q(k)}:{"secs":$s%.3f,"ok":${e.isEmpty}${e.map(m => s""","err":${q(m)}""").getOrElse("")}}"""
     }.mkString(
-      s"""{"dir":${q(dir)},"heap_mb":$heapMb,"cpus":$cpus,"entries":{""", ",", "}}")
+      s"""{"dir":${q(dir)},"heap_mb":$heapMb,"cpus":$cpus,"partitions":$partitions,"entries":{""", ",", "}}")
     val path = java.nio.file.Paths.get("SCALING_memory.json")
     val out =
       if (sys.env.get("SPARK_GRAFT_MEM_APPEND").contains("1") &&
