@@ -123,14 +123,17 @@ def run_one(sf, out, key):
     sys.exit(0 if res["hash_match"] else 3)
 
 
-def make_band(src, dst, factor, mod=10, keep=1):
+def make_band(src, dst, factor, mod=10, keep=1, residue=3):
     """Materialize the deterministic source-id band of a scaled dir:
-    keep/mod of SOURCE ids with all their per-copy replicas. The kept
-    residues start at 3 (((s % mod) - 3 + mod) % mod < keep), so the
-    historical sf1 call (mod=10, keep=1) keeps exactly s % 10 == 3 and
-    stays byte-compatible. sf10 bands (round 18): factor=100 (two
-    composed stages), mod=100 keep=1 -> 1% (DuckDB-replayable
-    correctness band); mod=10 keep=4 -> 40% (the largest slice whose
+    keep/mod of SOURCE ids with all their per-copy replicas, residues
+    starting at `residue` ((((s % mod) - residue + mod) % mod) < keep).
+    The historical sf1 call (mod=10, keep=1, residue=3) keeps exactly
+    s % 10 == 3 and stays byte-compatible. sf10 bands: factor=100 (two
+    composed stages); mod=100 keep=1 residue=66 -> 1% (the
+    DuckDB-replayable correctness band — residue 66 is the ONE mod-100
+    class where BOTH endpoints of planted text near-dup pairs survive,
+    so dedup_minhash/ngram_jaccard stay non-vacuous; round-18 verdict
+    #2); mod=10 keep=4 -> 40% (the largest slice whose
     engaged-escalation candidate mass fits this host's disk)."""
     import duckdb, glob
     con = duckdb.connect()
@@ -140,7 +143,7 @@ def make_band(src, dst, factor, mod=10, keep=1):
         r = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{r}') "
-            f"WHERE ((({idc} // {factor}) % {mod}) - 3 + {mod}) % {mod} < {keep}) "
+            f"WHERE ((({idc} // {factor}) % {mod}) - {residue} + {mod}) % {mod} < {keep}) "
             f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
@@ -152,7 +155,12 @@ def main():
         run_one(sys.argv[2], sys.argv[3], sys.argv[4])
         return
     if sys.argv[1] == "--make-band":
-        extra = [int(a) for a in sys.argv[5:7]]
+        # mod and keep must come TOGETHER (a lone extra arg silently became
+        # mod with keep defaulting to 1 — a differently-sized band with no
+        # error); residue is an optional 7th
+        if len(sys.argv) not in (5, 7, 8):
+            sys.exit("usage: --make-band SRC DST FACTOR [MOD KEEP [RESIDUE]]")
+        extra = [int(a) for a in sys.argv[5:8]]
         make_band(sys.argv[2], sys.argv[3], int(sys.argv[4]), *extra)
         return
     sampled = sys.argv[1] == "--sampled"

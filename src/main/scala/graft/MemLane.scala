@@ -55,7 +55,12 @@ object MemLane {
     // corpus at ~11 MB per build. A real cluster applies exactly this rule
     // (spark.sql.shuffle.partitions scales with data, not with one
     // executor's cores); the lane records the partitions it ran with.
-    val partitions = sys.env.getOrElse("SPARK_GRAFT_MEM_PARTITIONS", cpus)
+    // validated as an Int up front: the value is interpolated unquoted into
+    // the JSON artifact below, so a non-numeric env var would silently
+    // corrupt SCALING_memory.json instead of failing the run
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_MEM_PARTITIONS", cpus).trim
+    require(partitions.toIntOption.exists(_ > 0),
+      s"SPARK_GRAFT_MEM_PARTITIONS must be a positive integer, got '$partitions'")
     sys.props("graft.bench") = "1" // measure the operators, not the eager gates
     sys.props("graft.force.distributed") = "1" // the 100 TB plans, no fast paths
     val spark = SparkSession.builder()
@@ -90,7 +95,9 @@ object MemLane {
           java.nio.file.Files.exists(path)) {
         val old = java.nio.file.Files.readString(path).trim
         val oldLanes = if (old.startsWith("[")) old.stripPrefix("[").stripSuffix("]") else old
-        s"[$oldLanes,$json]"
+        // an empty/truncated prior file (crashed run) must not splice into
+        // invalid JSON like `[,{...}]` — fall back to a fresh single-lane file
+        if (oldLanes.trim.isEmpty) json else s"[$oldLanes,$json]"
       } else json
     java.nio.file.Files.writeString(path, out)
     println(out)

@@ -377,19 +377,27 @@ object ScaleData {
     val srcCopies = cumulativeCopies(src)
     val totalCopies = srcCopies * factor
     val permRequested = sys.env.get("SPARK_GRAFT_SCALE_CIPHER").contains("perm")
-    val permCipher = permRequested || totalCopies > 26
+    // COMPOSED caesar stages collide even under 26 total paths (round-18
+    // advice): copy paths (j,0) and (0,j) share total shift j, so any
+    // srcCopies > 1 × factor > 1 composition plants identical-text cliques
+    // regardless of the total. The only collision-free caesar case is a
+    // SINGLE stage (srcCopies == 1 or factor == 1) within 26 shifts.
+    val composed = srcCopies > 1 && factor > 1
+    val permCipher = permRequested || totalCopies > 26 || composed
     if (permCipher && !permRequested)
-      println(s"[scaledata] $totalCopies total copy paths ($srcCopies source x $factor) " +
-        "exceed the 26 distinct caesar shifts - auto-switching to the perm cipher " +
-        "(set SPARK_GRAFT_SCALE_CIPHER=perm to silence)")
+      println(s"[scaledata] caesar unsafe for $srcCopies source x $factor copy paths " +
+        (if (composed) "(composed stages share total shifts by pigeonhole)"
+         else "(exceeds the 26 distinct caesar shifts)") +
+        " - auto-switching to the perm cipher (set SPARK_GRAFT_SCALE_CIPHER=perm to silence)")
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
       // the skew synthesizer is caesar-only (its planted cluster must stay
       // letter-aligned per copy), so past the pigeonhole it REFUSES rather
       // than silently planting the quadratic cliques on top of the
       // deliberate hot cluster
-      require(totalCopies <= 26,
-        s"skew mode composes caesar only: $totalCopies copy paths ($srcCopies x $factor) " +
-          "exceed the 26 distinct shifts - synthesize the skew dir from a driver SF instead")
+      require(totalCopies <= 26 && !composed,
+        s"skew mode composes caesar only: $srcCopies source x $factor copy paths " +
+          "collide by pigeonhole (composed stages, or >26 total shifts) - " +
+          "synthesize the skew dir from a driver SF instead")
       write("documents", skewDocuments(spark.read.parquet(s"$src/documents.parquet"), factor))
       write("embeddings", skewEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor))
       write("events", skewEvents(events, factor))

@@ -210,8 +210,10 @@ object SparkEntry {
     "ann_ivf_probe" -> (Similarity.annIvfProbe _),
     // diversity-balanced selection over knuth-hash IVF cells (oracle-exact)
     "cluster_sample" -> (Similarity.clusterSampleQuery _),
-    // PQ-compressed ANN: 4x16 codebooks, asymmetric reconstruct + cosine
+    // PQ-compressed ANN: trained codebooks, asymmetric reconstruct + cosine
     "ann_pq" -> (Similarity.annPq _),
+    // same search from a PERSISTED index: codes + codebooks via the sidecar
+    "ann_pq_indexed" -> (Similarity.annPqIndexed _),
     "embed_neardup" -> (Similarity.embedNearDup _),
     // DEFAULT semantic dedup = the scale path: LSH pair stage + pointer-
     // jumping clustering, oracle-exact via the hyperplane-LCG replay AND
@@ -1899,76 +1901,11 @@ object SparkEntry {
     // TRAINED result is still hash-exact. The (m, kc) shape is
     // SIZE-ADAPTIVE from count(*) exactly like Similarity.adaptivePqShape:
     // 16×256 at N ≥ 256, the historical 4×16 below — one oracle text per SF.
-    "ann_pq" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
-        |pq AS (SELECT CASE WHEN count(*) >= 256 THEN 16 ELSE 4 END AS m,
-        |    CASE WHEN count(*) >= 256 THEN 256 ELSE 16 END AS kc
-        |  FROM e WHERE emb IS NOT NULL),
-        |sd AS (SELECT (SELECT dim FROM d) // (SELECT m FROM pq) AS s),
-        |cent AS (
-        |  SELECT cid, cemb FROM (
-        |    SELECT row_number() OVER (
-        |        ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
-        |      emb AS cemb
-        |    FROM e)
-        |  WHERE cid < (SELECT kc FROM pq)),
-        |ms AS (SELECT unnest(range((SELECT m FROM pq))) AS m),
-        |sub AS (SELECT e.vec_id, ms.m,
-        |    e.emb[ms.m*(SELECT s FROM sd)+1 : ms.m*(SELECT s FROM sd)+(SELECT s FROM sd)] AS x
-        |  FROM e, ms),
-        |cb AS (SELECT cent.cid, ms.m,
-        |    cent.cemb[ms.m*(SELECT s FROM sd)+1 : ms.m*(SELECT s FROM sd)+(SELECT s FROM sd)] AS c
-        |  FROM cent, ms),
-        |cb0n AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb),
-        |asg0 AS (SELECT s.vec_id, s.m, cb0n.cid,
-        |    row_number() OVER (PARTITION BY s.vec_id, s.m
-        |      ORDER BY list_dot_product(s.x, cb0n.c) * cb0n.inv DESC, cb0n.cid) AS rn
-        |  FROM sub s JOIN cb0n ON s.m = cb0n.m),
-        |code0 AS (SELECT vec_id, m, cid FROM asg0 WHERE rn = 1),
-        |dims AS (SELECT unnest(range(1, (SELECT s FROM sd) + 1)) AS j),
-        |upd AS (SELECT c0.m, c0.cid, u.j, count(*) AS n,
-        |    sum(CAST(floor(s.x[u.j] * 1048576.0 + 0.5) AS BIGINT)) AS fx
-        |  FROM code0 c0, sub s, dims u
-        |  WHERE s.vec_id = c0.vec_id AND s.m = c0.m
-        |  GROUP BY c0.m, c0.cid, u.j),
-        |cb1 AS (SELECT cb.m, cb.cid,
-        |    list(CASE WHEN upd.n IS NULL THEN cb.c[u.j]
-        |      ELSE floor(CAST(upd.fx AS DOUBLE) / upd.n + 0.5) / 1048576.0 END
-        |      ORDER BY u.j) AS c
-        |  FROM cb CROSS JOIN dims u
-        |  LEFT JOIN upd ON upd.m = cb.m AND upd.cid = cb.cid AND upd.j = u.j
-        |  GROUP BY cb.m, cb.cid),
-        |cbn AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb1),
-        |asg AS (SELECT s.vec_id, s.m, cbn.cid,
-        |    row_number() OVER (PARTITION BY s.vec_id, s.m
-        |      ORDER BY list_dot_product(s.x, cbn.c) * cbn.inv DESC, cbn.cid) AS rn
-        |  FROM sub s JOIN cbn ON s.m = cbn.m),
-        |code AS (SELECT vec_id, m, cid FROM asg WHERE rn = 1),
-        |recon AS (
-        |  SELECT code.vec_id, flatten(list(cbn.c ORDER BY code.m)) AS emb
-        |  FROM code JOIN cbn ON cbn.m = code.m AND cbn.cid = code.cid
-        |  GROUP BY code.vec_id),
-        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
-        |ln AS (SELECT greatest(20, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS l
-        |  FROM e WHERE emb IS NOT NULL),
-        |ps AS (SELECT q.query_id, r.vec_id AS neighbor_id,
-        |    round(list_dot_product(r.emb, q.q_emb)
-        |      / (sqrt(list_dot_product(r.emb, r.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS psim
-        |  FROM recon r, q WHERE r.vec_id <> q.query_id),
-        |sl AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS rn
-        |    FROM ps) WHERE rn <= (SELECT l FROM ln)),
-        |s AS (SELECT sl.query_id, sl.neighbor_id,
-        |    round(list_dot_product(c.emb, q.q_emb)
-        |      / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS sim
-        |  FROM sl JOIN e c ON c.vec_id = sl.neighbor_id
-        |  JOIN q ON q.query_id = sl.query_id),
-        |rk AS (SELECT query_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
-        |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 10
-        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+    "ann_pq" -> annPqOracle,
+    // the persisted-index entry reads trained codebooks + codes back from
+    // the writePqIndex sidecar; "indexed search ≡ inline-trained search"
+    // is exactly the claim, so it shares the oracle text verbatim
+    "ann_pq_indexed" -> annPqOracle,
     // cluster-balanced selection replayed end-to-end: home cells from the
     // shared quantizer CTEs, then the per-cell budget in knuth-hash order
     // (bijective on sub-2^32 ids, so the sample is a total order -> exact)
@@ -2509,6 +2446,85 @@ object SparkEntry {
       |SELECT h.doc_id, count(*) AS shared_grams
       |FROM hits h JOIN bench b USING (g)
       |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+
+  /** The full TRAINED-PQ pipeline replayed (see the Scaladoc above the
+    * queries entry): shared verbatim by `ann_pq` (inline training) and
+    * `ann_pq_indexed` (training + encoding replayed from the persisted
+    * sidecar — byte-identical codebooks by the fixed-point argument).
+    * Probes are the 5 smallest LIVE vec_ids (band-safe, round-18 advice)
+    * — a total order both engines compute identically on any corpus
+    * slice, where the old `vec_id < 5` was vacuous on sampled bands. */
+  private lazy val annPqOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
+        |pq AS (SELECT CASE WHEN count(*) >= 256 THEN 16 ELSE 4 END AS m,
+        |    CASE WHEN count(*) >= 256 THEN 256 ELSE 16 END AS kc
+        |  FROM e WHERE emb IS NOT NULL),
+        |sd AS (SELECT (SELECT dim FROM d) // (SELECT m FROM pq) AS s),
+        |cent AS (
+        |  SELECT cid, cemb FROM (
+        |    SELECT row_number() OVER (
+        |        ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
+        |      emb AS cemb
+        |    FROM e)
+        |  WHERE cid < (SELECT kc FROM pq)),
+        |ms AS (SELECT unnest(range((SELECT m FROM pq))) AS m),
+        |sub AS (SELECT e.vec_id, ms.m,
+        |    e.emb[ms.m*(SELECT s FROM sd)+1 : ms.m*(SELECT s FROM sd)+(SELECT s FROM sd)] AS x
+        |  FROM e, ms),
+        |cb AS (SELECT cent.cid, ms.m,
+        |    cent.cemb[ms.m*(SELECT s FROM sd)+1 : ms.m*(SELECT s FROM sd)+(SELECT s FROM sd)] AS c
+        |  FROM cent, ms),
+        |cb0n AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb),
+        |asg0 AS (SELECT s.vec_id, s.m, cb0n.cid,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.x, cb0n.c) * cb0n.inv DESC, cb0n.cid) AS rn
+        |  FROM sub s JOIN cb0n ON s.m = cb0n.m),
+        |code0 AS (SELECT vec_id, m, cid FROM asg0 WHERE rn = 1),
+        |dims AS (SELECT unnest(range(1, (SELECT s FROM sd) + 1)) AS j),
+        |upd AS (SELECT c0.m, c0.cid, u.j, count(*) AS n,
+        |    sum(CAST(floor(s.x[u.j] * 1048576.0 + 0.5) AS BIGINT)) AS fx
+        |  FROM code0 c0, sub s, dims u
+        |  WHERE s.vec_id = c0.vec_id AND s.m = c0.m
+        |  GROUP BY c0.m, c0.cid, u.j),
+        |cb1 AS (SELECT cb.m, cb.cid,
+        |    list(CASE WHEN upd.n IS NULL THEN cb.c[u.j]
+        |      ELSE floor(CAST(upd.fx AS DOUBLE) / upd.n + 0.5) / 1048576.0 END
+        |      ORDER BY u.j) AS c
+        |  FROM cb CROSS JOIN dims u
+        |  LEFT JOIN upd ON upd.m = cb.m AND upd.cid = cb.cid AND upd.j = u.j
+        |  GROUP BY cb.m, cb.cid),
+        |cbn AS (SELECT cid, m, c, 1.0 / sqrt(list_dot_product(c, c)) AS inv FROM cb1),
+        |asg AS (SELECT s.vec_id, s.m, cbn.cid,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.x, cbn.c) * cbn.inv DESC, cbn.cid) AS rn
+        |  FROM sub s JOIN cbn ON s.m = cbn.m),
+        |code AS (SELECT vec_id, m, cid FROM asg WHERE rn = 1),
+        |recon AS (
+        |  SELECT code.vec_id, flatten(list(cbn.c ORDER BY code.m)) AS emb
+        |  FROM code JOIN cbn ON cbn.m = code.m AND cbn.cid = code.cid
+        |  GROUP BY code.vec_id),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+        |  WHERE emb IS NOT NULL ORDER BY vec_id LIMIT 5),
+        |ln AS (SELECT greatest(20, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS l
+        |  FROM e WHERE emb IS NOT NULL),
+        |ps AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |    round(list_dot_product(r.emb, q.q_emb)
+        |      / (sqrt(list_dot_product(r.emb, r.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS psim
+        |  FROM recon r, q WHERE r.vec_id <> q.query_id),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS rn
+        |    FROM ps) WHERE rn <= (SELECT l FROM ln)),
+        |s AS (SELECT sl.query_id, sl.neighbor_id,
+        |    round(list_dot_product(c.emb, q.q_emb)
+        |      / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS sim
+        |  FROM sl JOIN e c ON c.vec_id = sl.neighbor_id
+        |  JOIN q ON q.query_id = sl.query_id),
+        |rk AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
 
   private val annExactOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

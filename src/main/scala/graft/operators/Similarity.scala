@@ -1411,23 +1411,42 @@ object Similarity {
     annPqOn(Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
 
+  /** BAND-SAFE probe set (round-18 advice): the 5 smallest LIVE vec_ids,
+    * not a fixed `vec_id < 5` range — a sampled source-id band of a scaled
+    * dir keeps strata whose smallest ids sit far from 0, so a fixed range
+    * selects nothing and the band correctness row is vacuous (0 = 0 rows).
+    * ORDER BY vec_id LIMIT 5 is a total order, so the DuckDB oracle
+    * computes the identical set on any slice of the corpus. */
+  private def pqProbes(emb: DataFrame): DataFrame =
+    emb.filter(col("emb").isNotNull).orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+
   /** Frame-level body of [[annPq]] — (vec_id, emb double[]) in. */
   def annPqOn(emb: DataFrame): DataFrame = {
     val nLive = emb.filter(col("emb").isNotNull).count()
     // an EMPTY/all-null corpus has no donors to slice into codebooks (the
     // empty-input contract of the IVF family, round 14): zero rows out,
     // same schema — not a head-of-empty crash in pqCodebooks
-    if (nLive == 0L) {
-      return emb.sparkSession.emptyDataFrame.select(
-        lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
-        lit(0.0).as("sim")).limit(0)
-    }
+    if (nLive == 0L) return emptyPqResult(emb)
     val (m, kc) = adaptivePqShape(nLive)
-    val rerankL = adaptivePqRerank(nLive)
     val cbs = pqCodebooksTrained(emb, m = m, k = kc, iters = 1)
-    val recon = emb.select(col("vec_id"), pqReconstruct(col("emb"), cbs).as("emb"))
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val recon = emb.filter(col("emb").isNotNull)
+      .select(col("vec_id"), pqReconstruct(col("emb"), cbs).as("emb"))
+    pqSearch(emb, recon, nLive)
+  }
+
+  private def emptyPqResult(emb: DataFrame): DataFrame =
+    emb.sparkSession.emptyDataFrame.select(
+      lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+      lit(0.0).as("sim")).limit(0)
+
+  /** The ADC+R search stage shared by [[annPqOn]] and [[annPqIndexed]]:
+    * rank the RECONSTRUCTED corpus against the probes, keep the
+    * [[adaptivePqRerank]] √N shortlist, rerank by EXACT cosine on the full
+    * vectors, publish the top-10 behind the recall gate. */
+  private def pqSearch(emb: DataFrame, recon: DataFrame, nLive: Long): DataFrame = {
+    val rerankL = adaptivePqRerank(nLive)
+    val probes = pqProbes(emb)
     // PQ shortlist: queries × √N candidate ids — tiny next to the corpus,
     // so the rerank join broadcasts the shortlist against the vector scan
     val shortlist = bruteForceTopK(recon, probes, rerankL)
@@ -1448,6 +1467,78 @@ object Similarity {
     // curve (which bottomed at 0.36)
     assertRecall(approx, bruteForceTopK(emb, probes, 10), minRecall = 0.6, what = "ann_pq")
     approx.orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /**
+   * Persist a PQ index: the corpus ENCODED to `m` codes per vector (the
+   * 16× compression PQ exists for — at 100 TB the codes are what fits in
+   * memory), the TRAINED codebooks in the [[graft.util.IndexSidecar]].
+   * This is the missing half of PQ at scale, the exact gap
+   * [[writeIvfIndex]] closed for IVF (round-18 verdict #4): [[annPqOn]]
+   * retrains per call, but a production corpus trains ONCE and queries
+   * forever — training is a corpus-wide pass, a probe touches only the
+   * codes. Returns the codebooks it wrote.
+   */
+  def writePqIndex(corpus: DataFrame, path: String, iters: Int = 1): Array[Array[Array[Double]]] = {
+    val live = corpus.filter(col("emb").isNotNull)
+    val nLive = live.count()
+    require(nLive > 0L, "cannot build a PQ index over an empty corpus")
+    val (m, kc) = adaptivePqShape(nLive)
+    val cbs = pqCodebooksTrained(corpus, m = m, k = kc, iters = iters)
+    val sub = cbs.map(_.head.length).sum / cbs.length
+    // encode: nearest codeword per subspace — the same fused IvfAssign
+    // ranking the search's reconstruction uses, so decode(encode(x)) is
+    // exactly the codeword pqReconstruct picks inline
+    val codes = array(cbs.zipWithIndex.map { case (cb, i) =>
+      element_at(graft.functions.GraftFunctions.ivfAssign(
+        slice(col("emb"), i * sub + 1, sub), cb, 1), 1).cast("int")
+    }.toIndexedSeq: _*)
+    live.select(col("vec_id"), codes.as("codes"))
+      .write.mode("overwrite").parquet(path)
+    graft.util.IndexSidecar.write(path, "pq", Map(
+      "m" -> cbs.length.toString, "k" -> kc.toString, "iters" -> iters.toString,
+      "codebooks" -> cbs.map(graft.util.IndexSidecar.encodeMatrix).mkString("|")))
+    cbs
+  }
+
+  /** (encoded codes, trained codebooks) back from [[writePqIndex]] output —
+    * kind-checked, so an IVF/MinHash index path fails loudly. */
+  def readPqIndex(spark: SparkSession, path: String): (DataFrame, Array[Array[Array[Double]]]) = {
+    val props = graft.util.IndexSidecar.read(path, "pq")
+    val cbs = props("codebooks").split("\\|")
+      .map(graft.util.IndexSidecar.decodeMatrix)
+    (spark.read.parquet(path), cbs)
+  }
+
+  /** Reconstruction from PERSISTED codes: a literal codebook lookup per
+    * subspace — no assignment ranking at query time, the property the
+    * index buys. */
+  def pqReconstructFromCodes(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cb, i) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq), element_at(codes, i + 1) + 1)
+    }.toIndexedSeq: _*))
+
+  /** PQ index roots already built this JVM — same write-once, probe-many
+    * contract as [[ivfBuilt]]; a new JVM always rebuilds. */
+  private val pqBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Query entry (oracle-exact): train + encode ONCE per (JVM, dir), read
+    * the codes and codebooks back from the sidecar, search from the
+    * persisted reconstruction — must hash-equal the inline-trained
+    * [[annPq]] (shares its oracle text verbatim), proving the whole
+    * persist/read/decode cycle loses nothing. */
+  def annPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val nLive = emb.filter(col("emb").isNotNull).count()
+    if (nLive == 0L) return emptyPqResult(emb)
+    val path = graft.util.Fs.processScopedTmpDir(
+      s"graft-pq-${math.abs(dir.hashCode)}").toString
+    if (pqBuilt.add(path)) writePqIndex(emb, path)
+    val (codes, cbs) = readPqIndex(spark, path)
+    val recon = codes.select(
+      col("vec_id"), pqReconstructFromCodes(col("codes"), cbs).as("emb"))
+    pqSearch(emb, recon, nLive)
   }
 
   /** Diversity-balanced subsample (the cluster-balanced selection step of

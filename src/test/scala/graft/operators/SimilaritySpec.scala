@@ -465,6 +465,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index: codebooks survive the sidecar bit-exactly; codes " +
+      "decode to the inline reconstruction; indexed search == inline-trained search") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-test").toString
+    val written = Similarity.writePqIndex(embeddings, path)
+    val (codes, read) = Similarity.readPqIndex(spark, path)
+    // quantizer round-trips bit-exactly (Double.toString <-> parseDouble)
+    assert(read.length === written.length)
+    written.zip(read).foreach { case (a, b) =>
+      assert(a.length === b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    // every live vector encoded: m codes each, all within codebook range
+    val m = written.length
+    val kc = written.head.length
+    val collected = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(collected.length === embeddings.filter(col("emb").isNotNull).count())
+    collected.foreach { case (id, cs) =>
+      assert(cs.length === m && cs.forall(c => c >= 0 && c < kc),
+        s"vec $id codes $cs out of ${m}x$kc range")
+    }
+    // decode(encode(x)) == the inline assignment's reconstruction, per vector
+    val fromCodes = codes.select(col("vec_id"),
+        Similarity.pqReconstructFromCodes(col("codes"), read).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    embeddings.filter(col("emb").isNotNull)
+      .select(col("vec_id"), Similarity.pqReconstruct(col("emb"), written).as("r"))
+      .collect().foreach { r =>
+        assert(fromCodes(r.getLong(0)) === r.getSeq[Double](1))
+      }
+    // the full indexed entry answers exactly like the inline-trained entry
+    val inline = Similarity.annPq(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Similarity.annPqIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed === inline)
+    // pointing a different-kind reader at the PQ index fails loudly
+    intercept[IllegalArgumentException] { Similarity.readIvfIndex(spark, path) }
+  }
+
   test("hybridSearch: RRF score is the rank-reciprocal sum, both-modality " +
       "hits outrank equal single-modality ones, pools fuse full-outer") {
     val docs = Tables.documents(spark, sfDir)
