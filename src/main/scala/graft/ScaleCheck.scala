@@ -49,7 +49,8 @@ object ScaleCheck {
     "segment_dedup" -> "documents", "text_bigram_logprob" -> "documents",
     "dsir_select" -> "documents", "corpus_assemble" -> "documents",
     "knn_graph_probe" -> "embeddings", "dedup_bloom" -> "documents",
-    "snapshot_diff" -> "documents", "gram_coverage" -> "documents")
+    "snapshot_diff" -> "documents", "gram_coverage" -> "documents",
+    "ann_ivfpq_indexed" -> "embeddings")
 
   /** Wall-time growth bound: data ratio × slack. Slack 1.5 per the round
     * guidance — generous enough for the job-floor noise on the small SF,
@@ -69,7 +70,8 @@ object ScaleCheck {
     * quadratic (~100× on the step) still blows far past it. Both factors
     * come from the SAME formulas the operators (and their oracles) use. */
   val EscalationKeys: Set[String] =
-    Set("embed_neardup", "semantic_dedup", "knn_graph_probe", "hard_negatives_probe")
+    Set("embed_neardup", "semantic_dedup", "knn_graph_probe",
+      "hard_negatives_probe", "ann_ivfpq_indexed")
   def escalationFactor(key: String, nSmall: Long, nBig: Long): Double = {
     import graft.operators.Similarity._
     key match {
@@ -88,7 +90,11 @@ object ScaleCheck {
             math.max(1.0, n.toDouble / (1L << bits) / TargetBucketOccupancy)
         }
         f(nBig) / f(nSmall)
-      case "knn_graph_probe" | "hard_negatives_probe" =>
+      case "knn_graph_probe" | "hard_negatives_probe" | "ann_ivfpq_indexed" =>
+        // ann_ivfpq_indexed probes through the SAME adaptive √-law
+        // formulas (fixed 5-query probe set, so per-QUERY cell growth is
+        // the whole escalation; the √N shortlist is sublinear and rides
+        // inside the data-ratio slack)
         // both prune through the identical nprobe escalation (the knnGraph
         // cell machinery; hard_negatives_probe adds a label filter).
         // EscalationKeys' contract — factors come from the SAME formulas

@@ -214,6 +214,9 @@ object SparkEntry {
     "ann_pq" -> (Similarity.annPq _),
     // same search from a PERSISTED index: codes + codebooks via the sidecar
     "ann_pq_indexed" -> (Similarity.annPqIndexed _),
+    // the IVFPQ composition: the code index partitioned by coarse cell,
+    // probes scoring only their nprobe cells' codes (partition-pruned scan)
+    "ann_ivfpq_indexed" -> (Similarity.annIvfPqIndexed _),
     "embed_neardup" -> (Similarity.embedNearDup _),
     // DEFAULT semantic dedup = the scale path: LSH pair stage + pointer-
     // jumping clustering, oracle-exact via the hyperplane-LCG replay AND
@@ -1906,6 +1909,9 @@ object SparkEntry {
     // the writePqIndex sidecar; "indexed search ≡ inline-trained search"
     // is exactly the claim, so it shares the oracle text verbatim
     "ann_pq_indexed" -> annPqOracle,
+    // the cell-pruned composition: same code table, each probe restricted
+    // to its √-law nprobe knuth-quantizer cells before the ADC tail
+    "ann_ivfpq_indexed" -> annIvfPqOracle,
     // cluster-balanced selection replayed end-to-end: home cells from the
     // shared quantizer CTEs, then the per-cell budget in knuth-hash order
     // (bijective on sub-2^32 ids, so the sample is a total order -> exact)
@@ -2455,7 +2461,63 @@ object SparkEntry {
     * — a total order both engines compute identically on any corpus
     * slice, where the old `vec_id < 5` was vacuous on sampled bands. */
   private lazy val annPqOracle: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH $pqCodeCtes,
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+        |  WHERE emb IS NOT NULL ORDER BY vec_id LIMIT 5),
+        |ln AS (SELECT greatest(20, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS l
+        |  FROM e WHERE emb IS NOT NULL),
+        |${pqAdcSearchSql("CROSS JOIN q")}""".stripMargin
+
+  /** The IVFPQ composition replayed (round-20 verdict #1): the SAME
+    * trained-PQ code table, now searched CELL-PRUNED — coarse quantizer =
+    * the adaptive knuth-hash centroid selection of `knn_graph_probe`
+    * (ivfHomeCtesAdaptive's formulas verbatim, renamed to dodge the PQ
+    * CTE names), each probe scoring only the codes whose HOME cell is
+    * among its √-law nprobe probe cells, then the shared ADC tail. Every
+    * stage is a total order, so the doubly-approximate result is still
+    * hash-exact. */
+  private lazy val annIvfPqOracle: String =
+    s"""WITH $pqCodeCtes,
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+        |  WHERE emb IS NOT NULL ORDER BY vec_id LIMIT 5),
+        |ln AS (SELECT greatest(20, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS l
+        |  FROM e WHERE emb IS NOT NULL),
+        |ivfk AS (SELECT greatest(16, CAST(ceil(count(*)::DOUBLE / 125.0) AS BIGINT)) AS k
+        |  FROM e WHERE emb IS NOT NULL),
+        |ivfnp AS (SELECT CASE WHEN k <= 16 THEN 6
+        |  WHEN k <= 160 THEN least(k, CAST(ceil(sqrt(36.0 * k / 10.0)) AS BIGINT))
+        |  ELSE least(k, CAST(ceil(sqrt(36.0 * k / 10.0) * sqrt(sqrt(k / 160.0))) AS BIGINT)) END AS np
+        |  FROM ivfk),
+        |ivfc AS (
+        |  SELECT cid, cemb FROM (
+        |    SELECT row_number() OVER (
+        |        ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id) - 1 AS cid,
+        |      emb AS cemb
+        |    FROM e)
+        |  WHERE cid < (SELECT k FROM ivfk)),
+        |ivfcn AS (SELECT cid, cemb, 1.0 / sqrt(list_dot_product(cemb, cemb)) AS inv FROM ivfc),
+        |va AS (SELECT e.vec_id, ivfcn.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.emb, ivfcn.cemb) * ivfcn.inv DESC, ivfcn.cid) AS rn
+        |  FROM e, ivfcn),
+        |home AS (SELECT vec_id, cid FROM va WHERE rn = 1),
+        |pa AS (SELECT q.query_id, ivfcn.cid,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_dot_product(q.q_emb, ivfcn.cemb) * ivfcn.inv DESC, ivfcn.cid) AS rn
+        |  FROM q, ivfcn),
+        |probe AS (SELECT query_id, cid FROM pa WHERE rn <= (SELECT np FROM ivfnp)),
+        |${pqAdcSearchSql(
+           """JOIN home h ON h.vec_id = code.vec_id
+             |  JOIN probe p ON p.cid = h.cid
+             |  JOIN q ON q.query_id = p.query_id""".stripMargin)}""".stripMargin
+
+  /** PQ training + encode replay — the CTE prefix shared by annPqOracle
+    * and annIvfPqOracle: donor selection in knuth-hash order, ONE
+    * fixed-point Lloyd pass, per-subspace dot × invNorm assignment into
+    * `code`, plus `csq` (per-codeword squared norms, the probe-independent
+    * half of the ADC lookup tables). */
+  private lazy val pqCodeCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |d AS (SELECT len(emb) AS dim FROM e LIMIT 1),
         |pq AS (SELECT CASE WHEN count(*) >= 256 THEN 16 ELSE 4 END AS m,
         |    CASE WHEN count(*) >= 256 THEN 256 ELSE 16 END AS kc
@@ -2500,18 +2562,34 @@ object SparkEntry {
         |      ORDER BY list_dot_product(s.x, cbn.c) * cbn.inv DESC, cbn.cid) AS rn
         |  FROM sub s JOIN cbn ON s.m = cbn.m),
         |code AS (SELECT vec_id, m, cid FROM asg WHERE rn = 1),
-        |recon AS (
-        |  SELECT code.vec_id, flatten(list(cbn.c ORDER BY code.m)) AS emb
-        |  FROM code JOIN cbn ON cbn.m = code.m AND cbn.cid = code.cid
-        |  GROUP BY code.vec_id),
-        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-        |  WHERE emb IS NOT NULL ORDER BY vec_id LIMIT 5),
-        |ln AS (SELECT greatest(20, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS l
-        |  FROM e WHERE emb IS NOT NULL),
-        |ps AS (SELECT q.query_id, r.vec_id AS neighbor_id,
-        |    round(list_dot_product(r.emb, q.q_emb)
-        |      / (sqrt(list_dot_product(r.emb, r.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS psim
-        |  FROM recon r, q WHERE r.vec_id <> q.query_id),
+        |csq AS (SELECT m, cid, list_dot_product(c, c) AS sq FROM cbn)""".stripMargin
+
+  /** The ADC lookup-table scoring + √N shortlist + exact rerank replay
+    * (round-20 verdict #2, shared by every PQ oracle): per (query, vector)
+    * the reconstructed dot is the SUBSPACE-ORDERED left fold of per-
+    * subspace partial dots — `list_reduce(list(... ORDER BY code.m))`
+    * mirrors the Spark side's driver-LUT `reduceLeft` association
+    * EXACTLY, so cross-engine agreement on the lossy shortlist is
+    * deterministic, not FP luck. The reconstructed norm folds the
+    * per-codeword squared norms (`csq`) the same way. `extraJoins`
+    * supplies the probe attachment: a plain CROSS JOIN for the flat scan,
+    * the home/probe cell restriction for the IVFPQ oracle. */
+  private def pqAdcSearchSql(extraJoins: String): String =
+    s"""pd AS (SELECT q.query_id, code.vec_id,
+        |    list_reduce(list(list_dot_product(cbn.c,
+        |        q.q_emb[code.m*(SELECT s FROM sd)+1 : code.m*(SELECT s FROM sd)+(SELECT s FROM sd)])
+        |      ORDER BY code.m), (a, b) -> a + b) AS rdot,
+        |    list_reduce(list(csq.sq ORDER BY code.m), (a, b) -> a + b) AS rsq
+        |  FROM code
+        |  JOIN cbn ON cbn.m = code.m AND cbn.cid = code.cid
+        |  JOIN csq ON csq.m = code.m AND csq.cid = code.cid
+        |  $extraJoins
+        |  WHERE code.vec_id <> q.query_id
+        |  GROUP BY q.query_id, code.vec_id),
+        |qn AS (SELECT query_id, sqrt(list_dot_product(q_emb, q_emb)) AS nq FROM q),
+        |ps AS (SELECT pd.query_id, pd.vec_id AS neighbor_id,
+        |    round(pd.rdot / (sqrt(pd.rsq) * qn.nq), 4) AS psim
+        |  FROM pd JOIN qn USING (query_id)),
         |sl AS (SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
         |      row_number() OVER (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS rn

@@ -504,6 +504,108 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { Similarity.readIvfIndex(spark, path) }
   }
 
+  test("persisted IVFPQ index: probes prune cell partitions at the scan; " +
+      "exhaustive nprobe equals the flat PQ search; kind-checked") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-test").toString
+    val (cents, cbs) = Similarity.writeIvfPqIndex(embeddings, path, numCentroids = 8)
+    assert(cents.length === 8 && cbs.nonEmpty)
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    val nLive = embeddings.filter(col("emb").isNotNull).count()
+    // pruned: nprobe=2 must reach the scan as a PARTITION filter — only the
+    // probed cells' code files are listed, the rest never open
+    val pruned = Similarity.ivfPqTopKIndexed(spark, path, embeddings, nLive,
+      nprobe = 2, what = "ivfpq_suite", minRecall = 0.0)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    val inList = "PartitionFilters: \\[centroid_id#\\d+ IN \\(([0-9,]+)\\)".r
+      .findFirstMatchIn(planStr).map(_.group(1).split(",").length)
+    assert(inList.isDefined, s"no partition IN-filter on the code scan in:\n$planStr")
+    assert(inList.get < cellDirs.length,
+      s"pruning probed ${inList.get} of ${cellDirs.length} cells — nothing pruned")
+    // with every cell probed the restriction is vacuous, and because the
+    // coarse partitioning rides the SAME trained codebooks, the search must
+    // equal the flat inline-trained ann_pq answer exactly
+    val exhaustive = Similarity.ivfPqTopKIndexed(spark, path, embeddings, nLive,
+        nprobe = 8, what = "ivfpq_suite", minRecall = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val flat = Similarity.annPq(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exhaustive === flat)
+    // and a flat-PQ reader pointed at the IVFPQ root fails loudly
+    intercept[IllegalArgumentException] { Similarity.readPqIndex(spark, path) }
+  }
+
+  test("appendPqIndex: appended batch encodes through the EXISTING codebooks " +
+      "and equals a one-shot encode; the sidecar is untouched") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pqapp-test").toString
+    Similarity.writePqIndex(embeddings.filter(col("vec_id") % 3 =!= 0), path)
+    val sidecarBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, graft.util.IndexSidecar.FileName))
+    Similarity.appendPqIndex(spark, embeddings.filter(col("vec_id") % 3 === 0), path)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, graft.util.IndexSidecar.FileName)) === sidecarBefore,
+      "append must not touch the trained codebooks")
+    val (codes, cbs) = Similarity.readPqIndex(spark, path)
+    // every live vector present exactly once, appended rows encoded exactly
+    // as a one-shot pqEncode through the SAME codebooks
+    val got = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.size === embeddings.filter(col("emb").isNotNull).count())
+    embeddings.filter(col("vec_id") % 3 === 0 && col("emb").isNotNull)
+      .select(col("vec_id"), Similarity.pqEncode(col("emb"), cbs).as("codes"))
+      .collect().foreach { r =>
+        assert(got(r.getLong(0)) === r.getSeq[Int](1))
+      }
+  }
+
+  test("appendIvfPqIndex: grown index equals a one-shot build through the " +
+      "same quantizers; both sidecar quantizers untouched") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpqapp-test").toString
+    val grown = s"$base/grown"
+    val oneShot = s"$base/oneshot"
+    val (cents, cbs) = Similarity.writeIvfPqIndex(
+      embeddings.filter(col("vec_id") % 3 =!= 0), grown, numCentroids = 8)
+    val sidecarBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(grown, graft.util.IndexSidecar.FileName))
+    Similarity.appendIvfPqIndex(spark, embeddings.filter(col("vec_id") % 3 === 0), grown)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(grown, graft.util.IndexSidecar.FileName)) === sidecarBefore)
+    // one-shot comparison index through the SAME quantizers (a fresh build
+    // would train centroids and codebooks on the full corpus — different
+    // geometry), so write it via the same assign+encode+sidecar path
+    Similarity.assignCells(embeddings.filter(col("emb").isNotNull)
+        .select("vec_id", "emb"), "emb", cents)
+      .select(col("vec_id"), Similarity.pqEncode(col("emb"), cbs).as("codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(oneShot)
+    graft.util.IndexSidecar.write(oneShot, "ivfpq", Map(
+      "centroids" -> graft.util.IndexSidecar.encodeMatrix(cents),
+      "m" -> cbs.length.toString, "k" -> cbs.head.length.toString, "iters" -> "1",
+      "codebooks" -> cbs.map(graft.util.IndexSidecar.encodeMatrix).mkString("|")))
+    val nLive = embeddings.filter(col("emb").isNotNull).count()
+    def ans(p: String) = Similarity.ivfPqTopKIndexed(spark, p, embeddings, nLive,
+        nprobe = 3, what = "ivfpq_suite", minRecall = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ans(grown) === ans(oneShot))
+    assert(ans(grown).nonEmpty)
+  }
+
+  test("readPqIndex fails loudly when the sidecar's declared shape " +
+      "disagrees with its codebook matrix") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pqbad-test").toString
+    val cbs = Similarity.writePqIndex(embeddings, path)
+    val props = graft.util.IndexSidecar.read(path, "pq") - "kind"
+    // declared m off by one vs the carried codebooks
+    graft.util.IndexSidecar.write(path, "pq",
+      props + ("m" -> (cbs.length + 1).toString))
+    val ex = intercept[IllegalArgumentException] { Similarity.readPqIndex(spark, path) }
+    assert(ex.getMessage.contains("codebooks"))
+    // declared k off vs the codebook sizes
+    graft.util.IndexSidecar.write(path, "pq",
+      props + ("k" -> (cbs.head.length - 1).toString))
+    intercept[IllegalArgumentException] { Similarity.readPqIndex(spark, path) }
+  }
+
   test("hybridSearch: RRF score is the rank-reciprocal sum, both-modality " +
       "hits outrank equal single-modality ones, pools fuse full-outer") {
     val docs = Tables.documents(spark, sfDir)
