@@ -666,6 +666,87 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
     copy(child = newChild)
 }
 
+/**
+ * Fused ADC scoring kernel (round 20): the asymmetric reconstructed cosine
+ * of one PQ-coded vector against probe `p`, read entirely from lookup
+ * tables — `dlut(p)(i·k + code_i)` partial dots and `nlut(i·k + code_i)`
+ * codeword squared norms, both precomputed on the driver and living INSIDE
+ * the expression (the [[IvfAssignExpr]] contract: one plan node, primitive
+ * arrays, one reference call from whole-stage codegen). The m-term
+ * element_at-chain Column formulation measured ~6 µs/row — two orders over
+ * this loop — because each term is its own Catalyst node against a boxed
+ * nested-array literal; here the whole score is one flat JVM loop.
+ *
+ * Summation order is the engine-exactness contract the DuckDB oracle
+ * replays (`list_reduce(list(… ORDER BY m))`): both accumulators fold the
+ * per-subspace partials in ascending-subspace order from 0.0 (adding 0.0
+ * first is IEEE-exact), and the probe norm is divided in the same
+ * expression shape as the Column form it replaces.
+ */
+case class PqAdcScoreExpr(left: Expression, right: Expression,
+    dlut: Array[Array[Double]], nlut: Array[Double],
+    qNorms: Array[Double], k: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  require(k > 0 && nlut.length % k == 0,
+    s"nlut length ${nlut.length} not a multiple of k=$k")
+  require(dlut.forall(_.length == nlut.length),
+    "every probe LUT must match the codeword-norm LUT shape")
+  require(dlut.length == qNorms.length, "one norm per probe LUT")
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val m: Int = nlut.length / k
+
+  override def nullSafeEval(codes: Any, probe: Any): Any =
+    scoreOf(codes.asInstanceOf[ArrayData], probe.asInstanceOf[Int])
+
+  // see IvfAssignExpr.assignOf: direct call from codegen
+  def scoreOf(codes: ArrayData, p: Int): Double = {
+    val lp = dlut(p)
+    var d = 0.0
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val idx = i * k + codes.getInt(i)
+      d += lp(idx)
+      s += nlut(idx)
+      i += 1
+    }
+    d / (math.sqrt(s) * qNorms(p))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, p) => {
+      val ref = ctx.addReferenceObj("pqAdcScore", this, classOf[PqAdcScoreExpr].getName)
+      s"${ev.value} = $ref.scoreOf($codes, $p);"
+    })
+
+  // the LUTs participate in equality so different probe batches don't dedupe
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAdcScoreExpr =>
+      left == o.left && right == o.right && k == o.k &&
+        java.util.Arrays.deepEquals(
+          dlut.asInstanceOf[Array[AnyRef]], o.dlut.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(nlut, o.nlut) &&
+        java.util.Arrays.equals(qNorms, o.qNorms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * (31 * left.hashCode() + right.hashCode()) + k) +
+      java.util.Arrays.deepHashCode(dlut.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.hashCode(nlut)
+
+  override def prettyName: String = "graft_pq_adc_score"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Deterministic vector-hash helpers shared by the LSH expressions. */
 object VectorKernels {
   import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -841,6 +922,14 @@ object GraftFunctions {
   def ivfAssign(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     ExpressionUtils.column(
       IvfAssignExpr(ExpressionUtils.expression(emb), centroids, nprobe))
+
+  /** Fused ADC score of a PQ code row against probe `p` — see
+    * [[PqAdcScoreExpr]]. `dlut(p)` and `nlut` are flat m×k tables. */
+  def pqAdcScore(codes: Column, probe: Column, dlut: Array[Array[Double]],
+      nlut: Array[Double], qNorms: Array[Double], k: Int): Column =
+    ExpressionUtils.column(
+      PqAdcScoreExpr(ExpressionUtils.expression(codes),
+        ExpressionUtils.expression(probe), dlut, nlut, qNorms, k))
 
   /** Mergeable bottom-k sketch aggregate: k smallest distinct
     * (key, payload) pairs per group — see [[BottomKPairsAgg]]. */

@@ -1481,14 +1481,19 @@ object Similarity {
     * materializing a d-double reconstruction per corpus row and paying a
     * d-multiply cosine per (row, probe) pair, the probes (driver-sized by
     * the [[pqProbes]] contract, the same argument as the centroid matrix)
-    * are collected ONCE and two literal tables enter the plan:
-    * `dlut(p)(i)(c)` = the partial dot of probe p's i-th subvector with
-    * codeword c (m·k·|probes| doubles), and `nlut(i)(c)` = codeword c's
-    * squared norm in subspace i (probe-independent, m·k doubles). Scoring
-    * a code row is then m lookups + (m−1) adds per probe — no
-    * reconstruction, no per-pair multiplies; exactly the compressed-domain
-    * scan PQ exists for at 100 TB, where the codes fit in memory and the
-    * LUT rides the closure.
+    * are collected ONCE and two lookup tables ride INSIDE one fused
+    * kernel ([[graft.functions.PqAdcScoreExpr]], the [[assignCells]]
+    * one-node contract): `dlut(p)(i·k+c)` = the partial dot of probe p's
+    * i-th subvector with codeword c (m·k·|probes| doubles), and
+    * `nlut(i·k+c)` = codeword c's squared norm in subspace i
+    * (probe-independent, m·k doubles). Scoring a code row is then one
+    * flat JVM loop of m lookups + adds per probe — no reconstruction, no
+    * per-pair multiplies; exactly the compressed-domain scan PQ exists
+    * for at 100 TB, where the codes fit in memory and the LUT rides the
+    * task closure. (The same tables phrased as an m-term nested
+    * element_at Column chain measured ~6 µs/row — every term its own
+    * Catalyst node against a boxed nested literal — vs this kernel's
+    * flat-array loop; the IvfAssignExpr lesson re-learned.)
     *
     * Engine-exactness: every partial is accumulated on the driver in
     * within-subspace index order (the `list_dot_product` order), the m
@@ -1518,44 +1523,40 @@ object Similarity {
     val probeRows = probes.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     if (probeRows.isEmpty) return emptyPqResult(emb)
-    // driver-side LUTs, accumulated in the exact order the kernels use:
-    // inner fold over j within a subspace, outer fold over subspaces
-    val nlut = cbs.map(_.map(cw => cw.foldLeft(0.0)((a, x) => a + x * x)))
+    // driver-side LUTs, accumulated in the exact order the kernel folds
+    // them back up: inner fold over j within a subspace (the
+    // list_dot_product order), flat-indexed as (subspace · k + codeword)
+    val kc = cbs.head.length
+    val nlut = new Array[Double](m * kc)
+    for (i <- 0 until m; c <- 0 until kc)
+      nlut(i * kc + c) = cbs(i)(c).foldLeft(0.0)((a, x) => a + x * x)
     val dlut = probeRows.map { case (_, q) =>
-      cbs.zipWithIndex.map { case (cb, i) =>
-        cb.map { cw =>
-          var acc = 0.0
-          var j = 0
-          while (j < sub) { acc += cw(j) * q(i * sub + j); j += 1 }
-          acc
-        }
+      val t = new Array[Double](m * kc)
+      for (i <- 0 until m; c <- 0 until kc) {
+        val cw = cbs(i)(c)
+        var acc = 0.0
+        var j = 0
+        while (j < sub) { acc += cw(j) * q(i * sub + j); j += 1 }
+        t(i * kc + c) = acc
       }
+      t
     }
     val qNorms = probeRows.map { case (_, q) =>
       math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
     }
-    val dlutLit = typedLit(dlut.map(_.map(_.toSeq).toSeq).toSeq)
-    val nlutLit = typedLit(nlut.map(_.toSeq).toSeq)
     val probeMeta = probeRows.zipWithIndex.map { case ((qid, _), p) =>
-      struct(lit(p).as("p"), lit(qid).as("query_id"), lit(qNorms(p)).as("qn"),
+      struct(lit(p).as("p"), lit(qid).as("query_id"),
         typedLit(probeCells.fold(Seq.empty[Int])(_.getOrElse(qid, Seq.empty)))
           .as("cells"))
     }
     val cellOk = probeCells.fold(lit(true))(_ =>
       array_contains(col("pm.cells"), col("centroid_id")))
-    val rsq = (0 until m).map(i => element_at(
-        element_at(nlutLit, i + 1), element_at(col("codes"), i + 1) + 1))
-      .reduceLeft(_ + _)
-    val rdot = (0 until m).map(i => element_at(element_at(
-        element_at(dlutLit, col("pm.p") + 1), i + 1),
-        element_at(col("codes"), i + 1) + 1))
-      .reduceLeft(_ + _)
     val scored = codes
-      .withColumn("rsq", rsq)
       .withColumn("pm", explode(array(probeMeta.toIndexedSeq: _*)))
       .filter(col("vec_id") =!= col("pm.query_id") && cellOk)
       .select(col("pm.query_id").as("query_id"), col("vec_id"),
-        round(rdot / (sqrt(col("rsq")) * col("pm.qn")), 4).as("psim"))
+        round(graft.functions.GraftFunctions.pqAdcScore(
+          col("codes"), col("pm.p"), dlut, nlut, qNorms, kc), 4).as("psim"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("vec_id"))
     // PQ shortlist: queries × √N candidate ids — tiny next to the corpus,
