@@ -1774,8 +1774,10 @@ object Similarity {
     * and the result is hash-exact despite being doubly approximate. The
     * recall gate vs brute force pins the semantics (measured recall@10
     * 0.60 / 0.58 / 0.68 at sf0.001 / sf0.01 / sf0.1, vs the flat ann_pq
-    * scan's 0.94 / 1.00 / 0.88 — probing 6 of 16 cells (24 of 160 at
-    * sf0.1) costs ~0.2–0.35 recall on Gaussian no-structure embeddings,
+    * scan's 0.94 / 1.00 / 0.88 — probing 6 of 16 cells at every
+    * correctness SF (24 of 160 at sf1, 135 of 1600 at sf10, where the
+    * adaptive formulas engage) costs ~0.2–0.35 recall on Gaussian
+    * no-structure embeddings,
     * the documented IVF trade; production near-dup regimes (cosine ≥ 0.9
     * neighbors) sit far above this worst case). */
   def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
