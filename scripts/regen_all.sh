@@ -207,6 +207,12 @@ EOF
 fi
 
 # ---------- bench: the three boards at the local[32] protocol ----------
+# NOTE: this stage REPLACES the committed boards with one fresh full
+# capture — the right semantics for a from-scratch regeneration, but
+# round-to-round the standing protocol is the per-key min-of-3 fold
+# (SPARK_GRAFT_BENCH_ONLY → *.partial → explicit fold), which this stage
+# deliberately does not emulate. Skip it when the committed fold is
+# already at HEAD for every changed key.
 if have bench; then
   log "bench: default board (sf0.1, local[$CPUS], keep machine idle)"
   env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
