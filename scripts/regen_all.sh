@@ -131,7 +131,7 @@ if have scaling; then
   log "scaling: FULL ScaleCheck (all lanes, ~80 min)"
   env SPARK_GRAFT_CPUS=16 \
       SPARK_GRAFT_SCALE_BIG2=testdata-gen/sf1 \
-      SPARK_GRAFT_SCALE_BIG3=testdata-gen/sf10 \
+      SPARK_GRAFT_SCALE_BIG3=testdata-gen/sf5 \
       SPARK_GRAFT_SCALE_BAND3=testdata-gen/sf10band40 \
       SPARK_GRAFT_SCALE_SKEW=testdata-gen/sf05skew \
       SPARK_GRAFT_SCALE_SKEW_BASE=testdata-gen/sf05uniform \
@@ -162,7 +162,7 @@ EOF
     env SPARK_GRAFT_CPUS=16 \
         SPARK_GRAFT_SCALE_KEYS=embed_neardup,semantic_dedup,dedup_minhash \
         SPARK_GRAFT_SCALE_BIG2=testdata-gen/sf1 \
-        SPARK_GRAFT_SCALE_BIG3=testdata-gen/sf10 \
+        SPARK_GRAFT_SCALE_BIG3=testdata-gen/sf5 \
         SPARK_GRAFT_SCALE_BAND3=testdata-gen/sf10band40 \
         java -Xmx48g -cp "$CP" graft.ScaleCheck > /tmp/regen_scaling_iso.log 2>&1 \
       || { tail -30 /tmp/regen_scaling_iso.log; exit 1; }
