@@ -638,6 +638,37 @@ object Similarity {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** `sqrt(Σx²)` of one vector, accumulated in [[cosineRaw]]'s element
+    * order. Every fused pair kernel recomputed BOTH self-norms inside the
+    * pair loop — 3 multiply-add chains per element where only the dot
+    * product varies per pair (guide §1.2 "per-task work": the norm passes
+    * are O(N·d), the pair loop O(N²·d), so hoisting them cuts ~2/3 of the
+    * kernel arithmetic). `dot / (sqrtNorm(a) * sqrtNorm(b))` is the exact
+    * IEEE expression cosineRaw evaluates — same per-vector accumulation
+    * order, same sqrt, same multiply — so results stay bit-identical. */
+  private def sqrtNorm(v: Array[Double]): Double = {
+    var na = 0.0
+    var i = 0
+    while (i < v.length) { na += v(i) * v(i); i += 1 }
+    math.sqrt(na)
+  }
+
+  /** [[sqrtNorm]] per row of a row-major flat block. */
+  private def flatSqrtNorms(flat: Array[Double], dim: Int): Array[Double] = {
+    val n = if (dim == 0) 0 else flat.length / dim
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var na = 0.0
+      var d = 0
+      val off = i * dim
+      while (d < dim) { val x = flat(off + d); na += x * x; d += 1 }
+      out(i) = math.sqrt(na)
+      i += 1
+    }
+    out
+  }
+
   /** One packed block of vectors: flat primitive layout so the pair loop
     * runs at array speed with zero per-row deserialization. `flat` holds
     * `ids.length` vectors of `dim` doubles each, row-major. */
@@ -708,10 +739,15 @@ object Similarity {
         val dim = pb.dim
         require(cb.dim == dim, s"knn: block dimension mismatch $dim vs ${cb.dim}")
         val cn = cb.ids.length
+        // norms once per block row (O((pn+cn)·d)) instead of per pair
+        // (O(pn·cn·d)) — bit-identical, see [[sqrtNorm]]
+        val pbN = flatSqrtNorms(pb.flat, dim)
+        val cbN = flatSqrtNorms(cb.flat, dim)
         Iterator.range(0, pb.ids.length).flatMap { i =>
           val ida = pb.ids(i)
           val la = pb.labels(i)
           val aOff = i * dim
+          val na = pbN(i)
           val sims = new Array[Double](cn)
           val top = Array.fill(math.max(k, 1))(Double.NegativeInfinity)
           var eligible = 0
@@ -721,15 +757,14 @@ object Similarity {
             val ok = idb != ida && (!labelFiltered || cb.labels(j) != la)
             if (ok) {
               eligible += 1
-              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var dot = 0.0
               var d = 0
               val bOff = j * dim
               while (d < dim) {
-                val x = pb.flat(aOff + d); val y = cb.flat(bOff + d)
-                dot += x * y; na += x * x; nb += y * y
+                dot += pb.flat(aOff + d) * cb.flat(bOff + d)
                 d += 1
               }
-              val denom = math.sqrt(na) * math.sqrt(nb)
+              val denom = na * cbN(j)
               val s = if (denom == 0.0) 0.0 else dot / denom
               sims(j) = s
               if (s > top(top.length - 1)) {
@@ -826,20 +861,23 @@ object Similarity {
             "cosine verify: grid cell received pairs but no corpus blocks")
           require(aDim == bDim,
             s"cosine verify: dimension mismatch $aDim vs $bDim")
+          // norms once per block row instead of per pair — bit-identical,
+          // see [[sqrtNorm]]
+          val aN = flatSqrtNorms(aFlat, aDim)
+          val bN = flatSqrtNorms(bFlat, bDim)
           ps.map { case (a, b) =>
             val ai = java.util.Arrays.binarySearch(aIds, a)
             val bi = java.util.Arrays.binarySearch(bIds, b)
             require(ai >= 0 && bi >= 0,
               s"cosine verify: pair ($a,$b) references a vector absent from the corpus")
-            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var dot = 0.0
             var d = 0
             val aOff = ai * aDim; val bOff = bi * bDim
             while (d < aDim) {
-              val x = aFlat(aOff + d); val y = bFlat(bOff + d)
-              dot += x * y; na += x * x; nb += y * y
+              dot += aFlat(aOff + d) * bFlat(bOff + d)
               d += 1
             }
-            val denom = math.sqrt(na) * math.sqrt(nb)
+            val denom = aN(ai) * bN(bi)
             (a, b, if (denom == 0.0) 0.0 else dot / denom)
           }
         }
@@ -857,20 +895,41 @@ object Similarity {
   private def knnExhaustiveKernel(spark: SparkSession,
       rows: Array[(Long, Array[Double])], k: Int): DataFrame = {
     import spark.implicits._
+    // dims checked + norms paid ONCE per vector on the driver (bounded by
+    // the kernel ceiling), not once per pair in the loop — see [[sqrtNorm]]
+    rows.foreach { r =>
+      if (r._2.length != rows(0)._2.length)
+        throw new IllegalArgumentException(
+          s"cosine_sim: dimension mismatch ${rows(0)._2.length} vs ${r._2.length} — " +
+            "a silent min-length similarity would be plausible but wrong")
+    }
     val bc = spark.sparkContext.broadcast(rows)
+    val bcN = spark.sparkContext.broadcast(rows.map(r => sqrtNorm(r._2)))
     val n = rows.length
     val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
     val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4, n))
-    val raw = spark.createDataset(order).repartition(slices).mapPartitions { it =>
+    // parallelize slices the (already hash-scrambled) index list directly —
+    // the previous createDataset(order).repartition(slices) paid a whole
+    // map stage + exchange to distribute n integers (guide §2.4)
+    val raw = spark.createDataset(
+        spark.sparkContext.parallelize(order, slices)).mapPartitions { it =>
       val all = bc.value
+      val ns = bcN.value
       it.flatMap { i =>
         val (ida, ea) = all(i)
+        val na = ns(i)
+        val dim = ea.length
         val sims = new Array[Double](all.length)
         val top = Array.fill(math.max(k, 1))(Double.NegativeInfinity)
         var j = 0
         while (j < all.length) {
           if (j != i) {
-            val s = cosineRaw(ea, all(j)._2)
+            val eb = all(j)._2
+            var dot = 0.0
+            var d = 0
+            while (d < dim) { dot += ea(d) * eb(d); d += 1 }
+            val denom = na * ns(j)
+            val s = if (denom == 0.0) 0.0 else dot / denom
             sims(j) = s
             if (s > top(top.length - 1)) {
               var p = top.length - 1
@@ -1022,14 +1081,28 @@ object Similarity {
         val rows = live.select(col("vec_id").cast("long").as("_1"),
             col("emb").as("_2"), col("label").cast("long").as("_3"))
           .limit(cap).as[(Long, Array[Double], Long)].collect()
+        // dim check + norms once per vector (driver-side, ceiling-bounded),
+        // index list parallelized directly — the [[knnExhaustiveKernel]]
+        // optimizations, label-filtered variant
+        rows.foreach { r =>
+          if (r._2.length != rows(0)._2.length)
+            throw new IllegalArgumentException(
+              s"cosine_sim: dimension mismatch ${rows(0)._2.length} vs ${r._2.length} — " +
+                "a silent min-length similarity would be plausible but wrong")
+        }
         val bc = spark.sparkContext.broadcast(rows)
+        val bcN = spark.sparkContext.broadcast(rows.map(r => sqrtNorm(r._2)))
         val n = rows.length
         val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
         val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4, n))
-        val raw = spark.createDataset(order).repartition(slices).mapPartitions { it =>
+        val raw = spark.createDataset(
+            spark.sparkContext.parallelize(order, slices)).mapPartitions { it =>
           val all = bc.value
+          val ns = bcN.value
           it.flatMap { i =>
             val (ida, ea, la) = all(i)
+            val na = ns(i)
+            val dim = ea.length
             val sims = new Array[Double](all.length)
             val top = Array.fill(math.max(k, 1))(Double.NegativeInfinity)
             var eligible = 0
@@ -1037,7 +1110,12 @@ object Similarity {
             while (j < all.length) {
               if (all(j)._3 != la) {
                 eligible += 1
-                val s = cosineRaw(ea, all(j)._2)
+                val eb = all(j)._2
+                var dot = 0.0
+                var d = 0
+                while (d < dim) { dot += ea(d) * eb(d); d += 1 }
+                val denom = na * ns(j)
+                val s = if (denom == 0.0) 0.0 else dot / denom
                 sims(j) = s
                 if (s > top(top.length - 1)) {
                   var p = top.length - 1
@@ -1931,7 +2009,23 @@ object Similarity {
           .as[(Long, Long)]
           .mapPartitions { it =>
             val m = bc.value
-            it.map { case (a, b) => (a, b, cosineRaw(m(a), m(b))) }
+            // norms once per vector per task (O(N·d), ~1% of the pair
+            // loop's flops) instead of per pair — bit-identical to
+            // cosineRaw, see [[sqrtNorm]]
+            val nm = new java.util.HashMap[Long, Double](m.size * 2)
+            m.foreach { case (id, v) => nm.put(id, sqrtNorm(v)) }
+            it.map { case (a, b) =>
+              val ea = m(a); val eb = m(b)
+              if (ea.length != eb.length)
+                throw new IllegalArgumentException(
+                  s"cosine_sim: dimension mismatch ${ea.length} vs ${eb.length} — " +
+                    "a silent min-length similarity would be plausible but wrong")
+              var dot = 0.0
+              var d = 0
+              while (d < ea.length) { dot += ea(d) * eb(d); d += 1 }
+              val denom = nm.get(a) * nm.get(b)
+              (a, b, if (denom == 0.0) 0.0 else dot / denom)
+            }
           }.toDF("vec_a", "vec_b", "sim")
           .filter(col("sim") >= threshold - 1e-4)
           .dropDuplicates("vec_a", "vec_b")
@@ -2038,30 +2132,36 @@ object Similarity {
       .select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
       .limit((maxExactRows.min(Int.MaxValue.toLong)).toInt)
       .as[(Long, Array[Double])].collect()
+    // dim check + norms once per vector (driver-side, guard-bounded), index
+    // list parallelized directly — the [[knnExhaustiveKernel]] optimizations
+    rows.foreach { r =>
+      if (r._2.length != rows(0)._2.length)
+        throw new IllegalArgumentException(
+          s"cosine_sim: dimension mismatch ${rows(0)._2.length} vs ${r._2.length} — " +
+            "a silent min-length similarity would be plausible but wrong")
+    }
     val bc = spark.sparkContext.broadcast(rows)
+    val bcN = spark.sparkContext.broadcast(rows.map(r => sqrtNorm(r._2)))
     val n = rows.length
     // row i pairs with j>i (triangular): interleave the index order so every
     // task draws a mix of heavy and light rows
     val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
     val margin = threshold - 1e-4 // 4-dp HALF_UP can raise a value < 5e-5
     val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4, n))
-    val raw = spark.createDataset(order).repartition(slices).mapPartitions { it =>
+    val raw = spark.createDataset(
+        spark.sparkContext.parallelize(order, slices)).mapPartitions { it =>
       val all = bc.value
+      val ns = bcN.value
       it.flatMap { i =>
         val (ida, ea) = all(i)
+        val na = ns(i)
+        val dim = ea.length
         Iterator.range(i + 1, all.length).flatMap { j =>
           val (idb, eb) = all(j)
-          if (ea.length != eb.length)
-            throw new IllegalArgumentException(
-              s"cosine_sim: dimension mismatch ${ea.length} vs ${eb.length} — " +
-                "a silent min-length similarity would be plausible but wrong")
-          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var dot = 0.0
           var k = 0
-          while (k < ea.length) {
-            dot += ea(k) * eb(k); na += ea(k) * ea(k); nb += eb(k) * eb(k)
-            k += 1
-          }
-          val denom = math.sqrt(na) * math.sqrt(nb)
+          while (k < dim) { dot += ea(k) * eb(k); k += 1 }
+          val denom = na * ns(j)
           val sim = if (denom == 0.0) 0.0 else dot / denom
           if (sim >= margin)
             Iterator.single(if (ida < idb) (ida, idb, sim) else (idb, ida, sim))
