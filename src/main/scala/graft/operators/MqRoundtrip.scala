@@ -231,16 +231,25 @@ object MqRoundtrip {
         element_at(col("f"), 5).cast("double").as("value"),
         element_at(col("f"), 6).as("props"))
       .writeStream.format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("500 milliseconds"))
+      // 100 ms epochs (round 20): the epoch interval is the COMMIT-LATENCY
+      // knob of continuous mode, not a throughput knob — rows surface in
+      // the sink only when an epoch lands, so a 500 ms interval put a
+      // ~0.5-1 s floor under the whole roundtrip. 100 ms matches the
+      // source's 20 ms poll cadence (5 polls/epoch); epoch commits are a
+      // driver-side offset snip, so the extra commits cost microseconds
+      // while the backlog drains ~0.5 s sooner at any scale.
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("100 milliseconds"))
       .start()
     try {
       // a continuous query never self-terminates: poll the sink until the
       // full backlog has surfaced, fail LOUD on a stall (a partial result
-      // would just hash-mismatch downstream with no hint why)
+      // would just hash-mismatch downstream with no hint why); 25 ms poll
+      // so the poll cadence never adds a visible fraction of the (now
+      // 100 ms) epoch latency
       val deadline = System.nanoTime() + 180L * 1000000000L
       var n = 0L
       while (n < total && System.nanoTime() < deadline) {
-        Thread.sleep(100)
+        Thread.sleep(25)
         n = spark.table(name).count()
       }
       require(n == total,
