@@ -227,7 +227,11 @@ object CorpusPipeline {
     * top-5-bigram blocklist; DuckDB re-derives the identical blocklist and
     * replays the padded containment. */
   def blocklistFilterQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // partition-gated spread: both corpus passes (bigram census explode,
+    // per-row containment scan) otherwise run in one task at one-split
+    // bench SFs; bigram counts are integers and the containment filter is
+    // per-row, so results are partitioning-independent
+    val docs = graft.util.Spread.ifNarrow(Tables.documents(spark, dir))
     blocklistFilter(docs, topBigramPhrases(docs)).orderBy(col("doc_id"))
   }
 
@@ -594,7 +598,12 @@ object CorpusPipeline {
    * filtered survivors only.
    */
   def collocationsPmi(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
-    val toks = docs.select(split(lower(trim(col("text"))), "\\s+").as("t"))
+    // partition-gated spread: the bigram explode + map-side count partials
+    // otherwise run in one task at one-split bench SFs; all counts are
+    // integers and pmi is a pure per-row function of them, so the result
+    // is partitioning-independent
+    val toks = graft.util.Spread.ifNarrow(docs)
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
       .filter(size(col("t")) >= 2)
     val bigrams = toks.select(
       explode(transform(sequence(lit(1), size(col("t")) - 1),
@@ -781,7 +790,9 @@ object CorpusPipeline {
    */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val (nWords, nTokens) = bpeTokenCols(col("text"), trainedMerges(spark, dir))
-    Tables.documents(spark, dir)
+    // partition-gated spread: same encode kernel as bpe_encode; the
+    // aggregate sums are integers, so the result is partitioning-independent
+    graft.util.Spread.ifNarrow(Tables.documents(spark, dir))
       .select(col("lang"), nWords.as("w"), nTokens.as("t"))
       .groupBy("lang")
       .agg(sum(col("w")).as("n_words"), sum(col("t")).as("n_tokens"),
@@ -801,7 +812,11 @@ object CorpusPipeline {
   /** Query entry (oracle-checked): train once per JVM+dir, encode the
     * corpus with the learned merges. */
   def bpeEncodeEntry(spark: SparkSession, dir: String): DataFrame =
-    bpeEncode(Tables.documents(spark, dir), trainedMerges(spark, dir))
+    // partition-gated spread: the per-word merge-replace encode kernel
+    // otherwise runs in one task at one-split bench SFs (per-row kernel,
+    // partitioning-independent result)
+    bpeEncode(graft.util.Spread.ifNarrow(Tables.documents(spark, dir)),
+      trainedMerges(spark, dir))
 
   /**
    * End-to-end training-corpus assembly — the composed contract over the
@@ -1126,13 +1141,20 @@ object CorpusPipeline {
   def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
     // null text = absent document: it has no tokens and cannot be selected
     // (a null n_tokens would also crash the driver-side histogram census)
-    val scored = docs.filter(col("text").isNotNull).select(col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      graft.functions.TextSignals.signals(col("text")).as("sig"))
+    // partition-gated spread (one-split bench SFs run the signals kernel
+    // single-task otherwise) + checkpoint: THREE consumers read scored —
+    // the histogram census, the above-cutoff filter and the boundary-bin
+    // window — so un-checkpointed the signals kernel executed three times
+    // at any scale. Two narrow columns + a double per doc.
+    val scored = graft.util.Spread.ifNarrow(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.TextSignals.signals(col("text")).as("sig"))
       .select(col("doc_id"),
         col("sig.ws_tokens").cast("long").as("n_tokens"),
         coalesce(TextAnalysis.signalQuality(col("sig"), col("n_chars")), lit(0.0))
           .as("quality"))
+      .cutLineage()
     // bounded census: per-quality token totals, walked best-first
     val hist = scored.groupBy("quality").agg(sum("n_tokens").as("t"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))

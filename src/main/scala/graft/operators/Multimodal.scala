@@ -133,6 +133,8 @@ object Multimodal {
     * doc_id (so every byte is reproducible in plain SQL). */
   private def stubMedia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // (round-20 note: a partition-gated spread here measured SLOWER — the
+    // stub codec kernels are ~0.3 task-seconds, under the exchange cost)
     Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"), lit("image").as("modality"), col("doc_id"))
       .mapPartitions { rows =>

@@ -212,6 +212,8 @@ object Relational {
     * interpolation ulps in the exact percentiles; the tolerance windows
     * (±10% users, p50 inside [p49, p51]) do the semantic work. */
   def q17Sketches(spark: SparkSession, dir: String): DataFrame = {
+    // (round-20 note: a partition-gated spread of the events scan measured
+    // SLOWER here — the sketch partials are cheap, the exchange is not)
     val events = Tables.events(spark, dir)
     val sketched = events
       .groupBy(col("event_type"))

@@ -357,7 +357,12 @@ object TextAnalysis {
     * the sorted fingerprint set, all reproduced hash-for-hash by the DuckDB
     * oracle's list-comprehension formulation of the same algorithm. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
-    winnowFingerprints(Tables.documents(spark, dir))
+    // partition-gated spread (Spread.ifNarrow, the duplicate_passages
+    // pattern): at bench SFs the corpus is ONE parquet split, so the
+    // md5-per-gram winnow kernel otherwise runs in a single task; a
+    // production many-split scan passes through untouched. Per-row kernel —
+    // results are partitioning-independent by construction.
+    winnowFingerprints(graft.util.Spread.ifNarrow(Tables.documents(spark, dir)))
       .select(col("doc_id"), col("n_grams"), col("n_fps"), col("fp_digest"))
       .orderBy(col("doc_id"))
 
@@ -476,7 +481,11 @@ object TextAnalysis {
    */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
+    // partition-gated spread: the tokenize explode + map-side tf partials
+    // otherwise run in one task at one-split bench SFs; tf/df/N are integer
+    // counts and the score is a pure per-row function of them, so the
+    // result is partitioning-independent
+    val toks = graft.util.Spread.ifNarrow(docs).select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z]{3,}"), lit(0))).as("term"))
     // checkpointed: both the df aggregation and the scoring join consume tf
     // — without the barrier the corpus tokenize + token shuffle runs twice
@@ -730,6 +739,8 @@ object TextAnalysis {
     * two entries can never drift apart. */
   private[operators] def plantedTypoVocab(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // (round-20 note: a partition-gated spread here measured SLOWER for
+    // both consumers — the explode partials are cheap, the exchange is not)
     val docs = Tables.documents(spark, dir)
     val w = regexp_extract(lower(col("text")), "[a-z]{5,}", 0)
     val typo = when(col("doc_id") % 2 === 0,
@@ -818,7 +829,9 @@ object TextAnalysis {
         lit(".0."), (id % 100).cast("string"), lit(" up"))).otherwise(""),
       when(id % 5 === 0, concat(lit(" call +"),
         (id + 14000000000L).cast("string"))).otherwise("")))
-    redactPii(planted)
+    // partition-gated spread: three regexp passes per row otherwise run in
+    // one task at one-split bench SFs (per-row kernel, result unchanged)
+    redactPii(graft.util.Spread.ifNarrow(planted))
       .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
         col("text").as("redacted"))
       .orderBy(col("doc_id"))
