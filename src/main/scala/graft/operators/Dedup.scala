@@ -350,11 +350,11 @@ object Dedup {
       val sc = docs.sparkSession.sparkContext
       val spread = graft.util.Spread.ifNarrow(livedocs.select(col(idCol), col(textCol)))
         .cutLineage()
-      val spreadSigs = minHashSignatures(spread, textCol, idCol, numHashes, shingleN, seed)
-        .cutLineage()
-      val idx = collectProbeIndex(
-        spread, spreadSigs, historyLshBands(spreadSigs, idCol, b, numHashes),
-        textCol, shingleN)
+      // fused ONE-collect index build (round 20): the previous shape paid a
+      // signature checkpoint plus three sequential collects for per-row-
+      // derivable values — four driver job rounds collapsed into one
+      val idx = collectProbeIndexFused(
+        spread, textCol, idCol, b, numHashes, shingleN, seed)
       val bc = sc.broadcast(idx)
       return nearDupsWithProbeIndex(spread, bc, textCol, idCol, shingleN,
           threshold, numHashes, b, seed)
@@ -654,10 +654,19 @@ object Dedup {
     val spark = oldSigs.sparkSession
     import spark.implicits._
     // transient boxing during the build is fine (one-time, collect-sized);
-    // what matters is the STEADY-STATE layout, which is primitive arrays
+    // what matters is the STEADY-STATE layout, which is primitive arrays.
+    // ONE collect serves signatures AND band hashes (round 20): the band
+    // hashes are the same hash(slice(sig,…)) Column expressions the
+    // distributed band join shuffles on ([[lshBands]]'s formula), computed
+    // here in the same projection — the previous separate bands.df collect
+    // was a second sequential driver job over the same sig table for
+    // values derivable in the first.
+    val rowsPerBand = bands.numHashes / bands.numBands
     val sigPairs = oldSigs
-      .select(col(bands.idCol).cast("long").as("_1"), col("sig").as("_2"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
+      .select(col(bands.idCol).cast("long").as("_1"), col("sig").as("_2"),
+        array((0 until bands.numBands).map(b =>
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*).as("_3"))
+      .as[(Long, Array[Long], Array[Int])].collect().sortBy(_._1)
     val ids = sigPairs.map(_._1)
     // the unique-id precondition is gate-checked upstream (probeIndexCensus
     // at every eligibility site); this adjacent scan over the already-sorted
@@ -683,26 +692,86 @@ object Dedup {
           if (i >= 0) shingleArr(i) = shs
         }
       }
-    val keyed = bands.df
-      .select(col("old_id").cast("long").as("_1"), col("band").as("_2"),
-        col("band_hash").as("_3"))
-      .as[(Long, Int, Int)].collect()
-      .map { case (id, band, bh) => (bandKey(band, bh), id) }
-      .sortBy(_._1)
-    val postIds = keyed.map(_._2)
+    buildProbeIndexFromParts(ids, sigArr, shingleArr, sigPairs.map(_._3),
+      bands.idCol, bands.numBands, bands.numHashes, shingleN)
+  }
+
+  /** Driver-side assembly shared by [[collectProbeIndex]] and
+    * [[collectProbeIndexFused]]: postings from per-doc band-hash arrays
+    * (same (bandKey → sorted ids) layout the separate bands.df collect
+    * produced — ids ascend within a bucket because docs are visited in
+    * sorted-id order). */
+  private def buildProbeIndexFromParts(
+      ids: Array[Long], sigArr: Array[Array[Long]],
+      shingleArr: Array[Array[Long]], bhsArr: Array[Array[Int]],
+      idCol: String, numBands: Int, numHashes: Int, shingleN: Int): HistoryProbeIndex = {
+    val pairs = new Array[(Long, Long)](ids.length * numBands)
+    var n = 0
+    var i = 0
+    while (i < ids.length) {
+      val bhs = bhsArr(i)
+      var b = 0
+      while (b < numBands) {
+        pairs(n) = (bandKey(b, bhs(b)), ids(i))
+        n += 1
+        b += 1
+      }
+      i += 1
+    }
+    val sorted = pairs.sortBy(_._1)
+    val postIds = sorted.map(_._2)
     val bandKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
     val bandPostings = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-    var i = 0
-    while (i < keyed.length) {
+    i = 0
+    while (i < sorted.length) {
       var j = i
-      while (j < keyed.length && keyed(j)._1 == keyed(i)._1) j += 1
-      bandKeys += keyed(i)._1
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      bandKeys += sorted(i)._1
       bandPostings += java.util.Arrays.copyOfRange(postIds, i, j)
       i = j
     }
     HistoryProbeIndex(
       bandKeys.toArray, bandPostings.toArray, ids, sigArr, shingleArr,
-      bands.idCol, bands.numBands, bands.numHashes, shingleN)
+      idCol, numBands, numHashes, shingleN)
+  }
+
+  /** ONE-job probe-index build for the self-pair fast path (round 20):
+    * signatures, shingles and band hashes are all pure per-row functions of
+    * the text, so a single projection computes them together and a single
+    * collect builds the index — where the previous shape paid a signature
+    * checkpoint job plus THREE sequential collect jobs for the same bytes.
+    * Content is identical to [[collectProbeIndex]] over
+    * minHashSignatures(docs) by construction (same kernels, same
+    * hash(slice(sig,…)) band formula, same sorted layout). */
+  private def collectProbeIndexFused(
+      docs: DataFrame, textCol: String, idCol: String,
+      numBands: Int, numHashes: Int, shingleN: Int, seed: Long): HistoryProbeIndex = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / numBands
+    val rows = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.GraftFunctions.minHashSig(col(textCol), shingleN, numHashes, seed)
+          .as("sig"),
+        shingleHashes(col(textCol), shingleN).as("shs"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"), col("shs"),
+        array((0 until numBands).map(b =>
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*).as("bhs"))
+      .as[(Long, Array[Long], Array[Long], Array[Int])].collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    var dup = 1
+    while (dup < ids.length) {
+      require(ids(dup) != ids(dup - 1),
+        s"probe index requires unique $idCol values (id ${ids(dup)} " +
+          "appears more than once); dedup ids or use the distributed join plan")
+      dup += 1
+    }
+    // empty shingle sets are not stored (null) — the collectProbeIndex
+    // contract, which the verify stage's shsB != null check relies on
+    buildProbeIndexFromParts(ids, rows.map(_._2),
+      rows.map(r => if (r._3.nonEmpty) r._3 else null), rows.map(_._4),
+      idCol, numBands, numHashes, shingleN)
   }
 
   /** [[crossNearDupsWithHistorySigs]] against a BROADCAST

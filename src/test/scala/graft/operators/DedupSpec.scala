@@ -376,6 +376,27 @@ class DedupSpec extends SparkSpec {
     assert(fused.nonEmpty)
   }
 
+  test("one-collect probe-index build handles short/empty/null texts like the join plan") {
+    // round-20 internals change: the self-path index is built by ONE fused
+    // collect (sig + shingles + band hashes in one projection) — pin the
+    // edge contract the old three-collect build enforced: null text is an
+    // absent doc, sub-shingle-width text never pairs, twins still pair
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "abc"), // shorter than the shingle width: no shingles
+      (4L, null.asInstanceOf[String]), // absent document
+      (5L, "a completely different document about distributed dedup")
+    ).toDF("doc_id", "text")
+    def run(maxBytes: Long) =
+      Dedup.ngramJaccard(docs, threshold = 0.5, probeIndexMaxBytes = maxBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = run(Dedup.DefaultProbeIndexMaxBytes)
+    assert(fused === run(0L))
+    assert(fused === Set((1L, 2L, 1.0)))
+  }
+
   test("precomputed history bands from a different band family are rejected") {
     val docs = Tables.documents(spark, sfDir)
     val newDocs = docs.filter(col("doc_id") % 3 === 0)
