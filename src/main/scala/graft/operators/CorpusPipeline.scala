@@ -565,12 +565,17 @@ object CorpusPipeline {
       .join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(round(sum(col("c") * col("lr")), 4).as("logweight"))
-      .cutLineage()
-    val k = math.floor(weights.count() * selectFraction).toLong
+    // k computed IN-PLAN (round 20): floor(count·fraction) rides the same
+    // global window sort the rank already pays (count over the unbounded
+    // frame adds no exchange), where the previous shape paid a checkpoint
+    // job plus a count job just to inline k as a literal. Same integer,
+    // same rows.
     val byW = org.apache.spark.sql.expressions.Window
       .orderBy(col("logweight").desc, col("doc_id"))
     weights.withColumn("rnk", row_number().over(byW))
-      .filter(col("rnk") <= k)
+      .withColumn("n", count(lit(1)).over(
+        byW.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .filter(col("rnk") <= floor(col("n") * selectFraction).cast("long"))
       .select(col("doc_id"), col("logweight"), col("rnk"))
   }
 

@@ -1917,7 +1917,8 @@ object Similarity {
   def embeddingNearDups(
       corpus: DataFrame, threshold: Double = 0.95,
       numTables: Int = 8, bitsPerTable: Int = -1, seed: Long = 42L,
-      kernelVerifyMaxRows: Long = 65536L, probeFlips: Int = 0): DataFrame = {
+      kernelVerifyMaxRows: Long = 65536L, probeFlips: Int = 0,
+      knownLiveCount: Long = -1L): DataFrame = {
     // a NULL embedding is an absent vector (same contract as the dedup
     // operators' null text): filter once so BOTH lanes see the same corpus
     val live = corpus.filter(col("emb").isNotNull)
@@ -1926,9 +1927,21 @@ object Similarity {
     // (identical to the old fixed default for every corpus under ~1M
     // vectors — see [[adaptiveLshBits]]). A fixed width is a scale trap:
     // past bucket saturation the candidate multiset degrades to all-pairs.
-    val bits = if (bitsPerTable > 0) bitsPerTable
-      else adaptiveLshBits(live.count(), 12)
+    // The census is kept (round 20) to ALSO serve the fused-verify ceiling
+    // gate below — the previous shape paid a second limit-count job over
+    // the same live frame for a number the census already knew.
+    // knownLiveCount >= 0: a caller that already censused the live corpus
+    // (semanticDedup sizes its own bits/tables/flips) passes it through so
+    // neither the adaptive-bits census nor the verify gate pays a job here
+    val nLive = if (knownLiveCount >= 0L) knownLiveCount
+      else if (bitsPerTable > 0) -1L else live.count()
+    val bits = if (bitsPerTable > 0) bitsPerTable else adaptiveLshBits(nLive, 12)
     val flips = math.min(math.max(probeFlips, 0), bits)
+    // (round-20 note: a partition-gated spread ahead of the signature
+    // kernel measured 5× the task time — the keyless repartition's
+    // deterministic pre-sort over wide array rows costs more than the
+    // kernel it parallelizes; the skew-spread on the pair multiset below
+    // already parallelizes the expensive verify stage)
     val home = lshBuckets(live, "emb", numTables, bits, seed)
       .select(col("vec_id"), col("table"), col("bucket"))
     // candidate ids first (cheap distinct on two longs), embeddings joined
@@ -1979,7 +1992,11 @@ object Similarity {
       val spark = corpus.sparkSession
       import spark.implicits._
       val cap = math.min(effVerifyRows + 1, Int.MaxValue.toLong).toInt
-      if (live.limit(cap).count() <= effVerifyRows) {
+      // the adaptive-bits census already counted live rows — reuse it
+      // instead of paying a second limit-count job (same decision: nLive
+      // is the exact count the capped probe approximates)
+      if (if (nLive >= 0) nLive <= effVerifyRows
+          else live.limit(cap).count() <= effVerifyRows) {
         // limit(cap) keeps the collect bounded by construction (probe and
         // collect are separate jobs over a non-checkpointed frame)
         val rows = live.select(col("vec_id").cast("long").as("_1"), col("emb").as("_2"))
@@ -2254,8 +2271,9 @@ object Similarity {
     // too): flips engage exactly where the width exceeds the floor, so the
     // pair stage recovers the Hamming-1 recall the narrower banding traded
     // away — zero flips (historical behavior) at every correctness SF.
+    val nLive = corpus.filter(col("emb").isNotNull).count()
     val bits = if (bitsPerTable > 0) bitsPerTable
-      else adaptiveLshBits(corpus.filter(col("emb").isNotNull).count(), 4)
+      else adaptiveLshBits(nLive, 4)
     val flips = if (probeFlips >= 0) probeFlips
       else if (bitsPerTable > 0) 0
       else adaptiveProbeFlips(bits, 4)
@@ -2267,7 +2285,7 @@ object Similarity {
       else adaptiveLshTables(bits, 4)
     Dedup.nearDupKeepDecisions(
       embeddingNearDups(corpus, threshold, tables, bits, seed,
-        probeFlips = flips)
+        probeFlips = flips, knownLiveCount = nLive)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       maxIter)
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
