@@ -547,17 +547,29 @@ object TextAnalysis {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .cutLineage()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // numTerms-row driver census defines the query set; df rides along so
-    // scoring needs no second join against the vocabulary table
-    val top = dfreq.orderBy(col("df").desc, col("term")).limit(numTerms).collect()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // ONE census job (round 20): the numTerms-row query set and the
+    // doc-length stats are independent aggregates over the checkpointed tf
+    // table — unioned, they collect in one action instead of two
+    // sequential driver job rounds. The stats row is the null-term row;
+    // the top rows re-sort driver-side under the same (df desc, term)
+    // total order the query used, so the round-robin query assignment is
+    // order-identical to the previous two-job shape.
+    val censusRows = dfreq.orderBy(col("df").desc, col("term")).limit(numTerms)
+      .select(col("term"), col("df"), lit(null).cast("double").as("avgdl"))
+      .unionByName(
+        dl.agg(coalesce(avg(col("dl").cast("double")), lit(0.0)).as("avgdl"),
+          count(lit(1)).as("df"))
+          .select(lit(null).cast("string").as("term"), col("df"), col("avgdl")))
+      .collect()
+    val statsRow = censusRows.find(_.isNullAt(0)).get
+    val avgdl = statsRow.getDouble(2)
+    val n = statsRow.getLong(1).toDouble
+    val top = censusRows.filter(!_.isNullAt(0))
+      .sortBy(r => (-r.getLong(1), r.getString(0)))
     val queries = top.zipWithIndex.map { case (r, i) =>
       (i % numQueries, r.getString(0), r.getLong(1))
     }.toSeq.toDF("query_id", "term", "df")
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // scored corpus = docs with >= 1 token (tokenless docs cannot match)
-    val statsRow = dl.agg(coalesce(avg(col("dl").cast("double")), lit(0.0)), count(lit(1))).head()
-    val avgdl = statsRow.getDouble(0)
-    val n = statsRow.getLong(1).toDouble
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
