@@ -574,40 +574,29 @@ case class HyperplaneProbeGenExpr(
  * expression instance; per row the work is one dot product per centroid plus
  * an O(K·nprobe) partial selection.
  */
-case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
-    extends UnaryExpression {
-  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
-
-  // centroids MAY be empty: the default quantizers sample from the corpus,
-  // so an EMPTY corpus yields zero centroids — the expression then assigns
-  // no cells (empty array per row; there are no rows anyway), and every
-  // downstream cell join degrades to the structurally-correct empty result
-  // instead of failing the [1, K] contract at plan-build time.
-  require(nprobe >= 1 && nprobe <= math.max(1, centroids.length),
-    s"nprobe ($nprobe) must be in [1, ${math.max(1, centroids.length)}]")
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  @transient private lazy val invNorms: Array[Double] = centroids.map { c =>
+/** The IVF cell-assignment math shared by [[IvfAssignExpr]] (scan-stage
+  * kernel) and driver-side probe planning — ONE implementation, so a cell
+  * list computed on the driver is bit-identical to the expression's. */
+object IvfAssign {
+  def invNorms(centroids: Array[Array[Double]]): Array[Double] = centroids.map { c =>
     var s = 0.0; var i = 0
     while (i < c.length) { s += c(i) * c(i); i += 1 }
     val n = math.sqrt(s)
     if (n == 0.0) 0.0 else 1.0 / n
   }
 
-  override def nullSafeEval(input: Any): Any = assignOf(input)
-
-  // see HyperplaneBucketExpr.bucketOf: direct call from codegen
-  def assignOf(input: Any): ArrayData = {
-    val xs = VectorKernels.toDoubles(input, child.dataType)
+  /** Top-`nprobe` centroid ids of `xs` by dot(x,c)·invNorm(c), descending
+    * sim then ascending cid — [[IvfAssignExpr]]'s exact selection. */
+  def assign(centroids: Array[Array[Double]], invNorms: Array[Double],
+      nprobe: Int, xs: Array[Double]): Array[Int] = {
     // |x| is constant across centroids, so ranking by dot(x,c)/|c| is the
     // cosine ranking without ever computing |x|
     val k = centroids.length
     // size the selection to min(nprobe, k): with ZERO centroids (empty-corpus
     // quantizer) this returns an empty array per row — never the Int.MaxValue
-    // sentinel the NaN note above promises can't leak
+    // sentinel the NaN note below promises can't leak
     val n = math.min(nprobe, k)
-    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    if (n == 0) return Array.emptyIntArray
     val topSim = new Array[Double](n)
     val topCid = new Array[Int](n)
     java.util.Arrays.fill(topSim, Double.NegativeInfinity)
@@ -638,8 +627,34 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], npr
       }
       c += 1
     }
-    new GenericArrayData(topCid)
+    topCid
   }
+}
+
+case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+  // centroids MAY be empty: the default quantizers sample from the corpus,
+  // so an EMPTY corpus yields zero centroids — the expression then assigns
+  // no cells (empty array per row; there are no rows anyway), and every
+  // downstream cell join degrades to the structurally-correct empty result
+  // instead of failing the [1, K] contract at plan-build time.
+  require(nprobe >= 1 && nprobe <= math.max(1, centroids.length),
+    s"nprobe ($nprobe) must be in [1, ${math.max(1, centroids.length)}]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val invNorms: Array[Double] = IvfAssign.invNorms(centroids)
+
+  override def nullSafeEval(input: Any): Any = assignOf(input)
+
+  // see HyperplaneBucketExpr.bucketOf: direct call from codegen; the math
+  // lives in [[IvfAssign.assign]] so driver-side callers (probe-cell
+  // planning in ivfTopKIndexed) run the IDENTICAL code path
+  def assignOf(input: Any): ArrayData =
+    new GenericArrayData(IvfAssign.assign(
+      centroids, invNorms, nprobe, VectorKernels.toDoubles(input, child.dataType)))
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,

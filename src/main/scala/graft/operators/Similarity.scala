@@ -1287,16 +1287,26 @@ object Similarity {
       k: Int, nprobe: Int): DataFrame = {
     val (indexed, centroids) = readIvfIndex(spark, path)
     val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
-    // checkpoint: the cell-list collect below and the join both consume
-    // probeCells — uncheckpointed, an expensive probes subquery would
-    // execute twice per call
-    val probeCells = probes
-      .withColumn("cell", explode(
-        graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
-      .select(col("query_id"), col("q_emb"), col("cell").as("centroid_id"))
-      .cutLineage()
-    val cells = probeCells.select("centroid_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE probe collect (round 20): probes are driver-sized by contract
+    // (the centroid-matrix argument), so their cell assignments compute
+    // driver-side through the SAME [[graft.functions.IvfAssign]] kernel the
+    // scan expression runs (bit-identical cells) and the assigned probe
+    // table re-enters as a local relation — where the previous shape paid a
+    // checkpoint job plus a distinct-collect job for the same values.
+    import spark.implicits._
+    // null q_emb probes assigned no cells under the old explode(null) —
+    // the same drop, made explicit
+    val probeRows = probes.filter(col("q_emb").isNotNull)
+      .select(col("query_id").cast("long"), col("q_emb"))
+      .as[(Long, Array[Double])].collect()
+    val inv = graft.functions.IvfAssign.invNorms(centroids)
+    val assigned = probeRows.flatMap { case (qid, q) =>
+      graft.functions.IvfAssign.assign(centroids, inv, probeN, q)
+        .map(cid => (qid, q, cid))
+    }
+    val probeCells = assigned.toSeq
+      .toDF("query_id", "q_emb", "centroid_id")
+    val cells = assigned.map(_._3).distinct.toSeq
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     indexed.filter(col("centroid_id").isInCollection(cells))
       .join(broadcast(probeCells), Seq("centroid_id"))
@@ -1593,14 +1603,21 @@ object Similarity {
   private def pqSearchCodes(emb: DataFrame, codes: DataFrame,
       cbs: Array[Array[Array[Double]]], nLive: Long,
       what: String, minRecall: Double,
-      probeCells: Option[Map[Long, Seq[Int]]] = None): DataFrame = {
+      probeCells: Option[Map[Long, Seq[Int]]] = None,
+      knownProbes: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val rerankL = adaptivePqRerank(nLive)
-    val probes = pqProbes(emb)
     val m = cbs.length
     val sub = cbs.map(_.head.length).sum / m
-    val probeRows = probes.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // knownProbes: a caller that already collected the probe set (the
+    // IVFPQ cell-planning pass) hands it through so this stage pays no
+    // second probe job; the rerank's probe side re-enters as a local
+    // relation either way
+    val probeRows = knownProbes.getOrElse(pqProbes(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray))
     if (probeRows.isEmpty) return emptyPqResult(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes = probeRows.toSeq.toDF("query_id", "q_emb")
     // driver-side LUTs, accumulated in the exact order the kernel folds
     // them back up: inner fold over j within a subspace (the
     // list_dot_product order), flat-indexed as (subspace · k + codeword)
@@ -1828,18 +1845,21 @@ object Similarity {
       nLive: Long, nprobe: Int, what: String, minRecall: Double): DataFrame = {
     val (codes, centroids, cbs) = readIvfPqIndex(spark, path)
     val probeN = math.max(1, math.min(nprobe, centroids.length))
-    val cellRows = pqProbes(emb)
-      .withColumn("cell", explode(
-        graft.functions.GraftFunctions.ivfAssign(col("q_emb"), centroids, probeN)))
-      .select(col("query_id"), col("cell"))
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    val byProbe = cellRows.groupBy(_._1).map { case (q, cs) =>
-      q -> cs.map(_._2).toSeq
-    }
-    val cells = cellRows.map(_._2).distinct.toSeq
+    // ONE probe collect: cells assign driver-side through the same
+    // [[graft.functions.IvfAssign]] kernel the scan expression runs
+    // (bit-identical), and the collected probes thread into the search so
+    // it pays no second probe job
+    import spark.implicits._
+    val probeRows = pqProbes(emb)
+      .as[(Long, Array[Double])].collect()
+    val inv = graft.functions.IvfAssign.invNorms(centroids)
+    val byProbe = probeRows.map { case (qid, q) =>
+      qid -> graft.functions.IvfAssign.assign(centroids, inv, probeN, q).toSeq
+    }.toMap
+    val cells = byProbe.values.flatten.toSeq.distinct
     val pruned = codes.filter(col("centroid_id").isInCollection(cells))
     pqSearchCodes(emb, pruned, cbs, nLive, what, minRecall,
-      probeCells = Some(byProbe))
+      probeCells = Some(byProbe), knownProbes = Some(probeRows))
   }
 
   /** Query entry (oracle-exact AND recall-gated): the IVFPQ composition —
