@@ -549,7 +549,8 @@ object Similarity {
       numCentroids: Int = 16, nprobe: Int = 16,
       lloydIters: Int = 0,
       quantizer: (DataFrame, Int) => Array[Array[Double]] = sampleCentroids,
-      exhaustiveKernelMaxRows: Long = 65536L): DataFrame = {
+      exhaustiveKernelMaxRows: Long = 65536L,
+      knownLiveCount: Long = -1L): DataFrame = {
     // size-based plan selection for the EXHAUSTIVE regime only (nprobe >=
     // numCentroids, where the cell join provably equals brute force): below
     // the row ceiling (~64 MB of vectors) the corpus broadcasts and the
@@ -606,6 +607,33 @@ object Similarity {
       if (lloydIters > 0) lloydRefine(live.select("vec_id", "emb"), "emb", sampled, lloydIters)
       else sampled
     val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
+    // pruned-regime fused kernel (round 20, [[prunedCellKernel]]): under
+    // the same ceiling as the exhaustive kernel, the cell join + window
+    // collapse into one broadcast kernel pass — identical candidates and
+    // cosines, suite-pinned. knownLiveCount (a caller's adaptive-K census,
+    // e.g. knnGraphProbe's) gates eligibility without a second count job.
+    if (effRows > 0 && probeN < centroids.length &&
+        graft.util.IdTypes.integral(idDt)) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val cap = math.min(effRows + 1, Int.MaxValue.toLong).toInt
+      val nKnown = if (knownLiveCount >= 0L) knownLiveCount
+        else live.limit(cap).count()
+      if (nKnown <= effRows) {
+        val rows = live.select(col("vec_id").cast("long").as("_1"),
+            col("emb").as("_2"), lit(0L).as("_3"))
+          .limit(cap).as[(Long, Array[Double], Long)].collect()
+        val w2 = Window.partitionBy(col("src_id"))
+          .orderBy(col("sim").desc, col("dst_id"))
+        return prunedCellKernel(spark, rows, centroids, probeN, k,
+            labelFiltered = false)
+          .withColumn("sim", round(col("sim"), 4))
+          .withColumn("rn", row_number().over(w2))
+          .filter(col("rn") <= k)
+          .select(col("src_id").cast(idDt).as("src_id"),
+            col("dst_id").cast(idDt).as("neighbor_id"), col("sim"))
+      }
+    }
     val indexed = assignCells(live.select("vec_id", "emb"), "emb", centroids)
     val probeCells = live
       .select(col("vec_id").as("src_id"), col("emb").as("q_emb"))
@@ -885,6 +913,97 @@ object Similarity {
     out.toDF("vec_a", "vec_b", "sim")
   }
 
+  /**
+   * Pruned-nprobe fused kernel (round 20): the under-ceiling sibling of
+   * [[knnExhaustiveKernel]] for nprobe < numCentroids — the
+   * knn_graph_probe / hard_negatives_probe regime, where the generic plan
+   * (cell equi-join + per-source window) materializes every
+   * (probe, cell-member) candidate as a row dragging two dim-length
+   * arrays through an exchange, and AQE coalesces the post-join stage to
+   * a handful of tasks (measured: 3.1 s of the entry's 2.3 s wall on 4 of
+   * 32 cores at sf0.1). Here home cells and probe cells come from the
+   * SAME [[graft.functions.IvfAssign]] selection the scan expression
+   * runs, the corpus broadcasts once (ceiling-bounded), and each source
+   * scans only its probed cells' members in one flat loop — identical
+   * candidate set, cosines in [[cosineRaw]]'s accumulation order with
+   * per-vector norms hoisted ([[sqrtNorm]]), 1e-4-slack top-k pre-cut,
+   * and the authoritative round + rank run as the same Column/window
+   * expressions — bit-identical to the join plan (suite-pinned).
+   * `labelFiltered` keeps only different-label candidates
+   * ([[hardNegatives]] semantics — self is excluded by its own label).
+   */
+  private def prunedCellKernel(spark: SparkSession,
+      rows: Array[(Long, Array[Double], Long)],
+      centroids: Array[Array[Double]], probeN: Int, k: Int,
+      labelFiltered: Boolean): DataFrame = {
+    import spark.implicits._
+    val inv = graft.functions.IvfAssign.invNorms(centroids)
+    val n = rows.length
+    val builders = Array.fill(math.max(centroids.length, 1))(
+      scala.collection.mutable.ArrayBuilder.make[Int])
+    var i = 0
+    while (i < n) {
+      val h = graft.functions.IvfAssign.assign(centroids, inv, 1, rows(i)._2)
+      if (h.nonEmpty) builders(h(0)) += i
+      i += 1
+    }
+    val cellIdx: Array[Array[Int]] = builders.map(_.result())
+    val bc = spark.sparkContext.broadcast(rows)
+    val bcN = spark.sparkContext.broadcast(rows.map(r => sqrtNorm(r._2)))
+    val bcCells = spark.sparkContext.broadcast(cellIdx)
+    val order = (0 until n).sortBy(i => (i * 2654435761L) & 0xffffffffL)
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4, n))
+    spark.createDataset(
+        spark.sparkContext.parallelize(order, slices)).mapPartitions { it =>
+      val all = bc.value
+      val ns = bcN.value
+      val cells = bcCells.value
+      it.flatMap { i =>
+        val (ida, ea, la) = all(i)
+        val na = ns(i)
+        val dim = ea.length
+        val probe = graft.functions.IvfAssign.assign(centroids, inv, probeN, ea)
+        val cand = scala.collection.mutable.ArrayBuilder.make[Int]
+        val sims = scala.collection.mutable.ArrayBuilder.make[Double]
+        val top = Array.fill(math.max(k, 1))(Double.NegativeInfinity)
+        var eligible = 0
+        var pi = 0
+        while (pi < probe.length) {
+          val ms = cells(probe(pi))
+          var m = 0
+          while (m < ms.length) {
+            val j = ms(m)
+            val ok =
+              if (labelFiltered) all(j)._3 != la else all(j)._1 != ida
+            if (ok) {
+              eligible += 1
+              val eb = all(j)._2
+              var dot = 0.0
+              var d = 0
+              while (d < dim) { dot += ea(d) * eb(d); d += 1 }
+              val denom = na * ns(j)
+              val s = if (denom == 0.0) 0.0 else dot / denom
+              cand += j
+              sims += s
+              if (s > top(top.length - 1)) {
+                var p = top.length - 1
+                while (p > 0 && top(p - 1) < s) { top(p) = top(p - 1); p -= 1 }
+                top(p) = s
+              }
+            }
+            m += 1
+          }
+          pi += 1
+        }
+        val cut = (if (eligible < k) Double.NegativeInfinity else top(k - 1)) - 1e-4
+        val cs = cand.result()
+        val ss = sims.result()
+        Iterator.range(0, cs.length).filter(x => ss(x) >= cut)
+          .map(x => (ida, all(cs(x))._1, all(cs(x))._3, ss(x)))
+      }
+    }.toDF("src_id", "dst_id", "dst_label", "sim")
+  }
+
   /** Exhaustive-kNN fast path of [[knnGraph]]: per source row, one fused
     * scan over the broadcast corpus keeps a raw top-k and emits only the
     * candidates within 1e-4 of the k-th best (4-dp HALF_UP moves a value
@@ -994,7 +1113,8 @@ object Similarity {
     // census counts LIVE vectors only (null emb = absent document — the
     // corpus every lane actually sees); one convention for all three
     // adaptive-parameter call sites, mirrored in the oracles' censuses
-    val numCentroids = adaptiveCentroids(emb.filter(col("emb").isNotNull).count())
+    val nLive = emb.filter(col("emb").isNotNull).count()
+    val numCentroids = adaptiveCentroids(nLive)
     // √-law nprobe escalation ([[adaptiveNprobe]]): 6 cells at every
     // correctness SF (K = 16 there — the historical value, oracle
     // untouched); at the sf1 decade (K = 160) it probes 24 cells, which
@@ -1005,7 +1125,7 @@ object Similarity {
     // the trap the adaptive K fixed).
     val nprobe = adaptiveNprobe(numCentroids)
     val approx = knnGraph(emb, k = 5, numCentroids = numCentroids, nprobe = nprobe,
-      lloydIters = 0, quantizer = knuthCentroids)
+      lloydIters = 0, quantizer = knuthCentroids, knownLiveCount = nLive)
     assertRecall(
       approx.withColumnRenamed("src_id", "query_id"),
       knnGraph(emb, k = 5, numCentroids = numCentroids, nprobe = numCentroids)
@@ -1036,7 +1156,8 @@ object Similarity {
       numCentroids: Int = 16, nprobe: Int = 16,
       lloydIters: Int = 0,
       quantizer: (DataFrame, Int) => Array[Array[Double]] = sampleCentroids,
-      exhaustiveKernelMaxRows: Long = 65536L): DataFrame = {
+      exhaustiveKernelMaxRows: Long = 65536L,
+      knownLiveCount: Long = -1L): DataFrame = {
     // same size-based fast path as [[knnGraph]]'s exhaustive regime, with
     // the label inequality applied inside the kernel scan. Same eligibility
     // contract too, extended to the label column (the kernel compares
@@ -1145,6 +1266,35 @@ object Similarity {
       if (lloydIters > 0) lloydRefine(live.select("vec_id", "emb"), "emb", sampled, lloydIters)
       else sampled
     val probeN = math.max(1, math.min(nprobe, centroids.length)) // floor 1: zero centroids <=> empty corpus (ivfAssign then yields no cells)
+    // pruned-regime fused kernel — the [[knnGraph]] round-20 path with the
+    // label filter in-kernel (self excluded by its own label, exactly the
+    // join plan's label =!= anchor_label condition)
+    if (graft.util.FastPaths.ceiling(exhaustiveKernelMaxRows) > 0 &&
+        probeN < centroids.length &&
+        graft.util.IdTypes.integral(idDt) && graft.util.IdTypes.integral(labelDt)) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val effR = graft.util.FastPaths.ceiling(exhaustiveKernelMaxRows)
+      val cap = math.min(effR + 1, Int.MaxValue.toLong).toInt
+      val nKnown = if (knownLiveCount >= 0L) knownLiveCount
+        else live.limit(cap).count()
+      if (nKnown <= effR) {
+        val rows = live.select(col("vec_id").cast("long").as("_1"),
+            col("emb").as("_2"), col("label").cast("long").as("_3"))
+          .limit(cap).as[(Long, Array[Double], Long)].collect()
+        val w2 = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        return prunedCellKernel(spark, rows, centroids, probeN, k,
+            labelFiltered = true)
+          .toDF("anchor_id", "vec_id", "negative_label", "sim")
+          .withColumn("sim", round(col("sim"), 4))
+          .withColumn("rn", row_number().over(w2))
+          .filter(col("rn") <= k)
+          .select(col("anchor_id").cast(idDt).as("anchor_id"),
+            col("vec_id").cast(idDt).as("negative_id"),
+            col("negative_label").cast(labelDt).as("negative_label"), col("sim"))
+      }
+    }
     val indexed = assignCells(live.select("vec_id", "emb", "label"), "emb", centroids)
     val probes = live
       .select(col("vec_id").as("anchor_id"), col("emb").as("q_emb"),
@@ -1188,10 +1338,11 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         col("label").cast("long").as("label"))
-    val numCentroids = adaptiveCentroids(emb.filter(col("emb").isNotNull).count())
+    val nLive = emb.filter(col("emb").isNotNull).count()
+    val numCentroids = adaptiveCentroids(nLive)
     val nprobe = adaptiveNprobe(numCentroids)
     val approx = hardNegatives(emb, k = 5, numCentroids = numCentroids, nprobe = nprobe,
-      lloydIters = 0, quantizer = knuthCentroids)
+      lloydIters = 0, quantizer = knuthCentroids, knownLiveCount = nLive)
     assertRecall(
       approx.withColumnRenamed("anchor_id", "query_id")
         .withColumnRenamed("negative_id", "neighbor_id"),

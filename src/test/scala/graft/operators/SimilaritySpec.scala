@@ -414,6 +414,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"pruned-graph recall $recall%.3f below 0.5")
   }
 
+  test("pruned-regime fused kernel == pruned cell-join plan (knn + hard negatives)") {
+    // round-20 internals change: under the kernel ceiling the pruned
+    // nprobe < numCentroids regime runs a broadcast kernel over home-cell
+    // member lists instead of the cell equi-join + window — pin
+    // bit-equality of both plans, label-filtered variant included
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val kern = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 4,
+      quantizer = Similarity.knuthCentroids)
+    val join = Similarity.knnGraph(emb, k = 5, numCentroids = 16, nprobe = 4,
+      quantizer = Similarity.knuthCentroids, exhaustiveKernelMaxRows = 0)
+    assert(kern.exceptAll(join).isEmpty && join.exceptAll(kern).isEmpty,
+      "pruned fused kernel differs from the pruned cell-join plan")
+    assert(kern.count() > 0)
+    val lab = emb.withColumn("label", col("vec_id") % 7)
+    val hkern = Similarity.hardNegatives(lab, k = 5, numCentroids = 16, nprobe = 4,
+      quantizer = Similarity.knuthCentroids)
+    val hjoin = Similarity.hardNegatives(lab, k = 5, numCentroids = 16, nprobe = 4,
+      quantizer = Similarity.knuthCentroids, exhaustiveKernelMaxRows = 0)
+    assert(hkern.exceptAll(hjoin).isEmpty && hjoin.exceptAll(hkern).isEmpty,
+      "pruned label-filtered kernel differs from the pruned cell-join plan")
+    assert(hkern.count() > 0)
+  }
+
   test("clusterSample: per-cell budget respected, sample ⊆ corpus, " +
       "window pre-prunes before the exchange") {
     val emb = Tables.embeddings(spark, sfDir)
